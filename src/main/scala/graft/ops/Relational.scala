@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operator builders — the engine's reusable surface.
+  *
+  * Every builder is a pure `DataFrame => DataFrame` (or `Column => Column`)
+  * combinator over the declarative API, so Catalyst keeps full optimization
+  * freedom (pushdown, pruning, partial aggregation, AQE join selection).
+  * Nothing here collects to the driver or fixes a physical strategy.
+  *
+  * Reference semantics being generalized (see SURVEY.md §2):
+  *  - CASE bucketing        bigquery_views.sql:5-12
+  *  - top-k per group       bigquery_views.sql:34,63,91 (QUALIFY ROW_NUMBER)
+  *  - ordered array agg     bigquery_views.sql:97
+  *  - pivot / crosstab      streamlit_app.py:645-651,882-888
+  *  - histogram binning     streamlit_app.py:455-462
+  *  - value_counts          streamlit_app.py:426,727,907
+  *  - hourly time bucket    streamlit_app.py:374-379
+  */
+object Relational {
+
+  /** CASE-chain bucketing: `cuts` are right-exclusive upper bounds; a value
+    * below cuts(i) (and not below any earlier cut) gets labels(i); values
+    * >= last cut get labels.last. labels.length == cuts.length + 1.
+    * Mirrors bigquery_views.sql:5-12 (age → '18-24' … '65+').
+    */
+  def bucketize(c: Column, cuts: Seq[Double], labels: Seq[String]): Column = {
+    require(labels.length == cuts.length + 1, "labels must be cuts+1")
+    val chain = cuts.zip(labels).foldLeft(Option.empty[Column]) {
+      case (acc, (cut, label)) =>
+        val w = when(c < lit(cut), lit(label))
+        Some(acc.fold(w)(a => a.when(c < lit(cut), lit(label))))
+    }
+    chain.get.otherwise(lit(labels.last))
+  }
+
+  /** Top-k rows per group, ranked by `order` (add explicit tie-break columns
+    * for determinism). Emulates BigQuery QUALIFY ROW_NUMBER() <= k.
+    * One shuffle on `keys`; Spark >= 3.5 inserts WindowGroupLimit so each
+    * partition keeps only k rows before the final sort — scales to
+    * high-cardinality keys without materializing full groups.
+    */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** ARRAY_AGG(value ORDER BY rankBy DESC, value ASC) — deterministic ordered
+    * array aggregation (bigquery_views.sql:97) without a custom UDAF:
+    * collect structs, sort the completed array, project the payload.
+    * collect_list is partial-aggregated map-side; the sort runs on the final
+    * (small, <= group cardinality) arrays only.
+    */
+  def orderedArrayAggDesc(rankBy: Column, value: Column): Column =
+    transform(
+      sort_array(collect_list(struct((-rankBy).as("r"), value.as("v")))),
+      x => x.getField("v"))
+
+  /** value_counts: group-count sorted descending with a deterministic
+    * tie-break on the key (streamlit_app.py:426 et al.).
+    */
+  def valueCounts(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(c).asc)
+
+  /** Fixed-width histogram over `c`: bin i covers [i*width, (i+1)*width).
+    * floor(col/width) keeps the whole computation in one hash aggregate
+    * (streamlit_app.py:455-462 nbins histograms).
+    */
+  def histogram(df: DataFrame, c: Column, width: Double): DataFrame =
+    df.groupBy(floor(c / lit(width)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bin") * width)
+      .orderBy("bin")
+
+  /** pivot_table(index=rowKey, columns=pivotKey, values=..., aggfunc=sum,
+    * fill_value=0) with EXPLICIT pivot values (required for deterministic
+    * output schema and for streaming/foreachBatch use) —
+    * streamlit_app.py:645-651.
+    */
+  def pivotSum(df: DataFrame, rowKey: String, pivotKey: String,
+               values: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(col(rowKey))
+      .pivot(pivotKey, values)
+      .sum(valueCol)
+      .na.fill(0)
+      .orderBy(rowKey)
+
+  /** Tumbling time bucket: truncate ts to `unit` ('hour', 'day', ...) and
+    * aggregate. Batch analog of groupBy(window(ts, "1 hour")) —
+    * streamlit_app.py:374-379.
+    */
+  def timeBucketAgg(df: DataFrame, ts: Column, unit: String, aggs: Seq[Column]): DataFrame =
+    df.groupBy(date_trunc(unit, ts).as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("bucket")
+
+  /** count_if — boolean-count aggregate (streamlit_app.py:347 is_anomaly.sum()). */
+  def countIf(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+}

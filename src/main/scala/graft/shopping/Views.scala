@@ -1,0 +1,120 @@
+package graft.shopping
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.Relational
+
+/** The reference's 4 analytic views (bigquery_views.sql:1-129) rebuilt
+  * Spark-first over the driver testdata, with the FIXTURES.md §C role
+  * mapping:
+  *
+  *   age        -> customer.c_acctbal (CASE-bucketed, views.sql:5-12)
+  *   gender     -> customer.c_mktsegment
+  *   category   -> orders.o_orderpriority
+  *   location   -> nation.n_name (via c_nationkey)
+  *   amount     -> orders.o_totalprice
+  *   rating     -> (o_orderkey % 5) — deterministic double for AVG parity
+  *
+  * Scale notes (100 TB design point):
+  *  - The base is declared as plain inner joins; AQE broadcasts
+  *    customer/nation at test scale and falls back to shuffled hash join
+  *    when the build side is large. Nothing is hand-pinned.
+  *  - Each view is aggregate-first, window-second (two exchanges), matching
+  *    BigQuery's QUALIFY-over-aggregate semantics (SURVEY.md §4). The window
+  *    input is the *aggregated* table (|groups| rows, not |orders|), so the
+  *    row_number partition never sees raw-fact cardinality.
+  *  - All floats are rounded to 4 decimals and every output is fully sorted:
+  *    determinism for the DuckDB oracle (SURVEY.md §7.6).
+  */
+object Views {
+
+  val AcctbalCuts: Seq[Double]  = Seq(0, 2000, 4000, 6000, 8000)
+  val AcctbalLabels: Seq[String] = Seq("A-neg", "B-0-2k", "C-2k-4k", "D-4k-6k", "E-6k-8k", "F-8k+")
+
+  /** The flat "shopping.orders" fact-table analog (SURVEY.md §1.1: one flat
+    * fact table feeds every view).
+    */
+  def base(t: Tables): DataFrame =
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .select(
+        Relational.bucketize(col("c_acctbal"), AcctbalCuts, AcctbalLabels).as("age_bucket"),
+        col("c_mktsegment").as("gender"),
+        col("o_orderpriority").as("category"),
+        col("n_name").as("location"),
+        col("o_totalprice").as("amount"),
+        (col("o_orderkey") % 5).cast("double").as("rating"))
+
+  /** Shared SQL text of `base` for the DuckDB oracle. */
+  val baseSql: String =
+    """SELECT
+      |  CASE WHEN c_acctbal < 0 THEN 'A-neg'
+      |       WHEN c_acctbal < 2000 THEN 'B-0-2k'
+      |       WHEN c_acctbal < 4000 THEN 'C-2k-4k'
+      |       WHEN c_acctbal < 6000 THEN 'D-4k-6k'
+      |       WHEN c_acctbal < 8000 THEN 'E-6k-8k'
+      |       ELSE 'F-8k+' END AS age_bucket,
+      |  c_mktsegment AS gender,
+      |  o_orderpriority AS category,
+      |  n_name AS location,
+      |  o_totalprice AS amount,
+      |  (o_orderkey % 5) AS rating
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey""".stripMargin
+
+  /** v_age_preferences (bigquery_views.sql:2-43): per-age-bucket stats +
+    * top-1 category via aggregate-then-window, left-joined back.
+    */
+  def agePreferences(t: Tables): DataFrame =
+    preferences(base(t), "age_bucket", withRating = true)
+
+  /** v_gender_preferences (bigquery_views.sql:46-72). */
+  def genderPreferences(t: Tables): DataFrame =
+    preferences(base(t), "gender", withRating = true)
+
+  private def preferences(b: DataFrame, key: String, withRating: Boolean): DataFrame = {
+    val stats = {
+      val aggs = Seq(
+        count(lit(1)).as("orders"),
+        round(avg(col("amount")), 4).as("avg_spend")) ++
+        (if (withRating) Seq(round(avg(col("rating")), 4).as("avg_rating")) else Nil)
+      b.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    }
+    val counts = b.groupBy(col(key), col("category")).agg(count(lit(1)).as("category_count"))
+    val top = Relational.topKPerGroup(
+      counts, Seq(key), Seq(col("category_count").desc, col("category").asc), 1)
+      .select(col(key), col("category").as("top_category"))
+    stats.join(top, Seq(key), "left").orderBy(key)
+  }
+
+  /** v_location_preferences (bigquery_views.sql:75-100): per-location stats,
+    * top-3 categories, re-aggregated into an ordered ARRAY<STRING>.
+    */
+  def locationPreferences(t: Tables): DataFrame = {
+    val b = base(t)
+    val stats = b.groupBy(col("location")).agg(
+      count(lit(1)).as("orders"),
+      round(avg(col("amount")), 4).as("avg_spend"))
+    val counts = b.groupBy(col("location"), col("category"))
+      .agg(count(lit(1)).as("category_count"))
+    val top3 = Relational.topKPerGroup(
+      counts, Seq("location"), Seq(col("category_count").desc, col("category").asc), 3)
+    stats.join(top3, Seq("location"), "left")
+      .groupBy(col("location"), col("orders"), col("avg_spend"))
+      .agg(Relational.orderedArrayAggDesc(col("category_count"), col("category"))
+        .as("top_categories"))
+      .orderBy("location")
+  }
+
+  /** v_age_gender_category (bigquery_views.sql:103-126): 3-key aggregate. */
+  def ageGenderCategory(t: Tables): DataFrame =
+    base(t)
+      .groupBy(col("age_bucket"), col("gender"), col("category"))
+      .agg(count(lit(1)).as("orders"), round(avg(col("amount")), 4).as("avg_spend"))
+      .orderBy("age_bucket", "gender", "category")
+}

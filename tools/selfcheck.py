@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/selfcheck.py <outDir> <sfDir> [query ...]
+
+Reads each <outDir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from <outDir>/oracle_sql.json in DuckDB over the <sfDir>
+parquet tables, and compares: columns sorted by name, rows sorted by all
+columns, exact match for non-floats, 1e-9 tolerance flagged for floats
+(exact mismatches reported either way so we can chase determinism).
+
+Dev tooling only — not part of the Scala library.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # lists -> tuples so they sort/compare
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = normalize(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            exp = normalize(con.execute(oracle[name]).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if np.issubdtype(g.dtype, np.floating) or np.issubdtype(e.dtype, np.floating):
+                ga = g.astype(float).to_numpy()
+                ea = e.astype(float).to_numpy()
+                both_nan = np.isnan(ga) & np.isnan(ea)
+                close = np.isclose(ga, ea, rtol=0, atol=1e-9) | both_nan
+                exact = (ga == ea) | both_nan
+                if not close.all():
+                    bad.append((c, int((~close).sum()), "float"))
+                elif not exact.all():
+                    print(f"  warn {name}.{c}: {int((~exact).sum())} rows differ within 1e-9 (would fail exact hash)")
+            else:
+                eq = (g.isna() & e.isna()) | (g == e)
+                if not eq.all():
+                    bad.append((c, int((~eq).sum()), str(g.dtype)))
+        if bad:
+            print(f"FAIL {name}: mismatched cols {bad}")
+            for c, _, _ in bad[:2]:
+                mism = got[c] != exp[c]
+                print(f"  {c} got: {got[c][mism].head(3).tolist()} exp: {exp[c][mism].head(3).tolist()}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    for name in sorted(set(os.path.basename(d) for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)) - set(oracle)):
+        print(f"SKIP {name}: no oracle (rows-only)")
+        n_skip += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
