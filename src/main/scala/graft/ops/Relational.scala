@@ -102,4 +102,23 @@ object Relational {
 
   /** count_if — boolean-count aggregate (streamlit_app.py:347 is_anomaly.sum()). */
   def countIf(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+
+  /** Exact, summation-order-independent sum for 2-decimal money columns:
+    * DECIMAL(18,2) accumulation is exact (no float reassociation error), so
+    * the result is identical across any partitioning/parallelism AND matches
+    * the DuckDB oracle bit-for-bit after the DOUBLE cast. Overflow-safe to
+    * 10^16 dollars. SQL mirror: Catalog.moneySumSql.
+    */
+  def moneySum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))
+      .cast("double")
+
+  /** Deterministic average of a money column (see moneySum). */
+  def moneyAvg(c: Column): Column = round(moneySum(c) / count(lit(1)), 4)
+
+  /** Timestamps leave the engine as formatted strings at the oracle
+    * boundary: Spark writes tz-adjusted parquet timestamps while DuckDB
+    * yields naive ones — strings sidestep the dtype mismatch.
+    */
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 }

@@ -81,7 +81,7 @@ object Views {
     val stats = {
       val aggs = Seq(
         count(lit(1)).as("orders"),
-        round(avg(col("amount")), 4).as("avg_spend")) ++
+        Relational.moneyAvg(col("amount")).as("avg_spend")) ++
         (if (withRating) Seq(round(avg(col("rating")), 4).as("avg_rating")) else Nil)
       b.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
     }
@@ -99,7 +99,7 @@ object Views {
     val b = base(t)
     val stats = b.groupBy(col("location")).agg(
       count(lit(1)).as("orders"),
-      round(avg(col("amount")), 4).as("avg_spend"))
+      Relational.moneyAvg(col("amount")).as("avg_spend"))
     val counts = b.groupBy(col("location"), col("category"))
       .agg(count(lit(1)).as("category_count"))
     val top3 = Relational.topKPerGroup(
@@ -115,6 +115,6 @@ object Views {
   def ageGenderCategory(t: Tables): DataFrame =
     base(t)
       .groupBy(col("age_bucket"), col("gender"), col("category"))
-      .agg(count(lit(1)).as("orders"), round(avg(col("amount")), 4).as("avg_spend"))
+      .agg(count(lit(1)).as("orders"), Relational.moneyAvg(col("amount")).as("avg_spend"))
       .orderBy("age_bucket", "gender", "category")
 }
