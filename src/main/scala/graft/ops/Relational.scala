@@ -29,12 +29,9 @@ object Relational {
     */
   def bucketize(c: Column, cuts: Seq[Double], labels: Seq[String]): Column = {
     require(labels.length == cuts.length + 1, "labels must be cuts+1")
-    val chain = cuts.zip(labels).foldLeft(Option.empty[Column]) {
-      case (acc, (cut, label)) =>
-        val w = when(c < lit(cut), lit(label))
-        Some(acc.fold(w)(a => a.when(c < lit(cut), lit(label))))
+    cuts.zip(labels).foldRight(lit(labels.last): Column) {
+      case ((cut, label), acc) => when(c < lit(cut), lit(label)).otherwise(acc)
     }
-    chain.get.otherwise(lit(labels.last))
   }
 
   /** Top-k rows per group, ranked by `order` (add explicit tie-break columns
@@ -58,7 +55,12 @@ object Relational {
     */
   def orderedArrayAggDesc(rankBy: Column, value: Column): Column =
     transform(
-      sort_array(collect_list(struct((-rankBy).as("r"), value.as("v")))),
+      sort_array(collect_list(
+        // null payloads (e.g. the unmatched side of an outer join) must not
+        // become a struct-of-nulls array element: collect_list skips nulls,
+        // so a when(...) with no otherwise drops them.
+        when(value.isNotNull && rankBy.isNotNull,
+          struct((-rankBy).as("r"), value.as("v"))))),
       x => x.getField("v"))
 
   /** value_counts: group-count sorted descending with a deterministic
@@ -109,9 +111,14 @@ object Relational {
     * the DuckDB oracle bit-for-bit after the DOUBLE cast. Overflow-safe to
     * 10^16 dollars. SQL mirror: Catalog.moneySumSql.
     */
-  def moneySum(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2)))
-      .cast("double")
+  def moneySum(c: Column): Column = sum(moneyDec(c)).cast("double")
+
+  /** DECIMAL(18,2) cast for exact money accumulation — partial sums of this
+    * type re-aggregate exactly (decimal addition is associative), so a
+    * two-stage rollup equals the flat sum bit-for-bit.
+    */
+  def moneyDec(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
 
   /** Deterministic average of a money column (see moneySum). */
   def moneyAvg(c: Column): Column = round(moneySum(c) / count(lit(1)), 4)

@@ -77,17 +77,32 @@ object Views {
   def genderPreferences(t: Tables): DataFrame =
     preferences(base(t), "gender", withRating = true)
 
+  /** Single-scan core shared by every view: ONE pass over the fact table to
+    * `(key..., category) -> (cnt, amount decimal-sum, rating sum)`. Both the
+    * per-key stats (re-aggregated rollup — exact, because decimal sums and
+    * integral rating sums re-aggregate associatively) and the top-k branch
+    * derive from this tiny intermediate, so each view costs one fact scan +
+    * one wide shuffle; everything downstream runs at group cardinality.
+    * (Round-1 shape paid 2 scans + 2 three-way joins per view.)
+    */
+  private def categoryCube(b: DataFrame, keys: Seq[String]): DataFrame =
+    b.groupBy((keys :+ "category").map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(Relational.moneyDec(col("amount"))).as("amount_dec"),
+        sum(col("rating")).as("rating_sum"))
+
   private def preferences(b: DataFrame, key: String, withRating: Boolean): DataFrame = {
-    val stats = {
-      val aggs = Seq(
-        count(lit(1)).as("orders"),
-        Relational.moneyAvg(col("amount")).as("avg_spend")) ++
-        (if (withRating) Seq(round(avg(col("rating")), 4).as("avg_rating")) else Nil)
-      b.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
-    }
-    val counts = b.groupBy(col(key), col("category")).agg(count(lit(1)).as("category_count"))
+    val cube = categoryCube(b, Seq(key))
+    val statAggs = Seq(
+      sum(col("cnt")).as("orders"),
+      round(sum(col("amount_dec")).cast("double") / sum(col("cnt")), 4).as("avg_spend")) ++
+      (if (withRating)
+        Seq(round(sum(col("rating_sum")) / sum(col("cnt")), 4).as("avg_rating"))
+      else Nil)
+    val stats = cube.groupBy(col(key)).agg(statAggs.head, statAggs.tail: _*)
     val top = Relational.topKPerGroup(
-      counts, Seq(key), Seq(col("category_count").desc, col("category").asc), 1)
+      cube, Seq(key), Seq(col("cnt").desc, col("category").asc), 1)
       .select(col(key), col("category").as("top_category"))
     stats.join(top, Seq(key), "left").orderBy(key)
   }
@@ -96,14 +111,13 @@ object Views {
     * top-3 categories, re-aggregated into an ordered ARRAY<STRING>.
     */
   def locationPreferences(t: Tables): DataFrame = {
-    val b = base(t)
-    val stats = b.groupBy(col("location")).agg(
-      count(lit(1)).as("orders"),
-      Relational.moneyAvg(col("amount")).as("avg_spend"))
-    val counts = b.groupBy(col("location"), col("category"))
-      .agg(count(lit(1)).as("category_count"))
+    val cube = categoryCube(base(t), Seq("location"))
+    val stats = cube.groupBy(col("location")).agg(
+      sum(col("cnt")).as("orders"),
+      round(sum(col("amount_dec")).cast("double") / sum(col("cnt")), 4).as("avg_spend"))
     val top3 = Relational.topKPerGroup(
-      counts, Seq("location"), Seq(col("category_count").desc, col("category").asc), 3)
+      cube, Seq("location"), Seq(col("cnt").desc, col("category").asc), 3)
+      .select(col("location"), col("category"), col("cnt").as("category_count"))
     stats.join(top3, Seq("location"), "left")
       .groupBy(col("location"), col("orders"), col("avg_spend"))
       .agg(Relational.orderedArrayAggDesc(col("category_count"), col("category"))

@@ -1,17 +1,26 @@
 package graft.shopping
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, concat_ws}
 
 import graft.engine.{Catalog, Tables}
 import graft.engine.Catalog.moneyAvgSql
 
-/** Driver-contract wiring + DuckDB oracles for the 4 reference views. */
+/** Driver-contract wiring + DuckDB oracles for the 4 reference views.
+  *
+  * `v_location_preferences` crosses the oracle boundary with its
+  * ARRAY<STRING> flattened to a comma-joined string (the driver's pandas
+  * sort cannot hash numpy arrays); the array-returning
+  * [[Views.locationPreferences]] stays the library API.
+  */
 object ViewsCatalog extends Catalog {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v_age_preferences"      -> ((s, d) => Views.agePreferences(Tables(s, d))),
     "v_gender_preferences"   -> ((s, d) => Views.genderPreferences(Tables(s, d))),
-    "v_location_preferences" -> ((s, d) => Views.locationPreferences(Tables(s, d))),
+    "v_location_preferences" -> ((s, d) =>
+      Views.locationPreferences(Tables(s, d))
+        .withColumn("top_categories", concat_ws(",", col("top_categories")))),
     "v_age_gender_category"  -> ((s, d) => Views.ageGenderCategory(Tables(s, d))),
   )
 
@@ -50,8 +59,9 @@ object ViewsCatalog extends Catalog {
          |    ORDER BY category_count DESC, category ASC) <= 3
          |)
          |SELECT s.location, s.orders, s.avg_spend,
-         |       array_agg(t.category ORDER BY t.category_count DESC, t.category ASC)
-         |         AS top_categories
+         |       array_to_string(
+         |         array_agg(t.category ORDER BY t.category_count DESC, t.category ASC),
+         |         ',') AS top_categories
          |FROM stats s LEFT JOIN top3 t USING (location)
          |GROUP BY s.location, s.orders, s.avg_spend
          |ORDER BY s.location""".stripMargin),
