@@ -18,6 +18,7 @@ object SparkEntry {
 
   private val catalogs: Seq[Catalog] = Seq(
     ViewsCatalog,
+    graft.ops.OpsCatalog,
   )
 
   /** Flagship: v_age_preferences analog — CASE bucketing, two aggregates,

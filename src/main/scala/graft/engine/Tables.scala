@@ -19,7 +19,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright. Read it as nanos-since-epoch longs and convert
+    * with integer division (a double round-trip would lose precision above
+    * 2^53 ns); micros truncation matches DuckDB's ns→µs read.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn(
+      "ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

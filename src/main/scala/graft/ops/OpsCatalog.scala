@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Tables}
+import graft.engine.Catalog.{moneyAvgSql, moneySumSql}
+
+/** Driver-contract registrations for the generic operator library
+  * (Relational.*), each exercised over driver testdata with a DuckDB oracle.
+  *
+  * Reference ops being covered (SURVEY.md §2.3): pivot_table
+  * (streamlit_app.py:645-651), histogram (:455-462), value_counts (:426,727),
+  * hourly time bucketing (:374-379), boolean-count + metric tiles (:333-350).
+  */
+object OpsCatalog extends Catalog {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pivot_sum" -> ((s, d) =>
+      Relational.pivotSum(
+        Tables(s, d).lineitem, "l_returnflag", "l_linestatus",
+        Seq("F", "O"), "l_quantity")),
+
+    "histogram" -> ((s, d) =>
+      Relational.histogram(Tables(s, d).lineitem, col("l_extendedprice"), 5000.0)),
+
+    "value_counts" -> ((s, d) =>
+      Relational.valueCounts(Tables(s, d).events, "event_type")),
+
+    "time_bucket_hourly" -> ((s, d) =>
+      Relational.timeBucketAgg(
+        Tables(s, d).events, col("ts"), "hour",
+        Seq(count(lit(1)).as("n"), Relational.moneySum(col("value")).as("total_value")))
+        .select(Relational.tsStr(col("bucket")).as("bucket"), col("n"), col("total_value"))),
+
+    "global_metrics" -> ((s, d) =>
+      Tables(s, d).events.agg(
+        count(lit(1)).as("n_events"),
+        Relational.moneySum(col("value")).as("total_value"),
+        Relational.moneyAvg(col("value")).as("avg_value"),
+        Relational.countIf(col("value") > 100).as("n_high_value"),
+        countDistinct(col("user_id")).as("n_users"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "pivot_sum" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS "F",
+        |       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+        |       count(*) AS n,
+        |       CAST(floor(l_extendedprice / 5000.0) AS BIGINT) * 5000.0 AS lo
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "value_counts" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type ASC""".stripMargin,
+
+    "time_bucket_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |       count(*) AS n,
+         |       ${moneySumSql("value")} AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "global_metrics" ->
+      s"""SELECT count(*) AS n_events,
+         |       ${moneySumSql("value")} AS total_value,
+         |       ${moneyAvgSql("value")} AS avg_value,
+         |       count(*) FILTER (WHERE value > 100) AS n_high_value,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM events""".stripMargin,
+  )
+}
