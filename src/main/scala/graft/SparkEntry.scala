@@ -19,6 +19,8 @@ object SparkEntry {
   private val catalogs: Seq[Catalog] = Seq(
     ViewsCatalog,
     graft.ops.OpsCatalog,
+    graft.ops.ServingCatalog,
+    graft.shopping.EnrichCatalog,
   )
 
   /** Flagship: v_age_preferences analog — CASE bucketing, two aggregates,

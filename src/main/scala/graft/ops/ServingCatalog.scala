@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Tables}
+import graft.shopping.{Enrich, EnrichCatalog}
+
+/** Driver-contract registrations for the serving-edge ops (SURVEY §2.3):
+  * top-N fetch, filter shapes, distinct values, display projection — each
+  * over driver testdata with a DuckDB oracle.
+  */
+object ServingCatalog extends Catalog {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ORDER BY processed_time DESC LIMIT n (streamlit_app.py:188-189)
+    "latest_events" -> ((s, d) =>
+      Serving.topN(Tables(s, d).events,
+          Seq(col("ts").desc, col("event_id").desc), 100)
+        .select(col("event_id"), Relational.tsStr(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))),
+
+    "distinct_event_types" -> ((s, d) =>
+      Serving.distinctValues(Tables(s, d).events, "event_type")),
+
+    // VIP & Premium conjunctive filter + metric tiles (streamlit_app.py:685-698)
+    "vip_premium_metrics" -> ((s, d) => {
+      val e = Enrich.enrich(Tables(s, d).events, processedTime = col("ts"))
+      Serving.whereAll(e, Seq(
+          col("customer_segment") === "VIP",
+          col("amount_category") === "Premium"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          Relational.moneySum(col("value")).as("raw_revenue"),
+          sum(col("final_amount_usd").cast("decimal(18,4)")).cast("double").as("final_revenue"))
+    }),
+
+    // IN-list + boolean + display projection page (streamlit_app.py:998-1011)
+    "filtered_display" -> ((s, d) =>
+      Serving.displayPage(
+        Serving.whereIn(Tables(s, d).events, "event_type", Seq("purchase", "view"))
+          .filter(col("value") > 50)
+          .withColumn("ts", Relational.tsStr(col("ts"))),
+        wanted = Seq("event_id", "ts", "event_type", "value", "no_such_column"),
+        order = Seq(col("event_id").desc), limit = 200)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "latest_events" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+        |       event_type, value
+        |FROM events ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
+
+    "distinct_event_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "vip_premium_metrics" ->
+      s"""WITH e AS (${EnrichCatalog.enrichedSql})
+         |SELECT count(*) AS n_orders,
+         |       ${Catalog.moneySumSql("value")} AS raw_revenue,
+         |       CAST(sum(fin) AS DOUBLE) AS final_revenue
+         |FROM e
+         |WHERE user_id % 10 = 0 AND value >= ${Enrich.PremiumMin}""".stripMargin,
+
+    "filtered_display" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+        |FROM events
+        |WHERE event_type IN ('purchase', 'view') AND value > 50
+        |ORDER BY event_id DESC LIMIT 200""".stripMargin,
+  )
+}

@@ -1,0 +1,119 @@
+package graft.shopping
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Tables}
+import graft.ops.Relational
+
+/** Driver-contract registration of the enrichment pipeline (SURVEY §2.4).
+  *
+  * The batch-deterministic variant pins `processed_time` to the event time
+  * so the DuckDB oracle can reproduce it; the live stream uses
+  * `current_timestamp()` (graft.streaming.Streams).
+  */
+object EnrichCatalog extends Catalog {
+
+  /** Deterministic enriched events table (all 11 derived columns). */
+  def enrichedEvents(t: Tables): DataFrame =
+    Enrich.enrich(t.events, processedTime = col("ts"))
+      .withColumn("ts", Relational.tsStr(col("ts")))
+      .withColumn("processed_time", Relational.tsStr(col("processed_time")))
+      .orderBy("event_id")
+
+  /** Metric-tile aggregates over the enriched stream
+    * (streamlit_app.py:333-352 "Revenus", "Transactions Suspectes", VIP
+    * revenue, anomaly rate) — one pass, no round-trips.
+    */
+  def enrichedMetrics(t: Tables): DataFrame = {
+    val e = Enrich.enrich(t.events, processedTime = col("ts"))
+    e.agg(
+      count(lit(1)).as("n_orders"),
+      Relational.moneySum(col("value")).as("raw_revenue"),
+      sum4(col("final_amount_usd")).as("final_revenue"),
+      sum6(col("estimated_profit_usd")).as("total_profit"),
+      Relational.countIf(col("is_anomaly")).as("n_anomalies"),
+      (Relational.countIf(col("is_anomaly")) * lit(100.0) / count(lit(1))).as("anomaly_rate_pct"),
+      Relational.countIf(col("customer_segment") === "VIP").as("n_vip_orders"))
+  }
+
+  /** Exact sum for enrichment-derived 4-decimal money doubles: the double →
+    * DECIMAL(18,4) cast recovers the exact decimal the pipeline computed, so
+    * accumulation is order-independent (see Relational.moneySum).
+    */
+  private def sum4(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4))).cast("double")
+
+  /** Scale-6 variant for profit (amount x tier-discount x margin carries 6
+    * decimals; a scale-4 cast would round it).
+    */
+  private def sum6(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6))).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "enriched_orders"  -> ((s, d) => enrichedEvents(Tables(s, d))),
+    "enriched_metrics" -> ((s, d) => enrichedMetrics(Tables(s, d))),
+  )
+
+  /** Shared oracle CTE: the enrichment formulas with the SAME declared
+    * constants as [[Enrich]] (decimal-exact money math, mirrored verbatim).
+    */
+  val enrichedSql: String =
+    s"""SELECT
+       |  event_id, ts, user_id, event_type, value, props,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) % 5 + 1 AS rating,
+       |  CAST(value AS DECIMAL(18,2)) *
+       |    (CASE WHEN value >= ${Enrich.PremiumMin} THEN CAST(${Enrich.DiscountPremium} AS DECIMAL(3,2))
+       |          WHEN value >= ${Enrich.HighMin} THEN CAST(${Enrich.DiscountHigh} AS DECIMAL(3,2))
+       |          ELSE CAST(1.00 AS DECIMAL(3,2)) END) AS fin
+       |FROM events""".stripMargin
+
+  /** The 11 derived columns in DuckDB SQL (over the `e` CTE above). */
+  val derivedSql: String =
+    s"""strftime(ts, '%Y-%m-%d %H:%M:%S') AS processed_time,
+       |  CAST(fin AS DOUBLE) AS final_amount_usd,
+       |  CASE WHEN value >= ${Enrich.PremiumMin} THEN 'Premium'
+       |       WHEN value >= ${Enrich.HighMin} THEN 'High'
+       |       WHEN value >= ${Enrich.MediumMin} THEN 'Medium'
+       |       ELSE 'Low' END AS amount_category,
+       |  CASE WHEN user_id % 10 = 0 THEN 'VIP'
+       |       WHEN user_id % 10 <= 3 THEN 'Premium'
+       |       WHEN user_id % 10 <= 7 THEN 'Regular'
+       |       ELSE 'New' END AS customer_segment,
+       |  CASE WHEN rating >= 5 THEN 'Very Satisfied'
+       |       WHEN rating = 4 THEN 'Satisfied'
+       |       WHEN rating = 3 THEN 'Neutral'
+       |       ELSE 'Dissatisfied' END AS satisfaction_level,
+       |  (value > ${Enrich.AnomalyAmount} OR event_type = 'error') AS is_anomaly,
+       |  CAST(fin * CAST(${Enrich.ClvFactor} AS DECIMAL(2,0)) AS DOUBLE) AS estimated_clv,
+       |  CASE WHEN user_id % 7 <= 1 THEN 'Rare'
+       |       WHEN user_id % 7 <= 4 THEN 'Occasional'
+       |       WHEN user_id % 7 = 5 THEN 'Frequent'
+       |       ELSE 'Very Frequent' END AS frequency_category,
+       |  CAST(fin * CAST(${Enrich.ProfitMargin} AS DECIMAL(3,2)) AS DOUBLE) AS estimated_profit_usd,
+       |  CASE WHEN month(ts) IN (12, 1, 2) THEN 'Winter'
+       |       WHEN month(ts) IN (3, 4, 5) THEN 'Spring'
+       |       WHEN month(ts) IN (6, 7, 8) THEN 'Summer'
+       |       ELSE 'Autumn' END AS season_type,
+       |  CAST((user_id * 31 + 7) % 101 AS INTEGER) AS loyalty_score""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "enriched_orders" ->
+      s"""WITH e AS ($enrichedSql)
+         |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+         |  event_type, value, props,
+         |  $derivedSql
+         |FROM e ORDER BY event_id""".stripMargin,
+
+    "enriched_metrics" ->
+      s"""WITH e AS ($enrichedSql)
+         |SELECT count(*) AS n_orders,
+         |  ${Catalog.moneySumSql("value")} AS raw_revenue,
+         |  CAST(sum(fin) AS DOUBLE) AS final_revenue,
+         |  CAST(sum(fin * CAST(${Enrich.ProfitMargin} AS DECIMAL(3,2))) AS DOUBLE) AS total_profit,
+         |  count(*) FILTER (WHERE value > ${Enrich.AnomalyAmount} OR event_type = 'error') AS n_anomalies,
+         |  count(*) FILTER (WHERE value > ${Enrich.AnomalyAmount} OR event_type = 'error') * CAST(100.0 AS DOUBLE) / count(*) AS anomaly_rate_pct,
+         |  count(*) FILTER (WHERE user_id % 10 = 0) AS n_vip_orders
+         |FROM e""".stripMargin,
+  )
+}
