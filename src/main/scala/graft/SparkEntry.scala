@@ -21,6 +21,9 @@ object SparkEntry {
     graft.ops.OpsCatalog,
     graft.ops.ServingCatalog,
     graft.shopping.EnrichCatalog,
+    graft.llm.TextCatalog,
+    graft.llm.DedupCatalog,
+    graft.llm.SimilarityCatalog,
   )
 
   /** Flagship: v_age_preferences analog — CASE bucketing, two aggregates,

@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Numeric determinism: floats are quantized to 24-bit fixed point
+  * (`floor(x * 2^24)` as longs) before any arithmetic, so dot products and
+  * norms are EXACT integer sums — order-independent across partitionings and
+  * bit-identical to the DuckDB oracle. The final cosine is one double
+  * division over exact integers. (Float-sum reassociation would otherwise
+  * make every parallel run differ in the low bits.) With unit-norm-ish
+  * inputs the quantization error is ~2^-24 relative — far below any useful
+  * similarity threshold.
+  *
+  * Scale design: brute-force top-k is the *baseline* (broadcast the query
+  * set, one narrow pass over the corpus, per-partition heaps via
+  * WindowGroupLimit — never a corpus self-join). The scale path is IVF:
+  * restrict the search to the query's coarse cell(s) so a 100 TB corpus is
+  * partition-pruned down to the probed cells; `cellNearDupPairs` blocks the
+  * pair search the same way.
+  */
+object Similarity {
+
+  val QScale = 1L << 24
+
+  /** 24-bit fixed-point quantization of a float array (exact in both
+    * engines: float→double widening is exact, 2^24 scaling is exact, floor
+    * is deterministic).
+    */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * QScale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+
+  /** Squared norm of a quantized vector. */
+  def norm2Q(v: Column): Column = dotQ(v, v)
+
+  /** Cosine of two quantized vectors given their precomputed squared norms:
+    * one double division over exact integers.
+    */
+  def cosineQ(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Corpus prepared for search: quantized vector + squared norm, computed
+    * once (narrow) so every downstream join reuses them.
+    */
+  def prepare(df: DataFrame, id: String, vec: String): DataFrame =
+    df.withColumn("q", quantize(col(vec)))
+      .withColumn("n2", norm2Q(col("q")))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus, score in one narrow pass, keep k per query via the ranking
+    * window (WindowGroupLimit keeps per-partition state at k rows).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                 k: Int): DataFrame = {
+    val c = prepare(corpus, id, vec)
+      .select(col(id).as("nn_id"), col("q").as("cq"), col("n2").as("cn2"))
+    val q = prepare(queries, id, vec)
+      .select(col(id).as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosineQ(dotQ(col("qq"), col("cq")), col("qn2"), col("cn2")).as("cosine"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("nn_id").asc), k)
+  }
+
+  /** IVF top-k: identical to [[cosineTopK]] but the corpus scan is pruned to
+    * the query's coarse cell (equi-join on the cell id instead of a cross
+    * join) — the approximate-but-fast path for a partitioned/bucketed corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              cell: String, k: Int): DataFrame = {
+    val c = prepare(corpus, id, vec)
+      .select(col(cell), col(id).as("nn_id"), col("q").as("cq"), col("n2").as("cn2"))
+    val q = prepare(queries, id, vec)
+      .select(col(cell), col(id).as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val scored = c.join(broadcast(q), Seq(cell))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        cosineQ(dotQ(col("qq"), col("cq")), col("qn2"), col("cn2")).as("cosine"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("nn_id").asc), k)
+  }
+
+  /** Embedding near-duplicate pairs, blocked by a coarse cell id: the pair
+    * search runs only inside cells (shuffle on the cell key, AQE handles
+    * skewed cells), then exact quantized cosine filters at the threshold.
+    */
+  def cellNearDupPairs(df: DataFrame, id: String, vec: String, cell: String,
+                       threshold: Double): DataFrame = {
+    val p = prepare(df, id, vec)
+    val a = p.select(col(cell), col(id).as("id_a"), col("q").as("qa"), col("n2").as("na"))
+    val b = p.select(col(cell), col(id).as("id_b"), col("q").as("qb"), col("n2").as("nb"))
+    a.join(b, Seq(cell)).filter(col("id_a") < col("id_b"))
+      .select(col(cell), col("id_a"), col("id_b"),
+        cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Tables}
+
+/** Driver-contract registrations for similarity search over `embeddings`
+  * (`vec_id, embedding array<float>, label`).
+  *
+  * `cosine_topk` is the brute-force baseline (broadcast query set); `label`
+  * plays the IVF coarse-cell id for the pruned variant and the blocked
+  * near-dup pair search. All cosines are 24-bit fixed-point quantized
+  * ([[Similarity.QScale]]) so both engines do exact integer arithmetic.
+  */
+object SimilarityCatalog extends Catalog {
+
+  val K = 10
+  val NumQueries = 5       // query set: vec_id < 5
+  val NearDupCos = 0.35    // embeddings are near-orthogonal; pairs over 0.35
+                           // within a cell are the "suspiciously close" tier
+
+  private def corpus(t: Tables) = t.embeddings
+
+  private def queriesDf(t: Tables) = t.embeddings.filter(col("vec_id") < NumQueries)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cosine_topk" -> ((s, d) => {
+      val t = Tables(s, d)
+      Similarity.cosineTopK(corpus(t), queriesDf(t), "vec_id", "embedding", K)
+        .orderBy("query_id", "nn_id")
+    }),
+
+    "ivf_topk" -> ((s, d) => {
+      val t = Tables(s, d)
+      Similarity.ivfTopK(corpus(t), queriesDf(t), "vec_id", "embedding", "label", K)
+        .orderBy("query_id", "nn_id")
+    }),
+
+    "embedding_near_dup" -> ((s, d) =>
+      Similarity.cellNearDupPairs(Tables(s, d).embeddings, "vec_id", "embedding",
+          "label", NearDupCos)
+        .orderBy("id_a", "id_b")),
+  )
+
+  /** Quantized vectors + exact integer norms (oracle side). */
+  private val prepSql =
+    s"""p AS (SELECT vec_id, label,
+       |  list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QScale}.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2
+       |  FROM (SELECT vec_id, unnest(q) AS x FROM p) GROUP BY vec_id),
+       |pn AS (SELECT p.vec_id, p.label, p.q, n.n2 FROM p JOIN n USING (vec_id))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "cosine_topk" ->
+      s"""WITH $prepSql,
+         |scored AS (
+         |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id, qv.n2 AS qn2, cv.n2 AS cn2,
+         |    (SELECT CAST(sum(x * y) AS BIGINT)
+         |     FROM (SELECT unnest(qv.q) AS x, unnest(cv.q) AS y)) AS dot
+         |  FROM pn qv JOIN pn cv ON cv.vec_id <> qv.vec_id
+         |  WHERE qv.vec_id < $NumQueries)
+         |SELECT query_id, nn_id,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, nn_id ASC) <= $K
+         |ORDER BY query_id, nn_id""".stripMargin,
+
+    "ivf_topk" ->
+      s"""WITH $prepSql,
+         |scored AS (
+         |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id, qv.n2 AS qn2, cv.n2 AS cn2,
+         |    (SELECT CAST(sum(x * y) AS BIGINT)
+         |     FROM (SELECT unnest(qv.q) AS x, unnest(cv.q) AS y)) AS dot
+         |  FROM pn qv JOIN pn cv ON cv.label = qv.label AND cv.vec_id <> qv.vec_id
+         |  WHERE qv.vec_id < $NumQueries)
+         |SELECT query_id, nn_id,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, nn_id ASC) <= $K
+         |ORDER BY query_id, nn_id""".stripMargin,
+
+    "embedding_near_dup" ->
+      s"""WITH $prepSql,
+         |scored AS (
+         |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, a.n2 AS na, b.n2 AS nb,
+         |    (SELECT CAST(sum(x * y) AS BIGINT)
+         |     FROM (SELECT unnest(a.q) AS x, unnest(b.q) AS y)) AS dot
+         |  FROM pn a JOIN pn b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, id_a, id_b,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+         |FROM scored
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Tables}
+
+/** Driver-contract registrations for the text-analysis tier over the
+  * `documents` table: stats/quality, language ID, fingerprints (md5 /
+  * rolling / SimHash), exact dedup.
+  *
+  * The oracle SQL mirrors every formula with explicit DOUBLE casts and the
+  * same operation order; token hashes are md5-derived on both sides
+  * (TextOps.hash60 ↔ CAST('0x' || substring(md5(t),1,15) AS BIGINT)).
+  */
+object TextCatalog extends Catalog {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        TextOps.subwordCount(col("text")).as("n_subwords"),
+        TextOps.avgTokenLen(col("text")).as("avg_token_len"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")),
+
+    "lang_id" -> ((s, d) => {
+      val scoreCols = TextOps.LangMarkers.map { case (lang, m) =>
+        TextOps.langScore(col("text"), m).as(s"s_$lang")
+      }
+      Tables(s, d).documents
+        .select(col("doc_id") +: scoreCols :+ TextOps.langId(col("text")).as("lang_pred"): _*)
+        .orderBy("doc_id")
+    }),
+
+    "doc_fingerprints" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      docs.select(
+          col("doc_id"),
+          TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+          TextOps.rollingHash(col("text")).as("fp_rolling"))
+        .join(TextOps.simHashAgg(docs, "doc_id", "text"), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "exact_dedup" -> ((s, d) =>
+      Dedup.exactDedupMap(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id")),
+  )
+
+  // -- oracle SQL -----------------------------------------------------------
+
+  /** Normalized text in DuckDB ('g' flag: replace ALL, like Spark). */
+  private val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private val docTokens =
+    s"SELECT doc_id, text, $norm AS nt, string_split($norm, ' ') AS w FROM documents"
+
+  private def h60sql(x: String) =
+    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+
+  private val simhashVotes = (0 until 60)
+    .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+    .mkString(",\n    ")
+  private val simhashBits = (0 until 60)
+    .map(j => s"(CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+    .mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS ($docTokens)
+         |SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(w) AS n_tokens,
+         |  len(list_distinct(w)) AS n_distinct_tokens,
+         |  len(regexp_extract_all(nt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
+         |  CAST(length(nt) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_token_len,
+         |  CAST(len(list_filter(w, t -> t IN ${inList(TextOps.Stopwords)})) AS DOUBLE) / len(w) AS stopword_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+         |    AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val scores = TextOps.LangMarkers.map { case (lang, m) =>
+        s"len(list_filter(w, t -> t IN ${inList(m)})) AS s_$lang"
+      }.mkString(",\n  ")
+      val names = TextOps.LangMarkers.map { case (lang, _) => s"s_$lang" }
+      val best = s"greatest(${names.mkString(", ")})"
+      val cases = TextOps.LangMarkers.map { case (lang, _) =>
+        s"WHEN s_$lang = $best AND s_$lang > 0 THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH t AS ($docTokens),
+         |s AS (SELECT doc_id,
+         |  $scores
+         |FROM t)
+         |SELECT doc_id, ${names.mkString(", ")},
+         |  CASE $cases
+         |    ELSE 'und' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_fingerprints" ->
+      s"""WITH t AS ($docTokens),
+         |perdoc AS (
+         |  SELECT doc_id, md5(nt) AS fp_md5,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(w, tok -> ${h60sql("tok")} % ${TextOps.RollP})),
+         |      (a, b) -> (a * ${TextOps.RollB} + b) % ${TextOps.RollP}) AS fp_rolling
+         |  FROM t),
+         |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM tok),
+         |v AS (SELECT doc_id,
+         |    $simhashVotes
+         |  FROM h GROUP BY doc_id)
+         |SELECT p.doc_id, p.fp_md5, p.fp_rolling,
+         |  $simhashBits AS fp_simhash
+         |FROM perdoc p JOIN v USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "exact_dedup" ->
+      s"""SELECT doc_id,
+         |  md5($norm) AS fingerprint,
+         |  min(doc_id) OVER (PARTITION BY md5($norm)) AS canonical_id,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY md5($norm)) AS is_duplicate
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

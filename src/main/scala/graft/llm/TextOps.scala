@@ -1,0 +1,172 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * normalization, token stats, quality scoring, language ID, and document
+  * fingerprints (MD5 + polynomial rolling hash + SimHash).
+  *
+  * All builders are per-row column expressions over built-in (codegen'd)
+  * functions — no UDFs, no shuffle, no state. At 100 TB this tier is a pure
+  * narrow map stage that scales with input splits; the only wide operations
+  * in the LLM pipeline live in [[Dedup]] (hash-partitioned) and
+  * [[Similarity]] (bucketed).
+  *
+  * Determinism: every derivation is mirrored in [[TextCatalog]]'s DuckDB
+  * oracle; hashes derive from md5 (identical hex in both engines) and all
+  * ratios are double expressions with identical operation order.
+  */
+object TextOps {
+
+  /** Canonical text form: trimmed, lower-cased, whitespace collapsed. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** BPE-ish subword count: alternating letter-runs / digit-runs /
+    * single punctuation marks, the usual pre-tokenizer approximation.
+    */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(normText(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Exact-content fingerprint: md5 of the normalized text. */
+  def fingerprintMd5(c: Column): Column = md5(normText(c))
+
+  /** 60-bit integer hash of a single token/shingle, derived from md5 so
+    * Spark and the SQL oracle agree bit-for-bit (15 hex chars = 60 bits,
+    * always positive in a signed 64-bit long).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // Polynomial rolling-hash fingerprint constants (mirrored in TextCatalog):
+  // acc' = (acc * RollB + hash60(token) mod RollP) mod RollP.
+  val RollP = 2147483647L // 2^31 - 1: keeps acc*B + h inside 2^63
+  val RollB = 131L
+
+  /** Order-sensitive document fingerprint: left fold of a polynomial hash
+    * over the token stream (content-defined, unlike the bag-of-words
+    * SimHash). Single pass over the token array, no shuffle.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      transform(tokens(c), t => hash60(t) % RollP),
+      lit(0L),
+      (acc, h) => (acc * RollB + h) % RollP)
+
+  /** 60-bit SimHash over the token bag: per bit j, tokens vote +1/-1 with
+    * bit j of their hash; the sign of the vote total becomes bit j. Near-dup
+    * docs differ in few bits (small hamming distance).
+    *
+    * Single narrow pass: ONE aggregate with a 60-long vote-vector
+    * accumulator (60 separate aggregate expressions make Catalyst re-walk
+    * the token array per bit and blow up plan optimization). Per-token bit
+    * extraction rides `bin()` → char array, because lambda-variable shift
+    * amounts aren't expressible in the column DSL; `pow(2, j)` is exact for
+    * j ≤ 59, so the final bit reassembly stays in integer-exact doubles.
+    */
+  def simHash(c: Column): Column = {
+    val hs = transform(tokens(c), t => hash60(t))
+    val votes = aggregate(
+      hs,
+      array_repeat(lit(0L), 60),
+      (acc, h) => zip_with(
+        acc,
+        // split("") leaves a zero-width trailing match → drop empties so the
+        // char array is exactly 60 long, then reverse to LSB-first
+        reverse(filter(split(lpad(bin(h), 60, "0"), ""), s => s =!= "")),
+        (a, bit) => a + when(bit === "1", 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)),
+        (v, j) => when(v > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Relational SimHash: `(id, fp_simhash)` via token explode → ONE wide
+    * hash aggregate with 60 codegen'd vote sums → bit reassembly. This is
+    * the pipeline shape (the column-level [[simHash]] runs interpreted —
+    * Spark HOFs are CodegenFallback — and is ~100x slower per doc; keep it
+    * for small/test use only).
+    */
+  def simHashAgg(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val rows = df.select(col(id), explode(tokens(col(textCol))).as("tok"))
+      .select(col(id), hash60(col("tok")).as("h"))
+    val votes = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    val bits = (0 until 60)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    rows.groupBy(col(id)).agg(votes.head, votes.tail: _*)
+      .select(col(id), bits.as("fp_simhash"))
+  }
+
+  /** Hamming distance between two SimHash values (xor + popcount). */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // -- quality / language features ------------------------------------------
+
+  /** Stopword list for the quality ratio (declared constant, mirrored in the
+    * oracle SQL).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(c)))
+
+  /** Mean token length, computed from the normalized text without a second
+    * pass: total chars minus the (n-1) single separators, over n.
+    */
+  def avgTokenLen(c: Column): Column = {
+    val n = tokenCount(c)
+    (length(normText(c)) - (n - 1)).cast("double") / n
+  }
+
+  def stopwordRatio(c: Column): Column =
+    size(filter(tokens(c), t => t.isInCollection(Stopwords))).cast("double") /
+      tokenCount(c)
+
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "\\p{Punct}", ""))).cast("double") /
+      length(c)
+
+  /** Composite quality score in [0,1]: length credit (saturating at 200
+    * tokens), vocabulary diversity, and a punctuation-noise penalty. The
+    * exact formula is a declared heuristic, mirrored in the oracle.
+    */
+  def qualityScore(c: Column): Column =
+    least(tokenCount(c).cast("double") / 200.0, lit(1.0)) * 0.4 +
+      (distinctTokenCount(c).cast("double") / tokenCount(c)) * 0.4 +
+      (lit(1.0) - punctRatio(c)) * 0.2
+
+  /** Function-word marker profiles for the n-gram/stopword language-ID
+    * heuristic (declared constants; priority order breaks ties).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "it"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es", "uno", "una", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"),
+  )
+
+  /** Marker-hit count for one language profile. */
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isInCollection(markers)))
+
+  /** Predicted language: argmax of the marker scores, ties broken by the
+    * declared profile order, no hits at all → "und".
+    */
+  def langId(c: Column): Column = {
+    val scores = LangMarkers.map { case (lang, m) => lang -> langScore(c, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

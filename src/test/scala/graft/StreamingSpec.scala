@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.shopping.Enrich
+import graft.streaming.Streams
+
+/** Raw input record matching Streams.eventSchema. */
+case class RawEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(ids: Range): Seq[RawEvent] = ids.map { i =>
+    RawEvent(i.toLong, Timestamp.valueOf(f"2024-03-0${i % 9 + 1}%d 0${i % 9}%d:15:00"),
+      i % 23, Seq("click", "purchase", "error", "view")(i % 4),
+      (i * 37 % 330) + 0.25, s"""{"k": ${i % 97}}""")
+  }
+
+  test("stream enrichment equals batch enrichment on the same records") {
+    val input = MemoryStream[RawEvent](spark)
+    val events = mkEvents(0 until 60)
+    input.addData(events: _*)
+
+    // pin processed_time to event time on both sides so rows are comparable
+    val q = Enrich.enrich(input.toDF(), processedTime = col("ts"))
+      .writeStream.format("memory").queryName("stream_enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamRows = spark.table("stream_enriched").orderBy("event_id").collect()
+    val batchRows = Enrich.enrich(events.toDF(), processedTime = col("ts"))
+      .orderBy("event_id").collect()
+    assert(streamRows.length === 60)
+    assert(streamRows.toSeq === batchRows.toSeq)
+  }
+
+  /** Drop a DataFrame into the watched dir as ONE flat parquet file (the
+    * file stream source does not recurse into subdirectories).
+    */
+  private def addFile(df: org.apache.spark.sql.DataFrame, dir: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("graft-addfile").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+  }
+
+  test("foreachBatch consumer appends to sink and refreshes views per batch") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val in = s"$base/in"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+
+    @volatile var lastCount = -1L
+    val refresh: org.apache.spark.sql.DataFrame => Unit = { full =>
+      full.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .createOrReplaceTempView("v_stream_counts")
+      lastCount = full.count()
+    }
+
+    // batch 1
+    addFile(mkEvents(0 until 40).toDF(), in, "b1.parquet")
+    val q = Streams.startConsumerWithViewRefresh(
+      spark, in, sink, ckpt, refresh, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(lastCount === 40)
+
+    // batch 2: new file, new incremental run (AvailableNow terminates per run)
+    addFile(mkEvents(40 until 100).toDF(), in, "b2.parquet")
+    val q2 = Streams.startConsumerWithViewRefresh(
+      spark, in, sink, ckpt, refresh, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(lastCount === 100, "second batch appends, views see the full table")
+
+    val sunk = spark.read.parquet(sink)
+    assert(sunk.count() === 100)
+    assert(sunk.columns.contains("final_amount_usd") && sunk.columns.contains("loyalty_score"))
+    // the published temp view reflects the full sink
+    assert(spark.table("v_stream_counts").agg(sum("n")).head.getLong(0) === 100)
+  }
+
+  test("watermarked hourly window aggregation matches batch time-bucketing") {
+    val input = MemoryStream[RawEvent](spark)
+    val events = mkEvents(0 until 80)
+    input.addData(events: _*)
+
+    val q = Streams.hourlyWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("stream_hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("stream_hourly")
+      .select(col("bucket"), col("n"), col("total_value"))
+      .orderBy("bucket").collect()
+    val batch = graft.ops.Relational.timeBucketAgg(
+        events.toDF(), col("ts"), "hour",
+        Seq(count(lit(1)).as("n"), graft.ops.Relational.moneySum(col("value")).as("total_value")))
+      .orderBy("bucket").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+}
