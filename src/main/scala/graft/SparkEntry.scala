@@ -24,6 +24,7 @@ object SparkEntry {
     graft.llm.TextCatalog,
     graft.llm.DedupCatalog,
     graft.llm.SimilarityCatalog,
+    graft.llm.MultimodalCatalog,
   )
 
   /** Flagship: v_age_preferences analog — CASE bucketing, two aggregates,

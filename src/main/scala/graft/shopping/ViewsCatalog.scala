@@ -22,6 +22,14 @@ object ViewsCatalog extends Catalog {
       Views.locationPreferences(Tables(s, d))
         .withColumn("top_categories", concat_ws(",", col("top_categories")))),
     "v_age_gender_category"  -> ((s, d) => Views.ageGenderCategory(Tables(s, d))),
+
+    // the reference's actual query interface: SQL over registered view names
+    // (streamlit_app.py:223-226) — prove the spark.sql surface end-to-end
+    "sql_location_top5" -> ((s, d) => {
+      graft.engine.ViewRegistry.registerAll(Tables(s, d))
+      s.sql("""SELECT location, orders, avg_spend FROM v_location_preferences
+              |ORDER BY orders DESC, location LIMIT 5""".stripMargin)
+    }),
   )
 
   private def withBase(sql: String): String =
@@ -71,5 +79,14 @@ object ViewsCatalog extends Catalog {
          |FROM base
          |GROUP BY age_bucket, gender, category
          |ORDER BY age_bucket, gender, category""".stripMargin),
+
+    "sql_location_top5" -> withBase(
+      s""", stats AS (
+         |  SELECT location, count(*) AS orders,
+         |         ${moneyAvgSql("amount")} AS avg_spend
+         |  FROM base GROUP BY location
+         |)
+         |SELECT location, orders, avg_spend FROM stats
+         |ORDER BY orders DESC, location LIMIT 5""".stripMargin),
   )
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.llm.{Dedup, Similarity, TextOps}
+
+/** Cross-validation and property checks for the LLM-pipeline operators. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf).documents.limit(60).cache()
+
+  test("relational simHashAgg equals the column-level simHash") {
+    val viaAgg = TextOps.simHashAgg(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = docs.select(col("doc_id"), TextOps.simHash(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaCol)
+  }
+
+  test("relational shingleRows equals the array-level shingles") {
+    val viaRows = Dedup.shingleRows(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaArr = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaRows === viaArr)
+  }
+
+  test("identical texts get identical minhash signatures and jaccard 1.0") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"), (3L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(Dedup.shingleRows(df, "doc_id", "text"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      === Seq((1L, 2L, 1.0)))
+  }
+
+  test("nearDupPairs finds the seeded near-dups, all above threshold") {
+    val all = Tables(spark, sf).documents
+    val pairs = Dedup.nearDupPairs(all, "doc_id", "text", 0.8).collect()
+    assert(pairs.nonEmpty, "testdata seeds near-duplicate documents")
+    assert(pairs.forall(_.getDouble(2) >= 0.8))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    // dedup drops exactly the distinct higher ids
+    val losers = pairs.map(_.getLong(1)).distinct.length
+    assert(Dedup.dropNearDups(all, "doc_id", "text", 0.8).count() === all.count() - losers)
+  }
+
+  test("exactDedupMap assigns the minimum id as canonical per fingerprint") {
+    val df = Seq((10L, "same text"), (7L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val m = Dedup.exactDedupMap(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(m(7L) === ((7L, false)) && m(10L) === ((7L, true)) && m(3L) === ((3L, false)))
+  }
+
+  test("quantized cosine matches exact double cosine to 1e-5") {
+    val emb = Tables(spark, sf).embeddings.limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def exact(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val spark2 = spark; import spark2.implicits._
+    val df = emb.toSeq.toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(df, df.filter(col("vec_id") === 0L), "vec_id", "embedding", 5)
+      .collect()
+    val lookup = emb.toMap
+    top.foreach { r =>
+      val e = exact(lookup(0L), lookup(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - e) < 1e-5,
+        s"quantized ${r.getDouble(2)} vs exact $e")
+    }
+  }
+
+  test("ivfTopK results are a same-cell subset with correct k") {
+    val t = Tables(spark, sf)
+    val q = t.embeddings.filter(col("vec_id") < 3)
+    val res = Similarity.ivfTopK(t.embeddings, q, "vec_id", "embedding", "label", 4)
+    val labels = t.embeddings.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = res.collect()
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 4))
+    rows.foreach(r => assert(labels(r.getLong(0)) === labels(r.getLong(1)),
+      "IVF candidates come from the query's cell"))
+  }
+
+  test("langId picks the profile with most marker hits, und when none") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is fine"),
+      (2L, "le chat est sur la table et il est la"),
+      (3L, "zqx bvw qpr")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.langId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "fr", 3L -> "und"))
+  }
+
+  test("hamming distance of simhashes is small for near-dups") {
+    val pair = Dedup.nearDupPairs(Tables(spark, sf).documents, "doc_id", "text", 0.9)
+      .limit(1).collect().headOption
+    pair.foreach { p =>
+      val ids = Seq(p.getLong(0), p.getLong(1))
+      val sh = TextOps.simHashAgg(
+          Tables(spark, sf).documents.filter(col("doc_id").isin(ids: _*)), "doc_id", "text")
+        .collect().map(_.getLong(1))
+      val dist = java.lang.Long.bitCount(sh(0) ^ sh(1))
+      assert(dist <= 12, s"near-dup simhash hamming distance $dist")
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** Property-style checks for the generic operator library (SURVEY §5). */
+class RelationalPropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cuts = Seq(0.0, 10.0, 100.0)
+  private val labels = Seq("neg", "small", "mid", "big")
+
+  test("bucketize is total and non-overlapping") {
+    val vals = Seq(-1e9, -1.0, -0.0001, 0.0, 5.0, 9.999, 10.0, 50.0, 99.99, 100.0, 1e9)
+    val df = vals.toDF("v").select(col("v"), Relational.bucketize(col("v"), cuts, labels).as("b"))
+    val rows = df.collect()
+    assert(rows.forall(!_.isNullAt(1)), "every value gets exactly one bucket")
+    val byVal = rows.map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(byVal(-1.0) === "neg" && byVal(0.0) === "small" &&
+      byVal(9.999) === "small" && byVal(10.0) === "mid" &&
+      byVal(100.0) === "big", "cuts are right-exclusive upper bounds")
+  }
+
+  test("topKPerGroup returns at most k rows per group, the top-ranked ones") {
+    val df = Seq(("a", "x", 5L), ("a", "y", 9L), ("a", "z", 1L),
+      ("b", "x", 2L), ("b", "y", 2L)).toDF("g", "c", "n")
+    val top2 = Relational.topKPerGroup(df, Seq("g"), Seq(col("n").desc, col("c").asc), 2)
+      .collect().groupBy(_.getString(0))
+    assert(top2("a").map(_.getString(1)).toSet === Set("y", "x"))
+    // tie on n=2 broken by c asc, deterministic
+    assert(top2("b").map(_.getString(1)).toSet === Set("x", "y"))
+    assert(top2.values.forall(_.length <= 2))
+  }
+
+  test("pivotSum row sums equal the unpivoted 2-key aggregate") {
+    val df = Tables_lineitem()
+    val pivoted = Relational.pivotSum(df, "l_returnflag", "l_linestatus", Seq("F", "O"), "l_quantity")
+    val rowSums = pivoted.select(col("l_returnflag"), (col("F") + col("O")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = df.groupBy("l_returnflag").agg(sum("l_quantity").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rowSums.keySet === direct.keySet)
+    rowSums.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6) }
+  }
+
+  private def Tables_lineitem() = graft.engine.Tables(spark, sf).lineitem
+
+  test("histogram bin counts sum to the row count and lo = bin * width") {
+    val df = Tables_lineitem()
+    val h = Relational.histogram(df, col("l_extendedprice"), 5000.0).collect()
+    assert(h.map(_.getLong(1)).sum === df.count())
+    h.foreach(r => assert(r.getDouble(2) === r.getLong(0) * 5000.0))
+  }
+
+  test("countIf equals filter().count") {
+    val df = graft.engine.Tables(spark, sf).events
+    val a = df.agg(Relational.countIf(col("value") > 100)).head.getLong(0)
+    assert(a === df.filter(col("value") > 100).count())
+  }
+
+  test("moneySum is partitioning-invariant (decimal accumulation)") {
+    val df = Tables_lineitem()
+    val one = df.coalesce(1).agg(Relational.moneySum(col("l_extendedprice"))).head.getDouble(0)
+    val many = df.repartition(13).agg(Relational.moneySum(col("l_extendedprice"))).head.getDouble(0)
+    assert(one === many, "bit-identical across partitionings")
+  }
+
+  test("TtlCache rebuilds only after expiry") {
+    var now = 0L
+    var builds = 0
+    val cache = new graft.engine.TtlCache(
+      () => { builds += 1; Seq(builds).toDF("b") }, ttlMillis = 100, clock = () => now)
+    cache.get(); cache.get()
+    assert(builds === 1, "fresh within TTL")
+    now = 150
+    cache.get()
+    assert(builds === 2, "rebuilt after expiry")
+    assert(cache.isFresh)
+  }
+}
