@@ -92,38 +92,53 @@ object Views {
         sum(Relational.moneyDec(col("amount"))).as("amount_dec"),
         sum(col("rating")).as("rating_sum"))
 
+  /** Per-key stats AND top-k from ONE cube pass, via windows over the
+    * tiny (key, category) intermediate instead of a stats ⟕ top self-join:
+    * the round-1 join shape made Catalyst plan the cube twice (column
+    * pruning specializes each branch, defeating ReuseExchange), i.e. two
+    * fact scans per view. Here the physical plan is scan → cube aggregate →
+    * one window exchange on `key` — decimal/integral window sums re-
+    * aggregate exactly, so values are identical to the join shape.
+    * (Top-k per key always exists — every key row carries a category — so
+    * the reference's LEFT join degenerates safely.)
+    */
+  private def withKeyWindows(cube: DataFrame, key: String, withRating: Boolean): DataFrame = {
+    val w = Window.partitionBy(key)
+    val ordered = Window.partitionBy(key).orderBy(col("cnt").desc, col("category").asc)
+    val orders = sum(col("cnt")).over(w)
+    val rated =
+      if (withRating)
+        Seq(round(sum(col("rating_sum")).over(w) / orders, 4).as("avg_rating"))
+      else Nil
+    cube.select(
+      col(key) +:
+        col("category") +:
+        col("cnt") +:
+        orders.as("orders") +:
+        round(sum(col("amount_dec")).over(w).cast("double") / orders, 4).as("avg_spend") +:
+        (rated :+ row_number().over(ordered).as("__rn")): _*)
+  }
+
   private def preferences(b: DataFrame, key: String, withRating: Boolean): DataFrame = {
-    val cube = categoryCube(b, Seq(key))
-    val statAggs = Seq(
-      sum(col("cnt")).as("orders"),
-      round(sum(col("amount_dec")).cast("double") / sum(col("cnt")), 4).as("avg_spend")) ++
-      (if (withRating)
-        Seq(round(sum(col("rating_sum")) / sum(col("cnt")), 4).as("avg_rating"))
-      else Nil)
-    val stats = cube.groupBy(col(key)).agg(statAggs.head, statAggs.tail: _*)
-    val top = Relational.topKPerGroup(
-      cube, Seq(key), Seq(col("cnt").desc, col("category").asc), 1)
-      .select(col(key), col("category").as("top_category"))
-    stats.join(top, Seq(key), "left").orderBy(key)
+    val ranked = withKeyWindows(categoryCube(b, Seq(key)), key, withRating)
+    val rated = if (withRating) Seq(col("avg_rating")) else Nil
+    ranked.filter(col("__rn") === 1)
+      .select(col(key) +: col("orders") +: col("avg_spend") +: rated :+
+        col("category").as("top_category"): _*)
+      .orderBy(key)
   }
 
   /** v_location_preferences (bigquery_views.sql:75-100): per-location stats,
-    * top-3 categories, re-aggregated into an ordered ARRAY<STRING>.
+    * top-3 categories, re-aggregated into an ordered ARRAY<STRING> — same
+    * single-scan window shape, then one fold of the ≤3 rows per location.
     */
-  def locationPreferences(t: Tables): DataFrame = {
-    val cube = categoryCube(base(t), Seq("location"))
-    val stats = cube.groupBy(col("location")).agg(
-      sum(col("cnt")).as("orders"),
-      round(sum(col("amount_dec")).cast("double") / sum(col("cnt")), 4).as("avg_spend"))
-    val top3 = Relational.topKPerGroup(
-      cube, Seq("location"), Seq(col("cnt").desc, col("category").asc), 3)
-      .select(col("location"), col("category"), col("cnt").as("category_count"))
-    stats.join(top3, Seq("location"), "left")
+  def locationPreferences(t: Tables): DataFrame =
+    withKeyWindows(categoryCube(base(t), Seq("location")), "location", withRating = false)
+      .filter(col("__rn") <= 3)
       .groupBy(col("location"), col("orders"), col("avg_spend"))
-      .agg(Relational.orderedArrayAggDesc(col("category_count"), col("category"))
+      .agg(Relational.orderedArrayAggDesc(col("cnt"), col("category"))
         .as("top_categories"))
       .orderBy("location")
-  }
 
   /** v_age_gender_category (bigquery_views.sql:103-126): 3-key aggregate. */
   def ageGenderCategory(t: Tables): DataFrame =
