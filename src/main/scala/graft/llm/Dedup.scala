@@ -121,7 +121,11 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, id: String, textCol: String,
                    threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingleRows(df, id, textCol, n)
+    // the shingle frame feeds four plan branches (counts, signatures, both
+    // verify joins); checkpoint it so the tokenize/window/distinct work and
+    // the fact scan run once instead of four times (lazy: materializes on
+    // first use, lineage-truncated after)
+    val sh = shingleRows(df, id, textCol, n).localCheckpoint(false)
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val common = lshCandidates(sh, id)
       .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))

@@ -90,6 +90,21 @@ object Similarity {
       Seq(col("cosine").desc, col("nn_id").asc), k)
   }
 
+  /** Per-cell statistics for the IVF index: vector count and the exact
+    * centroid of each coarse cell, one row per (cell, dimension) — the
+    * shape an IVF build/rebalance step consumes. posexplode → hash
+    * aggregate on (cell, dim): integer-exact quantized sums, so centroids
+    * are partitioning-invariant; the only floating step is the final
+    * division.
+    */
+  def cellStats(df: DataFrame, vec: String, cell: String): DataFrame =
+    df.select(col(cell), posexplode(quantize(col(vec))).as(Seq("dim", "x")))
+      .groupBy(col(cell), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("x")).as("s"))
+      .select(col(cell), col("dim"), col("n_vecs"),
+        (col("s").cast("double") / (col("n_vecs").cast("double") * QScale.toDouble))
+          .as("centroid"))
+
   /** Embedding near-duplicate pairs, blocked by a coarse cell id: the pair
     * search runs only inside cells (shuffle on the cell key, AQE handles
     * skewed cells), then exact quantized cosine filters at the threshold.

@@ -41,6 +41,10 @@ object SimilarityCatalog extends Catalog {
       Similarity.cellNearDupPairs(Tables(s, d).embeddings, "vec_id", "embedding",
           "label", NearDupCos)
         .orderBy("id_a", "id_b")),
+
+    "cell_stats" -> ((s, d) =>
+      Similarity.cellStats(Tables(s, d).embeddings, "embedding", "label")
+        .orderBy("label", "dim")),
   )
 
   /** Quantized vectors + exact integer norms (oracle side). */
@@ -83,6 +87,14 @@ object SimilarityCatalog extends Catalog {
          |QUALIFY row_number() OVER (PARTITION BY query_id
          |  ORDER BY cosine DESC, nn_id ASC) <= $K
          |ORDER BY query_id, nn_id""".stripMargin,
+
+    "cell_stats" ->
+      s"""WITH $prepSql,
+         |e AS (SELECT label, unnest(q) AS x, CAST(unnest(range(0, len(q))) AS INTEGER) AS dim
+         |      FROM p)
+         |SELECT label, dim, count(*) AS n_vecs,
+         |  CAST(sum(x) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * ${Similarity.QScale}.0) AS centroid
+         |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "embedding_near_dup" ->
       s"""WITH $prepSql,

@@ -105,6 +105,22 @@ object Relational {
   /** count_if — boolean-count aggregate (streamlit_app.py:347 is_anomaly.sum()). */
   def countIf(c: Column): Column = sum(when(c, 1L).otherwise(0L))
 
+  /** Skew-safe two-phase aggregate: hot keys are spread over `saltBuckets`
+    * partial groups (random-free: salt = hash of a spread column mod N, so
+    * the result is deterministic), partially aggregated, then combined.
+    * `partials` must be decomposable (sum/count-as-sum/min/max); the second
+    * phase re-aggregates them with `finals` over the real keys. Use when a
+    * groupBy key's biggest group exceeds an executor's aggregate state
+    * (AQE rebalances shuffle *reads*, not partial-agg state).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], spreadBy: Column, saltBuckets: Int,
+                partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(spreadBy), lit(saltBuckets)))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+    partial.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
+  }
+
   /** Exact, summation-order-independent sum for 2-decimal money columns:
     * DECIMAL(18,2) accumulation is exact (no float reassociation error), so
     * the result is identical across any partitioning/parallelism AND matches

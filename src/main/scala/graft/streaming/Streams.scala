@@ -108,4 +108,31 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         Relational.moneySum(col("value")).as("total_value"))
       .select(col("w.start").as("bucket"), col("n"), col("total_value"))
+
+  /** Sliding event-time window (north-star extension, SURVEY §7.5): each
+    * event lands in `size/slide` overlapping windows — e.g. hourly totals
+    * refreshed every 15 minutes.
+    */
+  def slidingWindowCounts(stream: DataFrame, size: String = "1 hour",
+                          slide: String = "15 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), size, slide).as("w"))
+      .agg(count(lit(1)).as("n"),
+        Relational.moneySum(col("value")).as("total_value"))
+      .select(col("w.start").as("bucket"), col("n"), col("total_value"))
+
+  /** Per-user session windows (north-star extension): events closer than
+    * `gap` fuse into one session — the standard sessionization shape for
+    * behavior analytics. Works identically on batch and streaming input
+    * (streaming requires the watermark, which is why it is declared here).
+    */
+  def userSessions(stream: DataFrame, gap: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Relational.moneySum(col("value")).as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
 }

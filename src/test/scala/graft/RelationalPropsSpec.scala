@@ -66,6 +66,20 @@ class RelationalPropsSpec extends SparkSpec {
     assert(one === many, "bit-identical across partitionings")
   }
 
+  test("saltedAgg equals the direct aggregate") {
+    val df = graft.engine.Tables(spark, sf).lineitem
+    val direct = df.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Relational.moneySum(col("l_extendedprice")).as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = Relational.saltedAgg(df, Seq("l_returnflag"),
+        spreadBy = col("l_orderkey"), saltBuckets = 8,
+        partials = Seq(count(lit(1)).as("pn"),
+          sum(Relational.moneyDec(col("l_extendedprice"))).as("pt")),
+        finals = Seq(sum(col("pn")).as("n"), sum(col("pt")).cast("double").as("total")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted === direct, "two-phase salted aggregation is exact")
+  }
+
   test("TtlCache rebuilds only after expiry") {
     var now = 0L
     var builds = 0

@@ -85,6 +85,37 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("v_stream_counts").agg(sum("n")).head.getLong(0) === 100)
   }
 
+  test("sliding windows cover each event size/slide times") {
+    val input = MemoryStream[RawEvent](spark)
+    val events = mkEvents(0 until 50)
+    input.addData(events: _*)
+    val q = graft.streaming.Streams.slidingWindowCounts(input.toDF(), "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName("stream_sliding")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val total = spark.table("stream_sliding").agg(sum("n")).head.getLong(0)
+    assert(total === events.length * 4, "every event lands in 4 overlapping windows")
+  }
+
+  test("session windows fuse events within the gap per user") {
+    val mk = (id: Long, u: Long, t: String) =>
+      RawEvent(id, Timestamp.valueOf(t), u, "click", 10.0, """{"k": 1}""")
+    val events = Seq(
+      mk(1, 1, "2024-03-01 10:00:00"), mk(2, 1, "2024-03-01 10:10:00"), // session A
+      mk(3, 1, "2024-03-01 11:30:00"),                                  // session B (gap > 30m)
+      mk(4, 2, "2024-03-01 10:05:00"))                                  // user 2
+    val input = MemoryStream[RawEvent](spark)
+    input.addData(events: _*)
+    val q = graft.streaming.Streams.userSessions(input.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("stream_sessions")
+      .orderBy("user_id", "session_start").collect()
+    assert(rows.length === 3)
+    assert(rows.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("watermarked hourly window aggregation matches batch time-bucketing") {
     val input = MemoryStream[RawEvent](spark)
     val events = mkEvents(0 until 80)
