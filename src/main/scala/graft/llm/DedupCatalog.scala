@@ -28,35 +28,49 @@ object DedupCatalog extends Catalog {
       Dedup.dropNearDups(Tables(s, d).documents, "doc_id", "text", JaccardThreshold)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
-  )
 
-  /** Brute-force shingle sets + all-pairs Jaccard (oracle only — the engine
-    * never does this).
-    */
-  private val pairsSql =
-    s"""t AS (SELECT doc_id,
-       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
-       |  FROM documents),
-       |sh AS (SELECT doc_id,
-       |  list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-       |  FROM t WHERE len(w) >= 3),
-       |pairs AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |      / len(list_distinct(a.s || b.s)) AS jaccard
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+    // SimHash as the dedup signal: verified near-dup pairs annotated with
+    // the hamming distance of their 60-bit simhashes (near-dups differ in
+    // few bits; the distance is the cheap streaming-side dedup signal)
+    "simhash_near_dup" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", JaccardThreshold)
+        .localCheckpoint(false) // reused by the id semi-join and both fp joins
+      val ids = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+      // fingerprint only the docs that appear in a pair (semi-join pushes the
+      // tokenize/aggregate work down to the candidate set, not the corpus)
+      val fp = TextOps.simHashAgg(docs.join(ids, Seq("doc_id"), "left_semi"), "doc_id", "text")
+      pairs
+        .join(fp.select(col("doc_id").as("id_a"), col("fp_simhash").as("fa")), Seq("id_a"))
+        .join(fp.select(col("doc_id").as("id_b"), col("fp_simhash").as("fb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextOps.hammingDist(col("fa"), col("fb")).cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+  )
 
   def oracleSql: Map[String, String] = Map(
     "near_dup_pairs" ->
-      s"""WITH $pairsSql
+      s"""WITH ${OracleSql.jaccardPairsCtes}
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
 
     "near_dup_dedup" ->
-      s"""WITH $pairsSql
+      s"""WITH ${OracleSql.jaccardPairsCtes}
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= $JaccardThreshold)
          |ORDER BY doc_id""".stripMargin,
+
+    "simhash_near_dup" ->
+      s"""WITH ${OracleSql.simhashCtes},
+         |${OracleSql.jaccardPairsCtes}
+         |SELECT p.id_a, p.id_b,
+         |  CAST(bit_count(xor(a.fp_simhash, b.fp_simhash)) AS BIGINT) AS hamming
+         |FROM pairs p
+         |JOIN simhash a ON a.doc_id = p.id_a
+         |JOIN simhash b ON b.doc_id = p.id_b
+         |WHERE p.jaccard >= $JaccardThreshold
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
   )
 }

@@ -53,25 +53,12 @@ object TextCatalog extends Catalog {
         .orderBy("doc_id")),
   )
 
-  // -- oracle SQL -----------------------------------------------------------
+  // -- oracle SQL (shared formula fragments in OracleSql) -------------------
 
-  /** Normalized text in DuckDB ('g' flag: replace ALL, like Spark). */
-  private val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private val norm = OracleSql.norm
+  private val docTokens = OracleSql.docTokens
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
-
-  private val docTokens =
-    s"SELECT doc_id, text, $norm AS nt, string_split($norm, ' ') AS w FROM documents"
-
-  private def h60sql(x: String) =
-    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
-
-  private val simhashVotes = (0 until 60)
-    .map(j => s"sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
-    .mkString(",\n    ")
-  private val simhashBits = (0 until 60)
-    .map(j => s"(CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
-    .mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -110,22 +97,16 @@ object TextCatalog extends Catalog {
     },
 
     "doc_fingerprints" ->
-      s"""WITH t AS ($docTokens),
+      s"""WITH ${OracleSql.simhashCtes},
          |perdoc AS (
          |  SELECT doc_id, md5(nt) AS fp_md5,
          |    list_reduce(
          |      list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(w, tok -> ${h60sql("tok")} % ${TextOps.RollP})),
+         |        list_transform(w, tok -> ${OracleSql.h60("tok")} % ${TextOps.RollP})),
          |      (a, b) -> (a * ${TextOps.RollB} + b) % ${TextOps.RollP}) AS fp_rolling
-         |  FROM t),
-         |tok AS (SELECT doc_id, unnest(w) AS tok FROM t),
-         |h AS (SELECT doc_id, ${h60sql("tok")} AS h FROM tok),
-         |v AS (SELECT doc_id,
-         |    $simhashVotes
-         |  FROM h GROUP BY doc_id)
-         |SELECT p.doc_id, p.fp_md5, p.fp_rolling,
-         |  $simhashBits AS fp_simhash
-         |FROM perdoc p JOIN v USING (doc_id)
+         |  FROM t)
+         |SELECT p.doc_id, p.fp_md5, p.fp_rolling, s.fp_simhash
+         |FROM perdoc p JOIN simhash s USING (doc_id)
          |ORDER BY p.doc_id""".stripMargin,
 
     "exact_dedup" ->
