@@ -121,6 +121,22 @@ object Relational {
     partial.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
   }
 
+  /** Sketch-based distinct count (HyperLogLog++): the 100 TB substitute for
+    * exact countDistinct — fixed-size state, partial-aggregated map-side,
+    * no distinct shuffle. `rsd` is the target relative standard deviation.
+    * Not oracle-comparable (approximate by design); accuracy is
+    * property-tested instead.
+    */
+  def approxDistinct(c: Column, rsd: Double = 0.02): Column =
+    approx_count_distinct(c, rsd)
+
+  /** Sketch-based quantiles: fixed-size state per group vs a full sort.
+    * `accuracy` trades state size for error (1/accuracy relative rank
+    * error).
+    */
+  def approxQuantiles(c: Column, probs: Seq[Double], accuracy: Int = 10000): Column =
+    percentile_approx(c, array(probs.map(lit): _*), lit(accuracy))
+
   /** Exact, summation-order-independent sum for 2-decimal money columns:
     * DECIMAL(18,2) accumulation is exact (no float reassociation error), so
     * the result is identical across any partitioning/parallelism AND matches

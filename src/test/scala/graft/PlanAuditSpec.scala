@@ -1,0 +1,42 @@
+package graft
+
+/** Physical-plan guardrails over EVERY registered query: the anti-patterns
+  * that silently kill a 100 TB run must never appear, no matter how the
+  * DataFrame combinators evolve.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  test("no query plans a cartesian product") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("broadcast nested-loop joins appear only where a broadcast cross join is the design") {
+    // cosine_topk scores a broadcast query set against the corpus — the one
+    // legitimate nested-loop shape; everything else must hash-join
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && n != "cosine_topk" => n
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("selective serving queries push filters into the parquet scan") {
+    assert(plans("filtered_display").contains("PushedFilters: [IsNotNull(value), In(event_type"),
+      "IN-list + range filter reach the scan")
+    assert(plans("latest_events").contains("TakeOrderedAndProject"))
+    assert(plans("sql_location_top5").contains("TakeOrderedAndProject"))
+  }
+
+  test("top-k windows use WindowGroupLimit (bounded per-partition state)") {
+    Seq("v_age_preferences", "v_location_preferences").foreach { q =>
+      assert(plans(q).contains("WindowGroupLimit"), s"$q missing WindowGroupLimit")
+    }
+  }
+}

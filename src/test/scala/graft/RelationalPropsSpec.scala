@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Relational
+import graft.ops.{Relational, Serving}
 
 /** Property-style checks for the generic operator library (SURVEY §5). */
 class RelationalPropsSpec extends SparkSpec {
@@ -64,6 +64,29 @@ class RelationalPropsSpec extends SparkSpec {
     val one = df.coalesce(1).agg(Relational.moneySum(col("l_extendedprice"))).head.getDouble(0)
     val many = df.repartition(13).agg(Relational.moneySum(col("l_extendedprice"))).head.getDouble(0)
     assert(one === many, "bit-identical across partitionings")
+  }
+
+  test("bucketize with no cuts is the constant label") {
+    val out = Seq(1.0, -5.0).toDF("v")
+      .select(Relational.bucketize(col("v"), Nil, Seq("only")).as("b"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq === Seq("only", "only"))
+  }
+
+  test("whereEq filters to the exact key") {
+    val df = graft.engine.Tables(spark, sf).events
+    val n = Serving.whereEq(df, "event_type", "purchase").count()
+    assert(n === df.filter(col("event_type") === "purchase").count() && n > 0)
+  }
+
+  test("approxDistinct within 5% of exact; approxQuantiles bracket the median") {
+    val df = graft.engine.Tables(spark, sf).lineitem
+    val exact = df.select(col("l_orderkey")).distinct().count().toDouble
+    val approx = df.agg(Relational.approxDistinct(col("l_orderkey"))).head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05)
+    val qs = df.agg(Relational.approxQuantiles(col("l_extendedprice"), Seq(0.1, 0.5, 0.9)))
+      .head.getSeq[Double](0)
+    assert(qs.length === 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
   }
 
   test("saltedAgg equals the direct aggregate") {
