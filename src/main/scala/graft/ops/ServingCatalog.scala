@@ -35,6 +35,14 @@ object ServingCatalog extends Catalog {
           sum(col("final_amount_usd").cast("decimal(18,4)")).cast("double").as("final_revenue"))
     }),
 
+    // per-user sessionization (north-star §7.5): same session_window the
+    // stream uses, run in batch, oracled via gaps-and-islands SQL
+    "user_sessions" -> ((s, d) =>
+      graft.streaming.Streams.userSessions(Tables(s, d).events, "30 minutes")
+        .select(col("user_id"), Relational.tsStr(col("session_start")).as("session_start"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start")),
+
     // IN-list + boolean + display projection page (streamlit_app.py:998-1011)
     "filtered_display" -> ((s, d) =>
       Serving.displayPage(
@@ -61,6 +69,23 @@ object ServingCatalog extends Catalog {
          |       CAST(sum(fin) AS DOUBLE) AS final_revenue
          |FROM e
          |WHERE user_id % 10 = 0 AND value >= ${Enrich.PremiumMin}""".stripMargin,
+
+    "user_sessions" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+         |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (SELECT user_id, ts, value,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o)
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  count(*) AS n_events,
+         |  ${Catalog.moneySumSql("value")} AS session_value
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
 
     "filtered_display" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
