@@ -44,8 +44,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val ok = results.collect { case (_, v) if v >= 0 => v }
+    val total = ok.sum
+    val maxQ = if (ok.nonEmpty) ok.max else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -85,6 +85,18 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("v_stream_counts").agg(sum("n")).head.getLong(0) === 100)
   }
 
+  test("plain consumer appends enriched records to the parquet sink") {
+    val base = Files.createTempDirectory("graft-consumer").toString
+    val in = s"$base/in"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    addFile(mkEvents(0 until 30).toDF(), in, "a.parquet")
+    val q = Streams.startConsumer(spark, in, sink, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(sink)
+    assert(out.count() === 30)
+    assert(out.columns.contains("processed_time") && out.columns.contains("season_type"))
+  }
+
   test("sliding windows cover each event size/slide times") {
     val input = MemoryStream[RawEvent](spark)
     val events = mkEvents(0 until 50)
