@@ -42,8 +42,8 @@ object TextCatalog extends Catalog {
       val docs = Tables(s, d).documents
       docs.select(
           col("doc_id"),
-          TextOps.fingerprintMd5(col("text")).as("fp_md5"),
-          TextOps.rollingHash(col("text")).as("fp_rolling"))
+          TextOps.fingerprintMd5(col("text")).as("fp_md5"))
+        .join(TextOps.rollingHashAgg(docs, "doc_id", "text"), Seq("doc_id"))
         .join(TextOps.simHashAgg(docs, "doc_id", "text"), Seq("doc_id"))
         .orderBy("doc_id")
     }),

@@ -85,6 +85,41 @@ object TextOps {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Relational rolling hash: the same fold as [[rollingHash]] — which
+    * equals sum(h_i * B^(n-1-i)) mod P — computed with codegen'd built-ins:
+    * posexplode the tokens, look the modpow B^k up in two literal arrays
+    * (k = 128*q + r, covers k < 16384 tokens/doc), accumulate the per-token
+    * terms in an exact DECIMAL(38) sum, reduce mod P at the end. One hash
+    * aggregate per doc; no interpreted lambdas (the HOF fold measured
+    * ~100x slower per token — see [[graft.llm.Dedup]]).
+    */
+  def rollingHashAgg(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val powLo = typedlit((0 until 128).map(k => modpow(RollB, k)))
+    val powHi = typedlit((0 until 128).map(q => modpow(RollB, 128 * q)))
+    val rows = df
+      .select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("h", hash60(col("tok")) % RollP)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(id)
+    val k = count(lit(1)).over(n) - 1 - col("pos") // exponent n-1-i
+    val pw = element_at(powHi, (k / 128).cast("int") + 1) *
+      element_at(powLo, pmod(k, lit(128)).cast("int") + 1) % RollP
+    rows
+      .withColumn("term", col("h") * pw % RollP)
+      .groupBy(col(id))
+      .agg((sum(col("term").cast("decimal(38,0)")) % RollP)
+        .cast("long").as("fp_rolling"))
+  }
+
+  private def modpow(b: Long, e: Long): Long = {
+    var r = 1L; var bb = b % RollP; var ee = e
+    while (ee > 0) {
+      if ((ee & 1) == 1) r = r * bb % RollP
+      bb = bb * bb % RollP
+      ee >>= 1
+    }
+    r
+  }
+
   /** Relational SimHash: `(id, fp_simhash)` via token explode → ONE wide
     * hash aggregate with 60 codegen'd vote sums → bit reassembly. This is
     * the pipeline shape (the column-level [[simHash]] runs interpreted —

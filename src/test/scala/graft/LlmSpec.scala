@@ -19,6 +19,14 @@ class LlmSpec extends SparkSpec {
     assert(viaAgg === viaCol)
   }
 
+  test("relational rollingHashAgg equals the fold-based rollingHash") {
+    val viaAgg = TextOps.rollingHashAgg(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFold = docs.select(col("doc_id"), TextOps.rollingHash(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg === viaFold)
+  }
+
   test("relational shingleRows equals the array-level shingles") {
     val viaRows = Dedup.shingleRows(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
