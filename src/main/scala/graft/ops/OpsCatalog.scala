@@ -40,6 +40,15 @@ object OpsCatalog extends Catalog {
         Relational.moneyAvg(col("value")).as("avg_value"),
         Relational.countIf(col("value") > 100).as("n_high_value"),
         countDistinct(col("user_id")).as("n_users"))),
+
+    // sketch tier: HLL distinct + quantile sketches — approximate by design,
+    // so no DuckDB oracle (driver records the rows-only check); accuracy is
+    // property-tested against exact results in RelationalPropsSpec
+    "approx_stats" -> ((s, d) =>
+      Tables(s, d).lineitem.agg(
+        Relational.approxDistinct(col("l_orderkey")).as("approx_orders"),
+        Relational.approxQuantiles(col("l_extendedprice"), Seq(0.5)).getItem(0)
+          .as("approx_median_price"))),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -24,7 +24,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    # sort on rounded float keys: a sub-1e-9 float diff on a sort-key column
+    # must not misalign rows (which would show as spurious diffs elsewhere)
+    keys = [
+        (df[c].round(9) if df[c].dtype.kind == "f" else df[c]).rename(f"__k_{c}")
+        for c in df.columns
+    ]
+    order = pd.concat(keys, axis=1).sort_values(
+        by=[k.name for k in keys], kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
