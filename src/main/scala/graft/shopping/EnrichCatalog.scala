@@ -50,9 +50,46 @@ object EnrichCatalog extends Catalog {
   private def sum6(c: org.apache.spark.sql.Column) =
     sum(c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(20, 6))).cast("double")
 
+  /** Segment breakdown (streamlit_app.py:830-836): orders / revenue /
+    * average per customer segment, revenue-descending.
+    */
+  def segmentRevenue(t: Tables): DataFrame = {
+    val e = Enrich.enrich(t.events, processedTime = col("ts"))
+    e.groupBy(col("customer_segment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Relational.moneySum(col("value")).as("revenue"),
+        Relational.moneyAvg(col("value")).as("avg_order"))
+      .orderBy(col("revenue").desc, col("customer_segment"))
+  }
+
+  /** Satisfaction × amount-tier crosstab (streamlit_app.py:873-894), with
+    * the ordinal column order the reference reindexes to.
+    */
+  def satisfactionPivot(t: Tables): DataFrame = {
+    val e = Enrich.enrich(t.events, processedTime = col("ts"))
+    Relational.pivotSum(
+      e.withColumn("one", lit(1L)), "satisfaction_level", "amount_category",
+      Seq("Low", "Medium", "High", "Premium"), "one")
+  }
+
+  /** Anomalous-transaction analysis per hour (streamlit_app.py:769-800). */
+  def anomalyHourly(t: Tables): DataFrame = {
+    val e = Enrich.enrich(t.events, processedTime = col("ts"))
+    Relational.timeBucketAgg(
+        e.filter(col("is_anomaly")), col("ts"), "hour",
+        Seq(count(lit(1)).as("n_anomalies"),
+          Relational.moneySum(col("value")).as("anomaly_value")))
+      .select(Relational.tsStr(col("bucket")).as("bucket"),
+        col("n_anomalies"), col("anomaly_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "enriched_orders"  -> ((s, d) => enrichedEvents(Tables(s, d))),
-    "enriched_metrics" -> ((s, d) => enrichedMetrics(Tables(s, d))),
+    "enriched_orders"    -> ((s, d) => enrichedEvents(Tables(s, d))),
+    "enriched_metrics"   -> ((s, d) => enrichedMetrics(Tables(s, d))),
+    "segment_revenue"    -> ((s, d) => segmentRevenue(Tables(s, d))),
+    "satisfaction_pivot" -> ((s, d) => satisfactionPivot(Tables(s, d))),
+    "anomaly_hourly"     -> ((s, d) => anomalyHourly(Tables(s, d))),
   )
 
   /** Shared oracle CTE: the enrichment formulas with the SAME declared
@@ -104,6 +141,45 @@ object EnrichCatalog extends Catalog {
          |  event_type, value, props,
          |  $derivedSql
          |FROM e ORDER BY event_id""".stripMargin,
+
+    "segment_revenue" ->
+      s"""SELECT CASE WHEN user_id % 10 = 0 THEN 'VIP'
+         |            WHEN user_id % 10 <= 3 THEN 'Premium'
+         |            WHEN user_id % 10 <= 7 THEN 'Regular'
+         |            ELSE 'New' END AS customer_segment,
+         |  count(*) AS n_orders,
+         |  ${Catalog.moneySumSql("value")} AS revenue,
+         |  ${Catalog.moneyAvgSql("value")} AS avg_order
+         |FROM events GROUP BY 1
+         |ORDER BY revenue DESC, customer_segment""".stripMargin,
+
+    "satisfaction_pivot" ->
+      s"""WITH e AS ($enrichedSql),
+         |r AS (SELECT
+         |  CASE WHEN rating >= 5 THEN 'Very Satisfied'
+         |       WHEN rating = 4 THEN 'Satisfied'
+         |       WHEN rating = 3 THEN 'Neutral'
+         |       ELSE 'Dissatisfied' END AS satisfaction_level,
+         |  CASE WHEN value >= ${Enrich.PremiumMin} THEN 'Premium'
+         |       WHEN value >= ${Enrich.HighMin} THEN 'High'
+         |       WHEN value >= ${Enrich.MediumMin} THEN 'Medium'
+         |       ELSE 'Low' END AS amount_category
+         |FROM e)
+         |SELECT satisfaction_level,
+         |  sum(CASE WHEN amount_category = 'Low' THEN 1 ELSE 0 END) AS "Low",
+         |  sum(CASE WHEN amount_category = 'Medium' THEN 1 ELSE 0 END) AS "Medium",
+         |  sum(CASE WHEN amount_category = 'High' THEN 1 ELSE 0 END) AS "High",
+         |  sum(CASE WHEN amount_category = 'Premium' THEN 1 ELSE 0 END) AS "Premium"
+         |FROM r GROUP BY satisfaction_level
+         |ORDER BY satisfaction_level""".stripMargin,
+
+    "anomaly_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS n_anomalies,
+         |  ${Catalog.moneySumSql("value")} AS anomaly_value
+         |FROM events
+         |WHERE value > ${Enrich.AnomalyAmount} OR event_type = 'error'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "enriched_metrics" ->
       s"""WITH e AS ($enrichedSql)
