@@ -56,6 +56,11 @@ final class Dashboard(spark: SparkSession, dataDir: String,
     Relational.timeBucketAgg(enrichedOrders.get(), col("ts"), "hour",
       Seq(count(lit(1)).as("n"), Relational.moneySum(col("value")).as("revenue")))
 
+  /** The analysis tabs (streamlit_app.py:769-894). */
+  def segmentRevenue(): DataFrame = EnrichCatalog.segmentRevenue(t)
+  def satisfactionPivot(): DataFrame = EnrichCatalog.satisfactionPivot(t)
+  def anomalyHourly(): DataFrame = EnrichCatalog.anomalyHourly(t)
+
   /** Filter-widget domains (streamlit_app.py:984,990). */
   def eventTypes(): DataFrame = Serving.distinctValues(enrichedOrders.get(), "event_type")
   def segments(): DataFrame = Serving.distinctValues(enrichedOrders.get(), "customer_segment")
