@@ -122,6 +122,37 @@ object Streams {
         Relational.moneySum(col("value")).as("total_value"))
       .select(col("w.start").as("bucket"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup (north-star extension): drop records whose key
+    * was already seen within the watermark horizon — the in-flight tier of
+    * the dedup stack (the batch tier handles anything older). State is
+    * bounded by the watermark: keys expire once they can no longer collide.
+    */
+  def dedupStream(stream: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream inner join (north-star extension): match
+    * each left event with right events of the same key within
+    * `[left.ts, left.ts + window]` — e.g. "purchase within an hour of a
+    * view". Both sides carry watermarks so join state is bounded and
+    * expired rows are evicted.
+    */
+  def joinWithinWindow(left: DataFrame, right: DataFrame, key: String,
+                       window: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", window)
+      .select(col(key), col("ts").as("l_ts"), col("event_type").as("l_type"),
+        col("value").as("l_value"))
+    val r = right.withWatermark("ts", window)
+      .select(col(key).as(s"r_$key"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+    l.join(r,
+      col(key) === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .drop(s"r_$key")
+  }
+
   /** Per-user session windows (north-star extension): events closer than
     * `gap` fuse into one session — the standard sessionization shape for
     * behavior analytics. Works identically on batch and streaming input

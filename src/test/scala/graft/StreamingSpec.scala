@@ -128,6 +128,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val input = MemoryStream[RawEvent](spark)
+    val base = mkEvents(0 until 20)
+    input.addData(base: _*)
+    input.addData(base.take(10): _*) // replay half — must be dropped
+    val q = Streams.dedupStream(input.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table("stream_dedup").select("event_id").collect().map(_.getLong(0))
+    assert(ids.length === 20 && ids.toSet.size === 20)
+  }
+
+  test("stream-stream join matches purchases to views within the window") {
+    val mk = (id: Long, u: Long, t: String, typ: String) =>
+      RawEvent(id, Timestamp.valueOf(t), u, typ, 5.0, """{"k": 1}""")
+    val views = MemoryStream[RawEvent](spark)
+    val buys = MemoryStream[RawEvent](spark)
+    views.addData(
+      mk(1, 7, "2024-03-01 10:00:00", "view"),
+      mk(2, 8, "2024-03-01 10:00:00", "view"))
+    buys.addData(
+      mk(10, 7, "2024-03-01 10:30:00", "purchase"), // in window for user 7
+      mk(11, 8, "2024-03-01 12:00:00", "purchase")) // too late for user 8
+    val q = Streams.joinWithinWindow(views.toDF(), buys.toDF(), "user_id")
+      .writeStream.format("memory").queryName("stream_joined")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("stream_joined").collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("user_id") === 7L)
+  }
+
   test("watermarked hourly window aggregation matches batch time-bucketing") {
     val input = MemoryStream[RawEvent](spark)
     val events = mkEvents(0 until 80)
