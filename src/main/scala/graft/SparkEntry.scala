@@ -25,6 +25,7 @@ object SparkEntry {
     graft.llm.DedupCatalog,
     graft.llm.SimilarityCatalog,
     graft.llm.MultimodalCatalog,
+    graft.streaming.StreamingCatalog,
   )
 
   /** Flagship: v_age_preferences analog — CASE bucketing, two aggregates,

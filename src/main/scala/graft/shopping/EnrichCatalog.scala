@@ -14,12 +14,17 @@ import graft.ops.Relational
   */
 object EnrichCatalog extends Catalog {
 
-  /** Deterministic enriched events table (all 11 derived columns). */
-  def enrichedEvents(t: Tables): DataFrame =
-    Enrich.enrich(t.events, processedTime = col("ts"))
+  /** Deterministic enriched events table (all 11 derived columns) from any
+    * events-shaped input — shared by the batch query and the streaming
+    * replay so both produce the identical oracle-comparable frame.
+    */
+  def enrichedFrame(events: DataFrame): DataFrame =
+    Enrich.enrich(events, processedTime = col("ts"))
       .withColumn("ts", Relational.tsStr(col("ts")))
       .withColumn("processed_time", Relational.tsStr(col("processed_time")))
-      .orderBy("event_id")
+
+  def enrichedEvents(t: Tables): DataFrame =
+    enrichedFrame(t.events).orderBy("event_id")
 
   /** Metric-tile aggregates over the enriched stream
     * (streamlit_app.py:333-352 "Revenus", "Transactions Suspectes", VIP
