@@ -150,6 +150,43 @@ object Dedup {
     df.join(losers, Seq(id), "left_anti")
   }
 
+  /** Near-dup clusters: connected components over the verified pair graph,
+    * every doc labelled with the minimum id reachable from it (singletons
+    * label themselves). Min-label propagation: the driver loop only
+    * CONTROLS iterations (standard iterative-algorithm shape, like Pregel);
+    * each step is a join+aggregate over the label frame, and the edge frame
+    * is the verified pairs — orders of magnitude smaller than the corpus.
+    * Converges in O(cluster diameter) steps, bounded at `maxIter`.
+    */
+  def dupClusters(df: DataFrame, id: String, textCol: String,
+                  threshold: Double, n: Int = 3, maxIter: Int = 20): DataFrame = {
+    val pairs = nearDupPairs(df, id, textCol, threshold, n)
+      .select(col("id_a"), col("id_b")).localCheckpoint(false)
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct().localCheckpoint(false)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+
+    var labels = df.select(col(id), col(id).as("cluster_id")).localCheckpoint(false)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col(id).as("dst"), col("cluster_id").as("nl")), Seq("dst"))
+        .groupBy(col("src").as(id)).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(neighborMin, Seq(id), "left")
+        .select(col(id), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+          .as("cluster_id"))
+        .localCheckpoint(false)
+      val changed = next.join(labels.select(col(id), col("cluster_id").as("prev")), Seq(id))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact-content dedup assignment: every doc mapped to the canonical
     * (minimum) id of its content-fingerprint group. One window over the
     * fingerprint — the shuffle key is the hash, so identical contents

@@ -29,6 +29,10 @@ object DedupCatalog extends Catalog {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    "near_dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(Tables(s, d).documents, "doc_id", "text", JaccardThreshold)
+        .orderBy("doc_id")),
+
     // SimHash as the dedup signal: verified near-dup pairs annotated with
     // the hamming distance of their 60-bit simhashes (near-dups differ in
     // few bits; the distance is the cheap streaming-side dedup signal)
@@ -61,6 +65,22 @@ object DedupCatalog extends Catalog {
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= $JaccardThreshold)
          |ORDER BY doc_id""".stripMargin,
+
+    "near_dup_clusters" ->
+      s"""WITH RECURSIVE ${OracleSql.jaccardPairsCtes},
+         |e AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= $JaccardThreshold
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE jaccard >= $JaccardThreshold),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "simhash_near_dup" ->
       s"""WITH ${OracleSql.simhashCtes},

@@ -58,6 +58,26 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.dropNearDups(all, "doc_id", "text", 0.8).count() === all.count() - losers)
   }
 
+  test("dupClusters propagates the minimum id through chains") {
+    // 1~2, 2~3 (chain), 5~6, 9 isolated: components {1,2,3}, {5,6}, {9}.
+    // Near-dups differ by one token over 20 (jaccard ~0.85, inside the
+    // banding design point); 1 and 3 differ in two tokens and only connect
+    // through 2.
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    def variant(tok: Int, repl: String) =
+      (1 to 20).map(i => if (i == tok) repl else s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, variant(1, "x1")), (2L, base), (3L, variant(20, "x2")),
+      (5L, (1 to 20).map(i => s"p$i").mkString(" ")),
+      (6L, (1 to 20).map(i => if (i == 20) "pz" else s"p$i").mkString(" ")),
+      (9L, "completely different words here now")).toDF("doc_id", "text")
+    val m = Dedup.dupClusters(df, "doc_id", "text", 0.6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 1L && m(2L) === 1L && m(3L) === 1L)
+    assert(m(5L) === 5L && m(6L) === 5L)
+    assert(m(9L) === 9L)
+  }
+
   test("exactDedupMap assigns the minimum id as canonical per fingerprint") {
     val df = Seq((10L, "same text"), (7L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
