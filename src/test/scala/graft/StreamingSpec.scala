@@ -128,6 +128,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("incremental cube state equals the batch cube after multiple batches") {
+    val input = MemoryStream[RawEvent](spark)
+    val b1 = mkEvents(0 until 40); val b2 = mkEvents(40 until 90)
+    val ckpt = Files.createTempDirectory("graft-cube-ckpt").toString
+    def runOnce(): Unit = {
+      val run = Streams.incrementalCube(
+          graft.shopping.Enrich.enrich(input.toDF(), processedTime = col("ts")),
+          Seq("event_type", "customer_segment"))
+        .writeStream.format("memory").queryName("stream_cube")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt) // run 2 resumes state, reads only b2
+        .trigger(Trigger.AvailableNow()).start()
+      run.awaitTermination(60000)
+    }
+    input.addData(b1: _*)
+    runOnce()
+    input.addData(b2: _*)
+    runOnce()
+
+    val streamed = spark.table("stream_cube")
+      .select(col("event_type"), col("customer_segment"), col("cnt"),
+        col("amount_dec").cast("double").as("amt"))
+      .orderBy("event_type", "customer_segment").collect()
+    val batch = Streams.incrementalCube(
+        graft.shopping.Enrich.enrich((b1 ++ b2).toDF(), processedTime = col("ts")),
+        Seq("event_type", "customer_segment"))
+      .select(col("event_type"), col("customer_segment"), col("cnt"),
+        col("amount_dec").cast("double").as("amt"))
+      .orderBy("event_type", "customer_segment").collect()
+    assert(streamed.toSeq === batch.toSeq,
+      "incremental aggregation state is exact vs batch recompute")
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val input = MemoryStream[RawEvent](spark)
     val base = mkEvents(0 until 20)
