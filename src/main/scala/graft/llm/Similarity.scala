@@ -105,6 +105,75 @@ object Similarity {
         (col("s").cast("double") / (col("n_vecs").cast("double") * QScale.toDouble))
           .as("centroid"))
 
+  /** IVF coarse-quantizer build: Lloyd k-means over the QUANTIZED vectors,
+    * entirely in integer arithmetic so every run assigns identically:
+    * distances are `n2x - 2·dot + n2c` over exact longs, ties break on the
+    * lower centroid id via struct-min, and centroid updates are integer
+    * floor-divided sums. Initialization is the first k vectors by id
+    * (deterministic). The driver loop only controls the `iters` rounds and
+    * collects the k×dim centroid table (tiny) between them; assignment is
+    * a broadcast join of k centroid rows against the corpus.
+    */
+  def kmeansAssign(df: DataFrame, id: String, vec: String, k: Int,
+                   iters: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = prepare(df, id, vec).select(col(id), col("q"), col("n2"))
+      .localCheckpoint(false)
+    val dim = p.select(size(col("q"))).head.getInt(0)
+
+    def centroidFrame(cs: Seq[(Int, Seq[Long])]) =
+      broadcast(cs.toDF("cid", "cq").withColumn("cn2", norm2Q(col("cq"))))
+
+    def minDistPerVector(cs: Seq[(Int, Seq[Long])]): DataFrame =
+      p.crossJoin(centroidFrame(cs))
+        .select(col(id),
+          (col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")).as("dist"))
+        .groupBy(col(id)).agg(min(col("dist")).as("d"))
+
+    // deterministic farthest-point init (k-means++ style): start at the
+    // lowest id, then repeatedly add the vector farthest from the chosen
+    // set (ties -> lowest id). Geometry-aware, so co-located seeds cannot
+    // collapse the clustering; k-1 tiny jobs.
+    var centroids: Seq[(Int, Seq[Long])] = Seq(
+      0 -> p.orderBy(col(id)).limit(1).select(col("q")).head.getSeq[Long](0).toSeq)
+    while (centroids.size < k) {
+      val far = minDistPerVector(centroids)
+        .agg(max(struct(col("d"), (-col(id)).as("nid"))).as("m"))
+        .head.getStruct(0)
+      val nextId = -far.getLong(1)
+      val q = p.filter(col(id) === nextId).select(col("q")).head.getSeq[Long](0).toSeq
+      centroids = centroids :+ (centroids.size -> q)
+    }
+
+    def assignment(): DataFrame =
+      p.crossJoin(centroidFrame(centroids))
+        .select(col(id), col("cid"),
+          (col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")).as("dist"))
+        .groupBy(col(id))
+        .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cluster"))
+
+    for (_ <- 1 to iters) {
+      val sums = assignment()
+        .join(p, Seq(id))
+        .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, prev) =>
+        byCluster.get(cid) match {
+          case Some(rows) =>
+            val comps = rows.map(r => r.getInt(1) -> Math.floorDiv(r.getLong(2), r.getLong(3)))
+              .toMap
+            (cid, (0 until dim).map(comps))
+          case None => (cid, prev) // empty cluster keeps its centroid
+        }
+      }
+    }
+    assignment()
+  }
+
   /** Embedding near-duplicate pairs, blocked by a coarse cell id: the pair
     * search runs only inside cells (shuffle on the cell key, AQE handles
     * skewed cells), then exact quantized cosine filters at the threshold.

@@ -45,6 +45,14 @@ object SimilarityCatalog extends Catalog {
     "cell_stats" -> ((s, d) =>
       Similarity.cellStats(Tables(s, d).embeddings, "embedding", "label")
         .orderBy("label", "dim")),
+
+    // IVF build: deterministic integer k-means assignment (rows-only: the
+    // iterative build has no practical single-statement SQL oracle; the
+    // clustering property is unit-tested in LlmSpec)
+    "ivf_kmeans_assign" -> ((s, d) =>
+      Similarity.kmeansAssign(Tables(s, d).embeddings, "vec_id", "embedding",
+          k = 8, iters = 3)
+        .orderBy("vec_id")),
   )
 
   /** Quantized vectors + exact integer norms (oracle side). */

@@ -117,6 +117,29 @@ class LlmSpec extends SparkSpec {
       "IVF candidates come from the query's cell"))
   }
 
+  test("kmeansAssign recovers well-separated clusters deterministically") {
+    // three tight clusters far apart; members must co-assign
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(x => x + rnd.nextFloat() * 0.01f).toSeq
+    val b1 = Array.fill(8)(10.0f); val b2 = Array.fill(8)(-10.0f)
+    val b3 = Array.tabulate(8)(i => if (i % 2 == 0) 10.0f else -10.0f)
+    val rows = (0 until 5).map(i => (i.toLong, jitter(b1))) ++
+      (5 until 10).map(i => (i.toLong, jitter(b2))) ++
+      (10 until 15).map(i => (i.toLong, jitter(b3)))
+    val df = rows.toDF("vec_id", "embedding")
+    val once = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val again = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(once === again, "integer k-means is run-deterministic")
+    def clusterOf(ids: Seq[Long]) = ids.map(once).distinct
+    assert(clusterOf(0L until 5L).length === 1)
+    assert(clusterOf(5L until 10L).length === 1)
+    assert(clusterOf(10L until 15L).length === 1)
+    assert(Seq(once(0L), once(5L), once(10L)).distinct.length === 3)
+  }
+
   test("langId picks the profile with most marker hits, und when none") {
     val df = Seq(
       (1L, "the cat is on the mat and it is fine"),

@@ -19,10 +19,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("broadcast nested-loop joins appear only where a broadcast cross join is the design") {
-    // cosine_topk scores a broadcast query set against the corpus — the one
-    // legitimate nested-loop shape; everything else must hash-join
+    // the legitimate nested-loop shapes: scoring a broadcast query set /
+    // centroid set against the corpus; everything else must hash-join
+    val intended = Set("cosine_topk", "ivf_kmeans_assign")
     val offenders = plans.collect {
-      case (n, p) if p.contains("BroadcastNestedLoopJoin") && n != "cosine_topk" => n
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }
     assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
   }
