@@ -114,8 +114,40 @@ object Similarity {
     * collects the k×dim centroid table (tiny) between them; assignment is
     * a broadcast join of k centroid rows against the corpus.
     */
+  /** A fitted coarse quantizer: integer centroids + an `assign` that tags
+    * any embedding frame with its nearest cell (broadcast join, narrow).
+    */
+  final case class KMeansModel(centroids: Seq[(Int, Seq[Long])], id: String, vec: String) {
+    def assign(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val c = broadcast(centroids.toDF("cid", "cq").withColumn("cn2", norm2Q(col("cq"))))
+      prepare(df, id, vec)
+        .crossJoin(c)
+        .select(col(id), col("cid"),
+          (col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")).as("dist"))
+        .groupBy(col(id))
+        .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cluster"))
+    }
+  }
+
+  /** End-to-end auto-IVF search: fit the coarse quantizer on the corpus,
+    * tag corpus and queries with their cells, then run the cell-pruned
+    * top-k — the full build-index-then-search path.
+    */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+                  k: Int, cells: Int, iters: Int = 3): DataFrame = {
+    val model = kmeansFit(corpus, id, vec, cells, iters)
+    def tag(df: DataFrame) = df.join(model.assign(df), Seq(id))
+    ivfTopK(tag(corpus), tag(queries), id, vec, "cluster", k)
+  }
+
   def kmeansAssign(df: DataFrame, id: String, vec: String, k: Int,
-                   iters: Int = 5): DataFrame = {
+                   iters: Int = 5): DataFrame =
+    kmeansFit(df, id, vec, k, iters).assign(df)
+
+  def kmeansFit(df: DataFrame, id: String, vec: String, k: Int,
+                iters: Int = 5): KMeansModel = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = prepare(df, id, vec).select(col(id), col("q"), col("n2"))
@@ -171,7 +203,7 @@ object Similarity {
         }
       }
     }
-    assignment()
+    KMeansModel(centroids, id, vec)
   }
 
   /** Embedding near-duplicate pairs, blocked by a coarse cell id: the pair

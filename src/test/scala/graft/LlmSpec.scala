@@ -140,6 +140,21 @@ class LlmSpec extends SparkSpec {
     assert(Seq(once(0L), once(5L), once(10L)).distinct.length === 3)
   }
 
+  test("ivfTopKAuto searches inside fitted k-means cells end-to-end") {
+    val t = Tables(spark, sf)
+    val q = t.embeddings.filter(col("vec_id") < 3)
+    val res = Similarity.ivfTopKAuto(t.embeddings, q, "vec_id", "embedding",
+      k = 5, cells = 4, iters = 2)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    val model = Similarity.kmeansFit(t.embeddings, "vec_id", "embedding", 4, 2)
+    val cellOf = model.assign(t.embeddings).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach(r => assert(cellOf(r.getLong(0)) === cellOf(r.getLong(1)),
+      "results come from the query's fitted cell"))
+  }
+
   test("langId picks the profile with most marker hits, und when none") {
     val df = Seq(
       (1L, "the cat is on the mat and it is fine"),
