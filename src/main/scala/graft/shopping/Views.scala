@@ -85,7 +85,7 @@ object Views {
     * one wide shuffle; everything downstream runs at group cardinality.
     * (Round-1 shape paid 2 scans + 2 three-way joins per view.)
     */
-  private def categoryCube(b: DataFrame, keys: Seq[String]): DataFrame =
+  def categoryCube(b: DataFrame, keys: Seq[String]): DataFrame =
     b.groupBy((keys :+ "category").map(col): _*)
       .agg(
         count(lit(1)).as("cnt"),
@@ -119,14 +119,24 @@ object Views {
         (rated :+ row_number().over(ordered).as("__rn")): _*)
   }
 
-  private def preferences(b: DataFrame, key: String, withRating: Boolean): DataFrame = {
-    val ranked = withKeyWindows(categoryCube(b, Seq(key)), key, withRating)
+  /** Derive a preferences view from an ALREADY-AGGREGATED category cube —
+    * the entry point for incrementally-maintained state
+    * ([[graft.streaming.Streams.incrementalCube]]): because the cube's
+    * counts and decimal sums re-aggregate exactly, a cube maintained by
+    * stateful streaming produces bit-identical view output to a batch
+    * recompute (asserted in ViewsSpec).
+    */
+  def preferencesFromCube(cube: DataFrame, key: String, withRating: Boolean): DataFrame = {
+    val ranked = withKeyWindows(cube, key, withRating)
     val rated = if (withRating) Seq(col("avg_rating")) else Nil
     ranked.filter(col("__rn") === 1)
       .select(col(key) +: col("orders") +: col("avg_spend") +: rated :+
         col("category").as("top_category"): _*)
       .orderBy(key)
   }
+
+  private def preferences(b: DataFrame, key: String, withRating: Boolean): DataFrame =
+    preferencesFromCube(categoryCube(b, Seq(key)), key, withRating)
 
   /** v_location_preferences (bigquery_views.sql:75-100): per-location stats,
     * top-3 categories, re-aggregated into an ordered ARRAY<STRING> — same

@@ -37,6 +37,24 @@ class ViewsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).sum === Views.base(t).count())
   }
 
+  test("views derived from a pre-maintained cube equal the batch recompute") {
+    // split the facts in two, cube each half, re-aggregate the partial
+    // cubes (what incremental maintenance does across micro-batches), and
+    // derive the view — must be bit-identical to the one-shot batch view
+    val base = Views.base(t)
+    val h1 = base.filter(org.apache.spark.sql.functions.col("amount") < 100000)
+    val h2 = base.filter(org.apache.spark.sql.functions.col("amount") >= 100000)
+    val merged = Views.categoryCube(h1, Seq("age_bucket"))
+      .unionByName(Views.categoryCube(h2, Seq("age_bucket")))
+      .groupBy("age_bucket", "category")
+      .agg(
+        org.apache.spark.sql.functions.sum("cnt").as("cnt"),
+        org.apache.spark.sql.functions.sum("amount_dec").as("amount_dec"),
+        org.apache.spark.sql.functions.sum("rating_sum").as("rating_sum"))
+    val fromCube = Views.preferencesFromCube(merged, "age_bucket", withRating = true)
+    assert(fromCube.collect().toSeq === Views.agePreferences(t).collect().toSeq)
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
