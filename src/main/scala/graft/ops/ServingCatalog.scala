@@ -43,6 +43,19 @@ object ServingCatalog extends Catalog {
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")),
 
+    // write-time layout → read-time pruning, inside the gate: partition the
+    // events table by type, read back through a partition filter (scans
+    // only the matching directory), verify the rows against the flat oracle
+    "partitioned_scan" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+      graft.engine.Layout.writePartitionedBy(Tables(s, d).events, dir, "event_type")
+      s.read.parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), Relational.tsStr(col("ts")).as("ts"),
+          col("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // IN-list + boolean + display projection page (streamlit_app.py:998-1011)
     "filtered_display" -> ((s, d) =>
       Serving.displayPage(
@@ -86,6 +99,11 @@ object ServingCatalog extends Catalog {
          |  ${Catalog.moneySumSql("value")} AS session_value
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+
+    "partitioned_scan" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id, value
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
 
     "filtered_display" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
