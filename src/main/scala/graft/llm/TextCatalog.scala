@@ -38,6 +38,10 @@ object TextCatalog extends Catalog {
         .orderBy("doc_id")
     }),
 
+    "lang_id_ngram" -> ((s, d) =>
+      TextOps.langIdNgram(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id")),
+
     "doc_fingerprints" -> ((s, d) => {
       val docs = Tables(s, d).documents
       docs.select(
@@ -94,6 +98,34 @@ object TextCatalog extends Catalog {
          |  CASE $cases
          |    ELSE 'und' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "lang_id_ngram" -> {
+      val langs = TextOps.LangMarkers.map(_._1)
+      val values = TextOps.TrigramProfiles
+        .map { case (l, t, w) => s"('$l', '${t.replace("'", "''")}', $w)" }
+        .mkString(",\n    ")
+      val scores = langs.map(l =>
+        s"sum(CASE WHEN p.lang = '$l' THEN p.w ELSE 0 END) AS s_$l").mkString(",\n    ")
+      val fills = langs.map(l => s"coalesce(s.s_$l, 0) AS s_$l").mkString(", ")
+      val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'")
+        .mkString("\n    ")
+      s"""WITH t AS (SELECT doc_id, $norm AS nt FROM documents),
+         |tri AS (SELECT doc_id, substring(nt, i, 3) AS tri
+         |        FROM t, (SELECT unnest(range(1, 5000)) AS i)
+         |        WHERE i <= length(nt) - 2),
+         |profile(lang, tri, w) AS (VALUES
+         |    $values),
+         |sc AS (SELECT doc_id,
+         |    $scores
+         |  FROM tri JOIN profile p USING (tri) GROUP BY doc_id),
+         |f AS (SELECT d.doc_id, $fills
+         |      FROM documents d LEFT JOIN sc s USING (doc_id))
+         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+         |  CASE $cases
+         |    ELSE 'und' END AS lang_pred
+         |FROM f ORDER BY doc_id""".stripMargin
     },
 
     "doc_fingerprints" ->

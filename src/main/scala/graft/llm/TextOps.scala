@@ -204,4 +204,56 @@ object TextOps {
       when(s === best && s > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Character-trigram language-ID profiles: (lang, trigram, weight) with
+    * integer weights (~relative frequency per 10k), declared constants so
+    * both engines score identically. Underscores stand for spaces.
+    */
+  val TrigramProfiles: Seq[(String, String, Long)] = {
+    def p(lang: String, tris: (String, Long)*) =
+      tris.map { case (t, w) => (lang, t.replace('_', ' '), w) }
+    p("en", "_th" -> 35, "the" -> 33, "he_" -> 30, "ing" -> 18, "nd_" -> 16,
+      "_an" -> 15, "er_" -> 14, "_of" -> 12, "of_" -> 11, "ed_" -> 10) ++
+    p("fr", "_de" -> 30, "es_" -> 28, "de_" -> 26, "ent" -> 20, "_le" -> 18,
+      "le_" -> 16, "que" -> 14, "on_" -> 12, "ais" -> 10, "eur" -> 9) ++
+    p("es", "_de" -> 30, "de_" -> 28, "os_" -> 24, "_la" -> 20, "la_" -> 18,
+      "as_" -> 16, "el_" -> 14, "ión" -> 12, "nte" -> 11, "ar_" -> 10) ++
+    p("de", "en_" -> 30, "er_" -> 28, "ch_" -> 22, "der" -> 20, "ein" -> 18,
+      "sch" -> 16, "_di" -> 14, "die" -> 13, "und" -> 12, "ung" -> 11) ++
+    p("zh", "de_" -> 10, "shi" -> 8, "_zh" -> 6, "ang" -> 6, "eng" -> 5,
+      "ian" -> 5, "ing" -> 4, "hao" -> 3, "wo_" -> 3, "men" -> 3)
+  }
+
+  /** Character n-gram language ID, relational: explode the normalized
+    * text's char trigrams (codegen: `substr` over a position sequence),
+    * join the broadcast profile table, conditional-sum one score column per
+    * language, argmax with profile-order tie-breaks ("und" on zero score).
+    * Returns `(id, s_<lang>..., lang_pred)`.
+    */
+  def langIdNgram(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // project the normalization ONCE: referencing normText(...) inside the
+    // transform lambda would re-run the regex per trigram (~10x slower)
+    val normed = df.select(col(id), normText(col(textCol)).as("nt"))
+    val nt = col("nt")
+    // sequence(a, b) counts DOWN when a > b — guard short docs explicitly
+    val tris = when(length(nt) >= 3,
+      transform(sequence(lit(1), length(nt) - 2), i => nt.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = normed.select(col(id), explode(tris).as("tri"))
+    val profile = broadcast(TrigramProfiles.toDF("lang", "tri", "w"))
+    val langs = LangMarkers.map(_._1)
+    val scoreCols = langs.map(l =>
+      sum(when(col("lang") === l, col("w")).otherwise(0L)).as(s"s_$l"))
+    val scored = exploded.join(profile, Seq("tri"))
+      .groupBy(col(id)).agg(scoreCols.head, scoreCols.tail: _*)
+    val withScores = df.select(col(id)).join(scored, Seq(id), "left")
+      .na.fill(0L, langs.map(l => s"s_$l"))
+    val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und"): Column) { case (l, acc) =>
+      when(col(s"s_$l") === best && col(s"s_$l") > 0, lit(l)).otherwise(acc)
+    }
+    withScores.select(col(id) +: langs.map(l => col(s"s_$l")) :+ pred.as("lang_pred"): _*)
+  }
 }
