@@ -1,0 +1,35 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline — the reason this engine
+  * has an LLM tier: raw corpus → exact dedup → near-dup drop → quality
+  * gate → clean corpus. Every stage is the scale-safe operator built
+  * elsewhere ([[Dedup]], [[TextOps]]); this composes them in the canonical
+  * order (dedup before quality, so quality never resurrects a duplicate's
+  * twin) and is verified end-to-end against a DuckDB oracle of the same
+  * composition.
+  */
+object Curation {
+
+  /** @param minTokens    drop docs shorter than this many tokens
+    * @param minQuality   drop docs scoring below [[TextOps.qualityScore]]
+    * @param nearDupJaccard near-dup threshold for the keep-first drop
+    */
+  def curate(df: DataFrame, id: String, textCol: String,
+             minTokens: Int = 20, minQuality: Double = 0.5,
+             nearDupJaccard: Double = 0.8): DataFrame = {
+    val text: Column = col(textCol)
+    val exactKept = df.join(
+      Dedup.exactDedupMap(df, id, textCol)
+        .filter(!col("is_duplicate")).select(col(id)),
+      Seq(id), "left_semi")
+    val nearKept = Dedup.dropNearDups(exactKept, id, textCol, nearDupJaccard)
+    nearKept
+      .select(col(id),
+        TextOps.tokenCount(text).as("n_tokens"),
+        TextOps.qualityScore(text).as("quality_score"))
+      .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+  }
+}

@@ -36,11 +36,11 @@ object OracleSql {
        |simhash AS (SELECT doc_id, $simhashBits AS fp_simhash FROM v)""".stripMargin
 
   /** CTE chain `tt, sh, pairs` ending in brute-force all-pairs n-gram
-    * Jaccard `pairs(id_a, id_b, jaccard)` (oracle only — the engine uses
-    * banded LSH).
+    * Jaccard `pairs(id_a, id_b, jaccard)` over `source` (oracle only — the
+    * engine uses banded LSH).
     */
-  val jaccardPairsCtes: String =
-    s"""tt AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+  def jaccardPairsCtesFrom(source: String): String =
+    s"""tt AS (SELECT doc_id, string_split($norm, ' ') AS w FROM $source),
        |sh AS (SELECT doc_id,
        |  list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
        |  FROM tt WHERE len(w) >= 3),
@@ -49,4 +49,6 @@ object OracleSql {
        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |      / len(list_distinct(a.s || b.s)) AS jaccard
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  val jaccardPairsCtes: String = jaccardPairsCtesFrom("documents")
 }

@@ -55,6 +55,10 @@ object TextCatalog extends Catalog {
     "exact_dedup" -> ((s, d) =>
       Dedup.exactDedupMap(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
+
+    "curated_corpus" -> ((s, d) =>
+      Curation.curate(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id")),
   )
 
   // -- oracle SQL (shared formula fragments in OracleSql) -------------------
@@ -147,5 +151,30 @@ object TextCatalog extends Catalog {
          |  min(doc_id) OVER (PARTITION BY md5($norm)) AS canonical_id,
          |  doc_id <> min(doc_id) OVER (PARTITION BY md5($norm)) AS is_duplicate
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "curated_corpus" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      min(doc_id) OVER (PARTITION BY md5($norm)) AS canon
+         |    FROM documents)
+         |  WHERE doc_id = canon),
+         |${OracleSql.jaccardPairsCtesFrom("ex")},
+         |kept AS (
+         |  SELECT doc_id, text FROM ex
+         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.8)),
+         |k AS (SELECT doc_id, string_split($norm, ' ') AS w, text FROM kept)
+         |SELECT doc_id, len(w) AS n_tokens,
+         |  least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+         |    AS quality_score
+         |FROM k
+         |WHERE len(w) >= 20
+         |  AND least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
+         |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+         |    >= 0.5
+         |ORDER BY doc_id""".stripMargin,
   )
 }
