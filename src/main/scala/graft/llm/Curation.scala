@@ -19,17 +19,36 @@ object Curation {
     */
   def curate(df: DataFrame, id: String, textCol: String,
              minTokens: Int = 20, minQuality: Double = 0.5,
-             nearDupJaccard: Double = 0.8): DataFrame = {
+             nearDupJaccard: Double = 0.8): DataFrame =
+    stages(df, id, textCol, minTokens, minQuality, nearDupJaccard).last._2
+
+  /** The pipeline with its intermediate frames, in order — the basis for
+    * per-stage drop accounting ([[curateStats]]) and stage-level reuse.
+    */
+  def stages(df: DataFrame, id: String, textCol: String,
+             minTokens: Int = 20, minQuality: Double = 0.5,
+             nearDupJaccard: Double = 0.8): Seq[(String, DataFrame)] = {
     val text: Column = col(textCol)
     val exactKept = df.join(
       Dedup.exactDedupMap(df, id, textCol)
         .filter(!col("is_duplicate")).select(col(id)),
       Seq(id), "left_semi")
     val nearKept = Dedup.dropNearDups(exactKept, id, textCol, nearDupJaccard)
-    nearKept
+    val curated = nearKept
       .select(col(id),
         TextOps.tokenCount(text).as("n_tokens"),
         TextOps.qualityScore(text).as("quality_score"))
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    Seq("input" -> df, "exact_dedup" -> exactKept,
+      "near_dedup" -> nearKept, "quality_gate" -> curated)
   }
+
+  /** Per-stage survivor counts — the curation funnel a pipeline operator
+    * watches ("silent caps" made loud: how many docs each stage dropped).
+    */
+  def curateStats(df: DataFrame, id: String, textCol: String,
+                  minTokens: Int = 20, minQuality: Double = 0.5,
+                  nearDupJaccard: Double = 0.8): Seq[(String, Long)] =
+    stages(df, id, textCol, minTokens, minQuality, nearDupJaccard)
+      .map { case (name, frame) => name -> frame.count() }
 }

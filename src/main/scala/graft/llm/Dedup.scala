@@ -75,6 +75,26 @@ object Dedup {
   val K = 64
   val Bands = 16
   val Rows = 4
+
+  /** Candidate-recall of (bands b, rows r) banding at similarity s:
+    * 1 - (1 - s^r)^b.
+    */
+  def bandingRecall(bands: Int, rows: Int, s: Double): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Pick the banding for a Jaccard threshold: among divisor pairs of K,
+    * the LARGEST row count (fewest false-positive candidates) that still
+    * recalls ≥ `minRecall` of pairs AT the threshold. Larger r → sharper
+    * candidate curve → cheaper verify stage; the recall floor keeps the
+    * LSH stage equivalent to brute force on real near-dups. The library
+    * default (16, 4) is exactly this choice at τ = 0.8.
+    */
+  def bandingFor(threshold: Double, k: Int = K, minRecall: Double = 0.999): (Int, Int) = {
+    val options = (1 to k).filter(k % _ == 0).map(r => (k / r, r))
+    options.filter { case (b, r) => bandingRecall(b, r, threshold) >= minRecall }
+      .maxByOption(_._2)
+      .getOrElse(options.minBy(_._2)) // nothing meets the floor: max recall
+  }
   private def scramble(i: Long): Long = {
     var z = i * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L

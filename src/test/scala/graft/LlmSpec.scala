@@ -165,6 +165,28 @@ class LlmSpec extends SparkSpec {
     assert(out === Map(1L -> "en", 2L -> "fr", 3L -> "und"))
   }
 
+  test("bandingFor picks the sharpest banding meeting the recall floor") {
+    // the library default at its own threshold
+    assert(Dedup.bandingFor(0.8) === ((16, 4)))
+    // higher thresholds afford sharper bands (fewer candidates)
+    val (_, r95) = Dedup.bandingFor(0.95)
+    assert(r95 >= 4)
+    // every returned banding meets the floor at its threshold
+    Seq(0.7, 0.8, 0.9, 0.95).foreach { t =>
+      val (b, r) = Dedup.bandingFor(t)
+      assert(b * r === Dedup.K && Dedup.bandingRecall(b, r, t) >= 0.999)
+    }
+  }
+
+  test("curateStats reports a monotone survivor funnel") {
+    val stats = graft.llm.Curation.curateStats(
+      Tables(spark, sf).documents, "doc_id", "text").toMap
+    assert(stats("input") === 500)
+    assert(stats("exact_dedup") <= stats("input"))
+    assert(stats("near_dedup") < stats("exact_dedup"), "seeded near-dups dropped")
+    assert(stats("quality_gate") <= stats("near_dedup") && stats("quality_gate") > 0)
+  }
+
   test("hamming distance of simhashes is small for near-dups") {
     val pair = Dedup.nearDupPairs(Tables(spark, sf).documents, "doc_id", "text", 0.9)
       .limit(1).collect().headOption
