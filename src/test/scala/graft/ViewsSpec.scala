@@ -59,9 +59,14 @@ class ViewsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has either an oracle or is explicitly rows-only") {
+  test("every query has an oracle except the declared rows-only set") {
+    val rowsOnly = Set(
+      "approx_stats",      // sketches are approximate by design
+      "ivf_kmeans_assign") // iterative build has no single-statement oracle
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // rows-only queries are allowed but should be rare; views must be oracled
-    assert(!missing.exists(_.startsWith("v_")))
+    assert(missing === rowsOnly,
+      s"un-oracled queries beyond the declared set: ${missing -- rowsOnly}")
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
   }
 }
