@@ -109,16 +109,18 @@ object TextCatalog extends Catalog {
       val values = TextOps.TrigramProfiles
         .map { case (l, t, w) => s"('$l', '${t.replace("'", "''")}', $w)" }
         .mkString(",\n    ")
+      // CAST to BIGINT: DuckDB sums INTEGER into HUGEINT (int128), which the
+      // driver's comparison materializes as float64 while Spark emits int64 —
+      // identical values, different hash, without the cast.
       val scores = langs.map(l =>
-        s"sum(CASE WHEN p.lang = '$l' THEN p.w ELSE 0 END) AS s_$l").mkString(",\n    ")
-      val fills = langs.map(l => s"coalesce(s.s_$l, 0) AS s_$l").mkString(", ")
+        s"CAST(sum(CASE WHEN p.lang = '$l' THEN p.w ELSE 0 END) AS BIGINT) AS s_$l").mkString(",\n    ")
+      val fills = langs.map(l => s"CAST(coalesce(s.s_$l, 0) AS BIGINT) AS s_$l").mkString(", ")
       val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
       val cases = langs.map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'")
         .mkString("\n    ")
       s"""WITH t AS (SELECT doc_id, $norm AS nt FROM documents),
          |tri AS (SELECT doc_id, substring(nt, i, 3) AS tri
-         |        FROM t, (SELECT unnest(range(1, 5000)) AS i)
-         |        WHERE i <= length(nt) - 2),
+         |        FROM (SELECT doc_id, nt, unnest(range(1, length(nt) - 1)) AS i FROM t)),
          |profile(lang, tri, w) AS (VALUES
          |    $values),
          |sc AS (SELECT doc_id,

@@ -171,10 +171,10 @@ object EnrichCatalog extends Catalog {
          |       ELSE 'Low' END AS amount_category
          |FROM e)
          |SELECT satisfaction_level,
-         |  sum(CASE WHEN amount_category = 'Low' THEN 1 ELSE 0 END) AS "Low",
-         |  sum(CASE WHEN amount_category = 'Medium' THEN 1 ELSE 0 END) AS "Medium",
-         |  sum(CASE WHEN amount_category = 'High' THEN 1 ELSE 0 END) AS "High",
-         |  sum(CASE WHEN amount_category = 'Premium' THEN 1 ELSE 0 END) AS "Premium"
+         |  CAST(sum(CASE WHEN amount_category = 'Low' THEN 1 ELSE 0 END) AS BIGINT) AS "Low",
+         |  CAST(sum(CASE WHEN amount_category = 'Medium' THEN 1 ELSE 0 END) AS BIGINT) AS "Medium",
+         |  CAST(sum(CASE WHEN amount_category = 'High' THEN 1 ELSE 0 END) AS BIGINT) AS "High",
+         |  CAST(sum(CASE WHEN amount_category = 'Premium' THEN 1 ELSE 0 END) AS BIGINT) AS "Premium"
          |FROM r GROUP BY satisfaction_level
          |ORDER BY satisfaction_level""".stripMargin,
 

@@ -70,6 +70,13 @@ def main():
         bad = []
         for c in got.columns:
             g, e = got[c], exp[c]
+            # the driver's hash is over rendered values, so a float/int kind
+            # mismatch (e.g. DuckDB HUGEINT -> float64 "1236.0" vs Spark int64
+            # "1236") fails its gate even when every value is equal — catch it
+            # here instead of in CORRECTNESS_r{N}
+            if g.dtype.kind != e.dtype.kind and {g.dtype.kind, e.dtype.kind} != {"i", "u"}:
+                bad.append((c, -1, f"dtype kind {g.dtype}!={e.dtype}"))
+                continue
             if np.issubdtype(g.dtype, np.floating) or np.issubdtype(e.dtype, np.floating):
                 ga = g.astype(float).to_numpy()
                 ea = e.astype(float).to_numpy()
