@@ -34,9 +34,12 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * QScale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd expression ([[graft.functions.DotProductQ]]); the HOF fold
+    * `aggregate(zip_with(...))` it replaces ran interpreted per element in
+    * the pair-scoring inner loop of every similarity query.
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.DotQ(a, b)
 
   /** Squared norm of a quantized vector. */
   def norm2Q(v: Column): Column = dotQ(v, v)

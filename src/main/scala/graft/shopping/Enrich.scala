@@ -77,11 +77,17 @@ object Enrich {
           .when(pmod(col("user_id"), lit(10)) <= 3, "Premium")
           .when(pmod(col("user_id"), lit(10)) <= 7, "Regular")
           .otherwise("New"))
+      // rating is hoisted into its own projection: referenced from three CASE
+      // branches, inlining it would parse the props JSON 3x per row (branches
+      // defeat common-subexpression elimination). CollapseProject keeps the
+      // non-cheap multi-referenced alias un-inlined, so it's one parse/row.
+      .withColumn("__rating", rating(col("props")))
       .withColumn("satisfaction_level",
-        when(rating(col("props")) >= 5, "Very Satisfied")
-          .when(rating(col("props")) === 4, "Satisfied")
-          .when(rating(col("props")) === 3, "Neutral")
+        when(col("__rating") >= 5, "Very Satisfied")
+          .when(col("__rating") === 4, "Satisfied")
+          .when(col("__rating") === 3, "Neutral")
           .otherwise("Dissatisfied"))
+      .drop("__rating")
       .withColumn("is_anomaly",
         col("value") > AnomalyAmount || col("event_type") === "error")
       .withColumn("estimated_clv", (fin * expr(s"CAST($ClvFactor AS DECIMAL(2,0))")).cast("double"))

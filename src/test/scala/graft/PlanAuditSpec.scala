@@ -40,4 +40,13 @@ class PlanAuditSpec extends SparkSpec {
       assert(plans(q).contains("WindowGroupLimit"), s"$q missing WindowGroupLimit")
     }
   }
+
+  test("enrichment parses the props JSON at most once per row") {
+    // rating() is referenced from three satisfaction CASE branches; if the
+    // hoisted projection ever gets collapsed back in, the parse triples
+    Seq("satisfaction_pivot", "enriched_orders").foreach { q =>
+      val n = "get_json_object".r.findAllIn(plans(q)).length
+      assert(n <= 1, s"$q plans $n get_json_object calls")
+    }
+  }
 }
