@@ -30,33 +30,109 @@ object StreamingCatalog extends Catalog {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def replayEnriched(s: SparkSession, d: String): DataFrame = {
+  /** The raw event replay stream: watch the testdata dir filtered down to
+    * the events table file (the file stream source wants a directory).
+    */
+  private def replayStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = Files.createTempDirectory("graft-replay").toString
-    // the file stream source wants a directory: watch the testdata dir,
-    // filtered down to the events table file
-    val raw = s.readStream.schema(rawSchema)
+    s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
       // integer div: a double round-trip would lose ns precision above 2^53
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val q = EnrichCatalog.enrichedFrame(raw)
+  }
+
+  /** awaitTermination returns false on timeout — in that case the sink is
+    * partial and must never reach the verifier as if complete.
+    */
+  private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+                          timeoutMs: Long): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(s"stream replay timed out after $timeoutMs ms")
+    }
+
+  def replayEnriched(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val base = Files.createTempDirectory("graft-replay").toString
+    val q = EnrichCatalog.enrichedFrame(replayStream(s, d))
       .writeStream.format("parquet")
       .option("path", s"$base/sink")
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    awaitOrFail(q, timeoutMs)
     s.read.parquet(s"$base/sink").orderBy("event_id")
+  }
+
+  /** The age-preferences view shape over the ENRICHED sink: the enriched
+    * `amount_category` plays the bucketing key (so a green row proves the
+    * enrichment ran through the stream), `event_type` plays category —
+    * same cube → window → top-1 pipeline as every reference view.
+    */
+  def streamViewState(sink: DataFrame): DataFrame = {
+    val b = sink.select(
+      col("amount_category"),
+      col("event_type").as("category"),
+      col("value").as("amount"),
+      graft.shopping.Enrich.rating(col("props")).cast("double").as("rating"))
+    graft.shopping.Views.preferencesFromCube(
+      graft.shopping.Views.categoryCube(b, Seq("amount_category")),
+      "amount_category", withRating = true)
+  }
+
+  /** The reference's per-poll full view recompute (streamlit_app.py:218-285)
+    * run as a REAL stream inside the gate: replay events through the
+    * foreachBatch consumer — enrich → append → recompute the view over the
+    * entire sink each micro-batch — and return the view's final state.
+    */
+  def replayViewRefresh(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val base = Files.createTempDirectory("graft-view-refresh").toString
+    @volatile var state: DataFrame = null
+    val q = graft.streaming.Streams.consumeWithViewRefresh(
+      s, replayStream(s, d), s"$base/sink", s"$base/ckpt",
+      full => state = streamViewState(full),
+      Trigger.AvailableNow())
+    awaitOrFail(q, timeoutMs)
+    require(state != null, "view refresh never ran — empty replay stream")
+    state
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_enriched_replay" -> ((s, d) => replayEnriched(s, d)),
+    "stream_view_refresh"    -> ((s, d) => replayViewRefresh(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
     // identical semantics to the batch path — reuse its oracle verbatim
     "stream_enriched_replay" -> EnrichCatalog.oracleSql("enriched_orders"),
+
+    // the view over the enriched stream, derived from raw events with the
+    // same declared enrichment constants (mirrors ViewsCatalog.prefOracle)
+    "stream_view_refresh" ->
+      s"""WITH b AS (
+         |  SELECT CASE WHEN value >= ${graft.shopping.Enrich.PremiumMin} THEN 'Premium'
+         |              WHEN value >= ${graft.shopping.Enrich.HighMin} THEN 'High'
+         |              WHEN value >= ${graft.shopping.Enrich.MediumMin} THEN 'Medium'
+         |              ELSE 'Low' END AS amount_category,
+         |         event_type AS category,
+         |         value AS amount,
+         |         CAST(json_extract_string(props, '$$.k') AS BIGINT) % 5 + 1 AS rating
+         |  FROM events
+         |), stats AS (
+         |  SELECT amount_category, count(*) AS orders,
+         |         ${Catalog.moneyAvgSql("amount")} AS avg_spend,
+         |         round(CAST(sum(rating) AS DOUBLE) / count(*), 4) AS avg_rating
+         |  FROM b GROUP BY amount_category
+         |), top AS (
+         |  SELECT amount_category, category, count(*) AS category_count
+         |  FROM b GROUP BY amount_category, category
+         |  QUALIFY row_number() OVER (PARTITION BY amount_category
+         |    ORDER BY category_count DESC, category ASC) = 1
+         |)
+         |SELECT s.amount_category, s.orders, s.avg_spend, s.avg_rating,
+         |       t.category AS top_category
+         |FROM stats s LEFT JOIN top t USING (amount_category)
+         |ORDER BY s.amount_category""".stripMargin,
   )
 }

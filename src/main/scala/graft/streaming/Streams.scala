@@ -81,7 +81,18 @@ object Streams {
                                    sinkDir: String, checkpointDir: String,
                                    refresh: DataFrame => Unit,
                                    trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
-    enriched(readEvents(spark, inDir))
+    consumeWithViewRefresh(spark, readEvents(spark, inDir), sinkDir,
+      checkpointDir, refresh, trigger)
+
+  /** [[startConsumerWithViewRefresh]] over an already-prepared raw stream
+    * (for sources whose schema needs adapting before enrichment, e.g. the
+    * gate's nanosecond-timestamp replay).
+    */
+  def consumeWithViewRefresh(spark: SparkSession, raw: DataFrame,
+                             sinkDir: String, checkpointDir: String,
+                             refresh: DataFrame => Unit,
+                             trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+    enriched(raw)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

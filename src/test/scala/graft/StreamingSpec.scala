@@ -193,6 +193,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.getAs[Long]("user_id") === 7L)
   }
 
+  test("a timed-out replay throws instead of verifying a partial sink") {
+    // timeoutMs=1 cannot cover even one micro-batch commit, so the replay
+    // must fail loudly rather than hand back whatever reached the sink
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamingCatalog.replayEnriched(spark, sf, timeoutMs = 1)
+    }
+    assert(e.getMessage.contains("timed out"))
+  }
+
+  test("the gate's view-refresh replay equals the batch view over the same events") {
+    val streamed = graft.streaming.StreamingCatalog.replayViewRefresh(spark, sf).collect()
+    val enrichedBatch = graft.shopping.EnrichCatalog.enrichedFrame(
+      graft.engine.Tables(spark, sf).events)
+    val batch = graft.streaming.StreamingCatalog.streamViewState(enrichedBatch).collect()
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq)
+  }
+
   test("watermarked hourly window aggregation matches batch time-bucketing") {
     val input = MemoryStream[RawEvent](spark)
     val events = mkEvents(0 until 80)
