@@ -89,12 +89,61 @@ object EnrichCatalog extends Catalog {
         col("n_anomalies"), col("anomaly_value"))
   }
 
+  /** Anomalous rows only — shared by the per-category / per-location
+    * breakdowns (streamlit_app.py:769-801 `anomalies_df`).
+    */
+  private def anomalies(t: Tables): DataFrame =
+    Enrich.enrich(t.events, processedTime = col("ts")).filter(col("is_anomaly"))
+
+  /** Anomaly amount/count per category (streamlit_app.py:769-771), amount
+    * descending. `event_type` plays the product category in the enrich tier.
+    */
+  def anomalyByCategory(t: Tables): DataFrame =
+    anomalies(t)
+      .groupBy(col("event_type").as("category"))
+      .agg(count(lit(1)).as("n_anomalies"),
+        Relational.moneySum(col("value")).as("total_amount"))
+      .orderBy(col("total_amount").desc, col("category"))
+
+  /** Top-15 anomaly locations (streamlit_app.py:798-801): location joins in
+    * from the nation dimension (broadcast — the dim is tiny by contract),
+    * keyed deterministically off the customer id.
+    */
+  def anomalyByLocation(t: Tables): DataFrame =
+    anomalies(t)
+      .join(broadcast(t.nation), pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+      .groupBy(col("n_name").as("location"))
+      .agg(count(lit(1)).as("n_anomalies"),
+        Relational.moneySum(col("value")).as("total_amount"))
+      .orderBy(col("total_amount").desc, col("location"))
+      .limit(15)
+
+  /** Category × satisfaction crosstab with DYNAMIC pivot columns
+    * (streamlit_app.py:882-894): pivot over whatever satisfaction levels
+    * exist in the data, then reorder to the ordinal order intersected with
+    * the levels present — the reference's reindex semantics, not a declared
+    * column list.
+    */
+  def categorySatisfactionPivot(t: Tables): DataFrame = {
+    val piv = Enrich.enrich(t.events, processedTime = col("ts"))
+      .groupBy(col("event_type").as("category"))
+      .pivot("satisfaction_level") // dynamic: Spark discovers the levels
+      .count().na.fill(0)
+    val ordinal = Seq("Very Satisfied", "Satisfied", "Neutral", "Dissatisfied")
+    val present = piv.columns.toSet
+    piv.select(col("category") +: ordinal.filter(present).map(l => col(s"`$l`")): _*)
+      .orderBy("category")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "enriched_orders"    -> ((s, d) => enrichedEvents(Tables(s, d))),
     "enriched_metrics"   -> ((s, d) => enrichedMetrics(Tables(s, d))),
     "segment_revenue"    -> ((s, d) => segmentRevenue(Tables(s, d))),
     "satisfaction_pivot" -> ((s, d) => satisfactionPivot(Tables(s, d))),
     "anomaly_hourly"     -> ((s, d) => anomalyHourly(Tables(s, d))),
+    "anomaly_by_category" -> ((s, d) => anomalyByCategory(Tables(s, d))),
+    "anomaly_by_location" -> ((s, d) => anomalyByLocation(Tables(s, d))),
+    "category_satisfaction_pivot" -> ((s, d) => categorySatisfactionPivot(Tables(s, d))),
   )
 
   /** Shared oracle CTE: the enrichment formulas with the SAME declared
@@ -185,6 +234,32 @@ object EnrichCatalog extends Catalog {
          |FROM events
          |WHERE value > ${Enrich.AnomalyAmount} OR event_type = 'error'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "anomaly_by_category" ->
+      s"""SELECT event_type AS category,
+         |  count(*) AS n_anomalies,
+         |  ${Catalog.moneySumSql("value")} AS total_amount
+         |FROM events
+         |WHERE value > ${Enrich.AnomalyAmount} OR event_type = 'error'
+         |GROUP BY 1 ORDER BY total_amount DESC, category""".stripMargin,
+
+    "anomaly_by_location" ->
+      s"""SELECT n_name AS location,
+         |  count(*) AS n_anomalies,
+         |  ${Catalog.moneySumSql("value")} AS total_amount
+         |FROM events JOIN nation ON user_id % 25 = n_nationkey
+         |WHERE value > ${Enrich.AnomalyAmount} OR event_type = 'error'
+         |GROUP BY 1 ORDER BY total_amount DESC, location LIMIT 15""".stripMargin,
+
+    "category_satisfaction_pivot" ->
+      s"""WITH e AS ($enrichedSql)
+         |SELECT event_type AS category,
+         |  CAST(sum(CASE WHEN rating >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS "Very Satisfied",
+         |  CAST(sum(CASE WHEN rating = 4 THEN 1 ELSE 0 END) AS BIGINT) AS "Satisfied",
+         |  CAST(sum(CASE WHEN rating = 3 THEN 1 ELSE 0 END) AS BIGINT) AS "Neutral",
+         |  CAST(sum(CASE WHEN rating <= 2 OR rating IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "Dissatisfied"
+         |FROM e GROUP BY event_type
+         |ORDER BY category""".stripMargin,
 
     "enriched_metrics" ->
       s"""WITH e AS ($enrichedSql)
