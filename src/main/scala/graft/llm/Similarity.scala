@@ -112,8 +112,9 @@ object Similarity {
     * entirely in integer arithmetic so every run assigns identically:
     * distances are `n2x - 2·dot + n2c` over exact longs, ties break on the
     * lower centroid id via struct-min, and centroid updates are integer
-    * floor-divided sums. Initialization is the first k vectors by id
-    * (deterministic). The driver loop only controls the `iters` rounds and
+    * floor-divided sums. Initialization is deterministic sample-based
+    * farthest-point (see kmeansFit). The driver loop only controls the
+    * `iters` rounds and
     * collects the k×dim centroid table (tiny) between them; assignment is
     * a broadcast join of k centroid rows against the corpus.
     */
@@ -160,26 +161,52 @@ object Similarity {
     def centroidFrame(cs: Seq[(Int, Seq[Long])]) =
       broadcast(cs.toDF("cid", "cq").withColumn("cn2", norm2Q(col("cq"))))
 
-    def minDistPerVector(cs: Seq[(Int, Seq[Long])]): DataFrame =
-      p.crossJoin(centroidFrame(cs))
-        .select(col(id),
-          (col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")).as("dist"))
-        .groupBy(col(id)).agg(min(col("dist")).as("d"))
-
-    // deterministic farthest-point init (k-means++ style): start at the
-    // lowest id, then repeatedly add the vector farthest from the chosen
-    // set (ties -> lowest id). Geometry-aware, so co-located seeds cannot
-    // collapse the clustering; k-1 tiny jobs.
-    var centroids: Seq[(Int, Seq[Long])] = Seq(
-      0 -> p.orderBy(col(id)).limit(1).select(col("q")).head.getSeq[Long](0).toSeq)
-    while (centroids.size < k) {
-      val far = minDistPerVector(centroids)
-        .agg(max(struct(col("d"), (-col(id)).as("nid"))).as("m"))
-        .head.getStruct(0)
-      val nextId = -far.getLong(1)
-      val q = p.filter(col(id) === nextId).select(col("q")).head.getSeq[Long](0).toSeq
-      centroids = centroids :+ (centroids.size -> q)
+    // deterministic sample-based init (k-means||-style): ONE hash-sampled
+    // pass pulls ~max(64k, 4096) vectors to the driver (bounded: sample ×
+    // dim longs), then farthest-point selection runs driver-local on the
+    // sample — geometry-aware like the k-means++ seeding it replaces, but
+    // O(1) corpus scans instead of the previous k-1 sequential full scans
+    // (the build's scale bottleneck at 100 TB). xxhash64(id) sampling is
+    // partitioning-independent, so the init — and therefore the whole fit —
+    // is run-deterministic.
+    val n = p.count()
+    val cap = math.max(64L * k, 4096L)
+    var every = math.max(1L, n / cap)
+    var sample = Array.empty[(Long, Array[Long])]
+    var looped = false
+    while (!looped || (sample.length < k && every > 1)) {
+      if (looped) every = math.max(1L, every / 2) // unlucky hash shortfall
+      sample = p.filter(pmod(xxhash64(col(id)), lit(every)) === 0)
+        .select(col(id).cast("long").as("__id"), col("q"))
+        .orderBy(col("__id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      looped = true
     }
+    require(sample.length >= k, s"sampled ${sample.length} vectors < k=$k")
+
+    def dist2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // farthest-point over the id-sorted sample; strict improvement keeps
+    // the lowest id on ties
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2)
+    val minD = Array.fill(sample.length)(Long.MaxValue)
+    while (chosen.size < k) {
+      var bestI = 0; var bestD = -1L
+      var i = 0
+      while (i < sample.length) {
+        val d = dist2(sample(i)._2, chosen.last)
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > bestD) { bestD = minD(i); bestI = i }
+        i += 1
+      }
+      chosen += sample(bestI)._2
+    }
+    var centroids: Seq[(Int, Seq[Long])] =
+      chosen.toSeq.zipWithIndex.map { case (v, i) => i -> v.toSeq }
 
     def assignment(): DataFrame =
       p.crossJoin(centroidFrame(centroids))
