@@ -204,6 +204,12 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // an unconverged exit would return labels that disagree with the true
+    // transitive closure (and its oracle) with no signal — fail loudly; a
+    // duplicate chain with diameter > maxIter means maxIter was mis-sized
+    // for the corpus, not a tolerable approximation
+    require(converged,
+      s"dupClusters: min-label propagation not converged after $maxIter iterations")
     labels
   }
 

@@ -78,6 +78,18 @@ class LlmSpec extends SparkSpec {
     assert(m(9L) === 9L)
   }
 
+  test("dupClusters fails loudly when maxIter cannot reach convergence") {
+    // any connected pair needs 2 iterations (propagate, then confirm);
+    // maxIter=1 must throw rather than silently return unconverged labels
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base + " extra"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(df, "doc_id", "text", 0.6, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("exactDedupMap assigns the minimum id as canonical per fingerprint") {
     val df = Seq((10L, "same text"), (7L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")

@@ -41,6 +41,43 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no query grows new exchanges (plan-shape snapshot)") {
+    // every shuffle/broadcast added to a query's plan is a scale regression
+    // until proven otherwise: the snapshot locks in the current shapes.
+    // Deliberate changes: GRAFT_REGEN_PLANS=1 sbt "testOnly graft.PlanAuditSpec"
+    // and commit the regenerated file.
+    val snap = java.nio.file.Paths.get("src/test/resources/exchange_counts.tsv")
+    def counts(p: String): (Int, Int) = (
+      p.linesIterator.count(l =>
+        l.contains("Exchange ") && !l.contains("BroadcastExchange")
+          && !l.contains("ReusedExchange")),
+      p.linesIterator.count(_.contains("BroadcastExchange")))
+    val actual = plans.map { case (n, p) => n -> counts(p) }
+    if (sys.env.contains("GRAFT_REGEN_PLANS")) {
+      val body = actual.toSeq.sortBy(_._1)
+        .map { case (n, (s, b)) => s"$n\t$s\t$b" }.mkString("", "\n", "\n")
+      java.nio.file.Files.createDirectories(snap.getParent)
+      java.nio.file.Files.writeString(snap, body)
+      info(s"regenerated $snap")
+    } else {
+      val expected = scala.io.Source.fromFile(snap.toFile).getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, s, b) = l.split("\t"); n -> (s.toInt, b.toInt)
+        }.toMap
+      val diffs = actual.toSeq.sortBy(_._1).flatMap { case (n, a) =>
+        expected.get(n) match {
+          case None => Some(s"$n: not in snapshot (new query) — regenerate")
+          case Some(e) if e != a =>
+            Some(s"$n: (shuffles, broadcasts) $e -> $a — " +
+              (if (a._1 > e._1 || a._2 > e._2) "NEW exchange, investigate"
+               else "improvement, regenerate the snapshot"))
+          case _ => None
+        }
+      }
+      assert(diffs.isEmpty, diffs.mkString("\n"))
+    }
+  }
+
   test("enrichment parses the props JSON at most once per row") {
     // rating() is referenced from three satisfaction CASE branches; if the
     // hoisted projection ever gets collapsed back in, the parse triples
