@@ -15,12 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query timeout so one pathological plan cannot eat the whole gate:
+    // each query runs in its own (daemon) thread under a cancellable job
+    // group; on timeout its jobs are cancelled and the gate moves on,
+    // recording the miss like any other per-query failure
+    val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS", "600000").toLong
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val t = new Thread(() => {
+        spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }, s"verify-$name")
+      t.setDaemon(true)
+      t.start()
+      t.join(timeoutMs)
+      if (t.isAlive) {
+        System.err.println(s"[verify] $name TIMED OUT after $timeoutMs ms — cancelling its jobs")
+        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        t.join(30000)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

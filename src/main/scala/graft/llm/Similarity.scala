@@ -29,10 +29,10 @@ object Similarity {
 
   /** 24-bit fixed-point quantization of a float array (exact in both
     * engines: float→double widening is exact, 2^24 scaling is exact, floor
-    * is deterministic).
+    * is deterministic) — codegen'd ([[graft.functions.QuantizeFixed]]), as
+    * it runs over every corpus vector in each similarity pass.
     */
-  def quantize(v: Column): Column =
-    transform(v, x => floor(x.cast("double") * QScale).cast("long"))
+  def quantize(v: Column): Column = graft.functions.QuantizeQ(v, QScale)
 
   /** Exact integer dot product of two quantized vectors — a native
     * codegen'd expression ([[graft.functions.DotProductQ]]); the HOF fold

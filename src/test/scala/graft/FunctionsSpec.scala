@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+
+/** The two native expressions must be value-identical to the built-in HOF
+  * compositions they replaced (which remain the executable spec here).
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofQuantize(v: org.apache.spark.sql.Column) =
+    transform(v, x => floor(x.cast("double") * Similarity.QScale).cast("long"))
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+
+  test("QuantizeFixed equals the transform+floor HOF on varied floats") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { i =>
+      i.toLong -> Seq.fill(16)(rnd.nextFloat() * 2 - 1f)
+    }
+    val df = rows.toDF("id", "v")
+    val diff = df.select(
+        Similarity.quantize(col("v")).as("fast"), hofQuantize(col("v")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0)
+  }
+
+  test("QuantizeFixed preserves element nulls and top-level nulls") {
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.5f, null, -0.25f)),
+      (2L, null)).toDF("id", "v")
+    val out = df.select(col("id"), Similarity.quantize(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Long](1)).toMap
+    assert(out(1L) === Seq((1.5 * Similarity.QScale).toLong, null, (-0.25 * Similarity.QScale).toLong))
+    assert(out(2L) === null)
+  }
+
+  test("DotProductQ equals the aggregate(zip_with) HOF, including edge cases") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextLong() % (1L << 25)),
+        Seq.fill(16)(rnd.nextLong() % (1L << 25)))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val diff = df.select(
+        Similarity.dotQ(col("a"), col("b")).as("fast"),
+        hofDot(col("a"), col("b")).as("ref"))
+      .filter(not(col("fast") <=> col("ref"))).count()
+    assert(diff === 0)
+  }
+
+  test("DotProductQ nulls out on length mismatch, element null, input null") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L, 5L)),
+      (2L, Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)),
+      (3L, null, Seq[java.lang.Long](3L))).toDF("id", "a", "b")
+    val out = df.select(col("id"), Similarity.dotQ(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(out === Map(1L -> null, 2L -> null, 3L -> null))
+  }
+}
