@@ -6,10 +6,16 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private lazy val plans: Map[String, String] =
+  private lazy val plans: Map[String, String] = {
+    // other suites (TtlCache) may have left cached frames in the session's
+    // CacheManager; plan-fragment matching would then splice
+    // InMemoryTableScans (whose printed cached plans carry their own
+    // exchanges) into these plans and skew the counts
+    spark.catalog.clearCache()
     SparkEntry.queries.map { case (name, fn) =>
       name -> fn(spark, sf).queryExecution.executedPlan.toString
     }
+  }
 
   test("no query plans a cartesian product") {
     val offenders = plans.collect {
