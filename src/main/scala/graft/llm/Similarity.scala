@@ -133,6 +133,23 @@ object Similarity {
         .groupBy(col(id))
         .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cluster"))
     }
+
+    /** The `p` nearest cells per row (multi-probe assignment): `p` rows per
+      * input id, deterministic ties on the lower cell id. `p = 1` reduces
+      * to [[assign]].
+      */
+    def assignTop(df: DataFrame, p: Int): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val c = broadcast(centroids.toDF("cid", "cq").withColumn("cn2", norm2Q(col("cq"))))
+      graft.ops.Relational.topKPerGroup(
+        prepare(df, id, vec)
+          .crossJoin(c)
+          .select(col(id), col("cid"),
+            (col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")).as("dist")),
+        Seq(id), Seq(col("dist").asc, col("cid").asc), p)
+        .select(col(id), col("cid").as("cluster"))
+    }
   }
 
   /** End-to-end auto-IVF search: fit the coarse quantizer on the corpus,
@@ -140,10 +157,24 @@ object Similarity {
     * top-k — the full build-index-then-search path.
     */
   def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
-                  k: Int, cells: Int, iters: Int = 3): DataFrame = {
+                  k: Int, cells: Int, iters: Int = 3): DataFrame =
+    ivfTopKMultiProbe(corpus, queries, id, vec, k, cells, probes = 1, iters)
+
+  /** Multi-probe IVF: each query searches its `probes` nearest cells
+    * instead of only the closest — the standard recall/cost dial (a true
+    * neighbor just across a cell boundary is found by the second-closest
+    * probe). The query set is replicated `probes`× (bounded — queries are
+    * the small broadcast side); each corpus vector still lives in exactly
+    * one cell, so no result can appear twice. `probes = cells` degenerates
+    * to exact brute force, which is how the gate oracles this machinery.
+    */
+  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame, id: String,
+                        vec: String, k: Int, cells: Int, probes: Int,
+                        iters: Int = 3): DataFrame = {
     val model = kmeansFit(corpus, id, vec, cells, iters)
-    def tag(df: DataFrame) = df.join(model.assign(df), Seq(id))
-    ivfTopK(tag(corpus), tag(queries), id, vec, "cluster", k)
+    val c = corpus.join(model.assign(corpus), Seq(id))
+    val q = queries.join(model.assignTop(queries, probes), Seq(id))
+    ivfTopK(c, q, id, vec, "cluster", k)
   }
 
   def kmeansAssign(df: DataFrame, id: String, vec: String, k: Int,

@@ -53,6 +53,17 @@ object SimilarityCatalog extends Catalog {
       Similarity.kmeansAssign(Tables(s, d).embeddings, "vec_id", "embedding",
           k = 8, iters = 3)
         .orderBy("vec_id")),
+
+    // multi-probe IVF at full probe width: probing every cell must
+    // reproduce the brute-force result EXACTLY, so the entire fit →
+    // assignTop → replicate → cell-join → dedup machinery is oracled by
+    // the same SQL as cosine_topk (partial-probe recall is LlmSpec-tested)
+    "ivf_multiprobe_topk" -> ((s, d) => {
+      val t = Tables(s, d)
+      Similarity.ivfTopKMultiProbe(corpus(t), queriesDf(t), "vec_id", "embedding",
+          K, cells = 8, probes = 8, iters = 2)
+        .orderBy("query_id", "nn_id")
+    }),
   )
 
   /** Quantized vectors + exact integer norms (oracle side). */
@@ -67,6 +78,22 @@ object SimilarityCatalog extends Catalog {
 
   def oracleSql: Map[String, String] = Map(
     "cosine_topk" ->
+      s"""WITH $prepSql,
+         |scored AS (
+         |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id, qv.n2 AS qn2, cv.n2 AS cn2,
+         |    (SELECT CAST(sum(x * y) AS BIGINT)
+         |     FROM (SELECT unnest(qv.q) AS x, unnest(cv.q) AS y)) AS dot
+         |  FROM pn qv JOIN pn cv ON cv.vec_id <> qv.vec_id
+         |  WHERE qv.vec_id < $NumQueries)
+         |SELECT query_id, nn_id,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, nn_id ASC) <= $K
+         |ORDER BY query_id, nn_id""".stripMargin,
+
+    // full-width multi-probe ≡ brute force: reuse the exact top-k oracle
+    "ivf_multiprobe_topk" ->
       s"""WITH $prepSql,
          |scored AS (
          |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id, qv.n2 AS qn2, cv.n2 AS cn2,

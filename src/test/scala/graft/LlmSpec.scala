@@ -167,6 +167,51 @@ class LlmSpec extends SparkSpec {
       "results come from the query's fitted cell"))
   }
 
+  test("multi-probe IVF: full width equals brute force, more probes never hurt") {
+    val t = Tables(spark, sf)
+    val q = t.embeddings.filter(col("vec_id") < 3)
+    def run(probes: Int) =
+      Similarity.ivfTopKMultiProbe(t.embeddings, q, "vec_id", "embedding",
+          k = 5, cells = 4, probes = probes, iters = 2)
+        .orderBy("query_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = Similarity.cosineTopK(t.embeddings, q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(run(4).toSeq === brute.toSeq, "probing every cell is exact")
+    def best(rows: Array[(Long, Long, Double)]) =
+      rows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val b1 = best(run(1)); val b2 = best(run(2))
+    b2.foreach { case (qid, c2) => assert(c2 >= b1(qid) - 1e-12,
+      s"query $qid: widening probes lowered the best cosine") }
+  }
+
+  test("cellNearDupPairs stays exact when one cell holds nearly everything") {
+    // degenerate skew: 28 of 32 vectors in one cell — the within-cell
+    // O(cell^2) case the scale notes flag; results must match an
+    // unblocked all-pairs reference on the same threshold
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 32).map { i =>
+      val cell = if (i < 28) 0 else 1 + i % 3
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1f), cell)
+    }
+    val df = rows.toDF("vec_id", "embedding", "cell")
+    val got = Similarity.cellNearDupPairs(df, "vec_id", "embedding", "cell", 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: brute-force pairs within the same cell via the exact
+    // quantized cosine, computed driver-side
+    def quant(v: Seq[Float]) = v.map(x => math.floor(x.toDouble * Similarity.QScale).toLong)
+    def cos(a: Seq[Long], b: Seq[Long]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      dot / (math.sqrt(a.map(x => x * x).sum.toDouble) * math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val expect = (for {
+      (ia, va, ca) <- rows; (ib, vb, cb) <- rows
+      if ia < ib && ca == cb && cos(quant(va), quant(vb)) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got === expect)
+  }
+
   test("langId picks the profile with most marker hits, und when none") {
     val df = Seq(
       (1L, "the cat is on the mat and it is fine"),
