@@ -52,6 +52,10 @@ object TextCatalog extends Catalog {
         .orderBy("doc_id")
     }),
 
+    "text_fluency" -> ((s, d) =>
+      TextOps.fluencyAgg(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id")),
+
     "exact_dedup" -> ((s, d) =>
       Dedup.exactDedupMap(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
@@ -132,6 +136,33 @@ object TextCatalog extends Catalog {
          |  CASE $cases
          |    ELSE 'und' END AS lang_pred
          |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fluency" -> {
+      val values = TextOps.FluencyBigrams
+        .map { case (a, b, w) => s"('$a', '$b', $w)" }.mkString(",\n    ")
+      s"""WITH t AS ($docTokens),
+         |tok AS (SELECT doc_id, unnest(w) AS tok,
+         |               unnest(range(1, len(w) + 1)) AS pos FROM t),
+         |pr AS (SELECT a.doc_id, a.tok AS tok, b.tok AS nxt
+         |       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |bi(tok, nxt, wt) AS (VALUES
+         |    $values),
+         |agg AS (SELECT pr.doc_id,
+         |    count(*) AS n_bigrams,
+         |    count(bi.wt) AS n_hits,
+         |    CAST(sum(coalesce(bi.wt, 0)) AS BIGINT) AS w_sum
+         |  FROM pr LEFT JOIN bi ON pr.tok = bi.tok AND pr.nxt = bi.nxt
+         |  GROUP BY pr.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(a.w_sum, 0) AS BIGINT) AS w_sum,
+         |  CASE WHEN coalesce(a.n_bigrams, 0) > 0
+         |       THEN CAST(coalesce(a.w_sum, 0) AS DOUBLE) / coalesce(a.n_bigrams, 0)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS fluency
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "doc_fingerprints" ->

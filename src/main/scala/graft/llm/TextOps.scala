@@ -142,6 +142,56 @@ object TextOps {
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Declared fluency bigram table (quality v2): common-English adjacent
+    * token pairs with small integer weights. Integer weights — not log
+    * probabilities — keep the score bit-deterministic across engines
+    * (floating log() is the classic cross-engine drift source); the scale
+    * is a declared constant of the operator, mirrored in the oracle.
+    */
+  val FluencyBigrams: Seq[(String, String, Int)] = Seq(
+    ("of", "the", 3), ("in", "the", 3), ("to", "the", 2), ("on", "the", 2),
+    ("and", "the", 1), ("at", "the", 2), ("by", "the", 2), ("for", "the", 2),
+    ("from", "the", 2), ("with", "the", 2), ("into", "the", 1),
+    ("it", "is", 2), ("is", "a", 2), ("is", "the", 2), ("this", "is", 2),
+    ("there", "is", 1), ("to", "be", 2), ("will", "be", 1), ("can", "be", 1),
+    ("has", "been", 1), ("have", "been", 1), ("as", "well", 1),
+    ("such", "as", 1), ("more", "than", 1), ("rather", "than", 1),
+    ("one", "of", 2), ("some", "of", 1), ("all", "of", 1), ("part", "of", 1),
+    ("number", "of", 1))
+
+  /** Perplexity-style fluency scoring against [[FluencyBigrams]]:
+    * `(doc_id, n_bigrams, n_hits, w_sum, fluency)` where fluency is the
+    * mean bigram weight over the doc's n-1 adjacent pairs (0 for docs with
+    * fewer than 2 tokens). Shape: posexplode → one window (lead over
+    * position, shuffled by doc id like the rolling hash) → broadcast join
+    * against the tiny literal table → hash aggregate — all codegen'd, all
+    * integer sums, linear in token count.
+    */
+  def fluencyAgg(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy("pos")
+    val pairs = df
+      .select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val bi = broadcast(FluencyBigrams.toDF("tok", "nxt", "wt"))
+    val agg = pairs.join(bi, Seq("tok", "nxt"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(col("wt")).as("n_hits"),
+        sum(coalesce(col("wt"), lit(0))).cast("long").as("w_sum"))
+    df.select(col(id)).join(agg, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("w_sum"), lit(0L)).as("w_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+            coalesce(col("w_sum"), lit(0L)).cast("double") / coalesce(col("n_bigrams"), lit(0L)))
+          .otherwise(lit(0.0)).as("fluency"))
+  }
+
   // -- quality / language features ------------------------------------------
 
   /** Stopword list for the quality ratio (declared constant, mirrored in the
