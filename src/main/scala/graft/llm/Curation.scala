@@ -51,4 +51,18 @@ object Curation {
                   nearDupJaccard: Double = 0.8): Seq[(String, Long)] =
     stages(df, id, textCol, minTokens, minQuality, nearDupJaccard)
       .map { case (name, frame) => name -> frame.count() }
+
+  /** The funnel as ONE DataFrame (`stage, n_docs`) — a lazy union of the
+    * four stage counts, no driver-side actions, so it registers in the
+    * correctness gate and ships as a side output of a curation run.
+    */
+  def funnel(df: DataFrame, id: String, textCol: String,
+             minTokens: Int = 20, minQuality: Double = 0.5,
+             nearDupJaccard: Double = 0.8): DataFrame =
+    stages(df, id, textCol, minTokens, minQuality, nearDupJaccard)
+      .map { case (name, frame) =>
+        frame.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+      }
+      .reduce(_ union _)
+      .orderBy("stage")
 }

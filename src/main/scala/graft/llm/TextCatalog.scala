@@ -63,6 +63,9 @@ object TextCatalog extends Catalog {
     "curated_corpus" -> ((s, d) =>
       Curation.curate(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
+
+    "curation_funnel" -> ((s, d) =>
+      Curation.funnel(Tables(s, d).documents, "doc_id", "text")),
   )
 
   // -- oracle SQL (shared formula fragments in OracleSql) -------------------
@@ -209,5 +212,30 @@ object TextCatalog extends Catalog {
          |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
          |    >= 0.5
          |ORDER BY doc_id""".stripMargin,
+
+    // same stage chain as curated_corpus, counted per stage
+    "curation_funnel" ->
+      s"""WITH ex AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      min(doc_id) OVER (PARTITION BY md5($norm)) AS canon
+         |    FROM documents)
+         |  WHERE doc_id = canon),
+         |${OracleSql.jaccardPairsCtesFrom("ex")},
+         |kept AS (
+         |  SELECT doc_id, text FROM ex
+         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.8)),
+         |k AS (SELECT doc_id, string_split($norm, ' ') AS w, text FROM kept),
+         |q AS (SELECT doc_id FROM k
+         |  WHERE len(w) >= 20
+         |    AND least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+         |      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
+         |      + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+         |      >= 0.5)
+         |SELECT 'input' AS stage, count(*) AS n_docs FROM documents
+         |UNION ALL SELECT 'exact_dedup', count(*) FROM ex
+         |UNION ALL SELECT 'near_dedup', count(*) FROM kept
+         |UNION ALL SELECT 'quality_gate', count(*) FROM q
+         |ORDER BY stage""".stripMargin,
   )
 }
