@@ -54,6 +54,30 @@ object SimilarityCatalog extends Catalog {
           k = 8, iters = 3)
         .orderBy("vec_id")),
 
+    // the same brute-force top-k through the pure SQL surface: the native
+    // expressions registered by GraftExtensions (dot_q / quantize_q) over
+    // registered table names — proving a SQL-only user gets the identical
+    // exact-integer similarity semantics
+    "sql_cosine_topk" -> ((s, d) => {
+      graft.engine.ViewRegistry.registerTables(Tables(s, d))
+      s.sql(
+        s"""WITH pn AS (
+           |  SELECT vec_id, q, dot_q(q, q) AS n2
+           |  FROM (SELECT vec_id, quantize_q(embedding) AS q FROM embeddings)),
+           |scored AS (
+           |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id,
+           |    CAST(dot_q(qv.q, cv.q) AS DOUBLE) /
+           |      (sqrt(CAST(qv.n2 AS DOUBLE)) * sqrt(CAST(cv.n2 AS DOUBLE))) AS cosine
+           |  FROM pn qv JOIN pn cv ON cv.vec_id <> qv.vec_id
+           |  WHERE qv.vec_id < $NumQueries),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, nn_id ASC) AS rn
+           |  FROM scored)
+           |SELECT query_id, nn_id, cosine FROM ranked WHERE rn <= $K
+           |ORDER BY query_id, nn_id""".stripMargin)
+    }),
+
     // multi-probe IVF at full probe width: probing every cell must
     // reproduce the brute-force result EXACTLY, so the entire fit →
     // assignTop → replicate → cell-join → dedup machinery is oracled by
@@ -78,6 +102,22 @@ object SimilarityCatalog extends Catalog {
 
   def oracleSql: Map[String, String] = Map(
     "cosine_topk" ->
+      s"""WITH $prepSql,
+         |scored AS (
+         |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id, qv.n2 AS qn2, cv.n2 AS cn2,
+         |    (SELECT CAST(sum(x * y) AS BIGINT)
+         |     FROM (SELECT unnest(qv.q) AS x, unnest(cv.q) AS y)) AS dot
+         |  FROM pn qv JOIN pn cv ON cv.vec_id <> qv.vec_id
+         |  WHERE qv.vec_id < $NumQueries)
+         |SELECT query_id, nn_id,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, nn_id ASC) <= $K
+         |ORDER BY query_id, nn_id""".stripMargin,
+
+    // SQL surface ≡ DataFrame surface ≡ oracle: same brute-force SQL
+    "sql_cosine_topk" ->
       s"""WITH $prepSql,
          |scored AS (
          |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id, qv.n2 AS qn2, cv.n2 AS cn2,

@@ -51,6 +51,16 @@ class FunctionsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("GraftExtensions registers dot_q and quantize_q on the SQL surface") {
+    val r = spark.sql(
+      "SELECT dot_q(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
+        "quantize_q(array(CAST(0.5 AS FLOAT))) AS q").head
+    assert(r.getLong(0) === 32L)
+    assert(r.getSeq[Long](1) === Seq((0.5 * graft.functions.GraftExtensions.DefaultScale).toLong))
+    val r2 = spark.sql("SELECT quantize_q(array(CAST(1.0 AS FLOAT)), 256) AS q").head
+    assert(r2.getSeq[Long](0) === Seq(256L))
+  }
+
   test("DotProductQ nulls out on length mismatch, element null, input null") {
     val df = Seq(
       (1L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L, 5L)),

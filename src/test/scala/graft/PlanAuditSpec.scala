@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
   test("broadcast nested-loop joins appear only where a broadcast cross join is the design") {
     // the legitimate nested-loop shapes: scoring a broadcast query set /
     // centroid set against the corpus; everything else must hash-join
-    val intended = Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk")
+    val intended =
+      Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk", "sql_cosine_topk")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }
