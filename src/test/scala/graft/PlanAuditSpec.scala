@@ -42,6 +42,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans("sql_location_top5").contains("TakeOrderedAndProject"))
   }
 
+  test("derived-column filters collapse into pushed scan predicates") {
+    // filtering on the enrichment-derived is_anomaly flag must reach the
+    // parquet scan as the underlying raw-column OR predicate, with the
+    // read schema pruned to the referenced columns
+    assert(plans("anomaly_by_category")
+      .contains("PushedFilters: [Or(GreaterThan(value,300.0),EqualTo(event_type,error))]"))
+    assert(plans("anomaly_by_category").contains("ReadSchema: struct<event_type:string,value:double>"))
+  }
+
   test("top-k windows use WindowGroupLimit (bounded per-partition state)") {
     Seq("v_age_preferences", "v_location_preferences").foreach { q =>
       assert(plans(q).contains("WindowGroupLimit"), s"$q missing WindowGroupLimit")
