@@ -6,8 +6,10 @@ val picks = Seq(
   "latest_events" -> "TakeOrderedAndProject: per-partition heaps, no global sort.",
   "filtered_display" -> "IN-list + range predicates pushed into the parquet scan (PushedFilters).",
   "near_dup_pairs" -> "Banded LSH self-join on the band key; shingle frame checkpointed and reused; relational Jaccard verify.",
-  "cosine_topk" -> "Broadcast query set against the corpus (the one intended nested-loop); WindowGroupLimit caps per-partition top-k state.",
-  "enriched_orders" -> "All 11 derivations fused into one whole-stage-codegen projection over the scan.")
+  "cosine_topk" -> "Broadcast query set against the corpus (the one intended nested-loop); WindowGroupLimit caps per-partition top-k state; dot_q/quantize_q run as native codegen'd expressions.",
+  "enriched_orders" -> "All 11 derivations fused into one whole-stage-codegen projection over the scan; the rating JSON parse is hoisted so props is parsed once per row.",
+  "anomaly_by_category" -> "Filter on the DERIVED is_anomaly flag collapses to a pushed raw-column OR predicate; ReadSchema pruned to two columns.",
+  "ivf_multiprobe_topk" -> "Fit (sample-seeded k-means) -> assignTop replicates each query to its p nearest cells -> cell equi-join prunes the corpus scan.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
