@@ -25,22 +25,59 @@ object Curation {
   /** The pipeline with its intermediate frames, in order — the basis for
     * per-stage drop accounting ([[curateStats]]) and stage-level reuse.
     */
-  def stages(df: DataFrame, id: String, textCol: String,
-             minTokens: Int = 20, minQuality: Double = 0.5,
-             nearDupJaccard: Double = 0.8): Seq[(String, DataFrame)] = {
-    val text: Column = col(textCol)
-    val exactKept = df.join(
+  private def exactStage(df: DataFrame, id: String, textCol: String): DataFrame =
+    df.join(
       Dedup.exactDedupMap(df, id, textCol)
         .filter(!col("is_duplicate")).select(col(id)),
       Seq(id), "left_semi")
-    val nearKept = Dedup.dropNearDups(exactKept, id, textCol, nearDupJaccard)
-    val curated = nearKept
-      .select(col(id),
+
+  private def nearStage(df: DataFrame, id: String, textCol: String,
+                        nearDupJaccard: Double): DataFrame =
+    Dedup.dropNearDups(df, id, textCol, nearDupJaccard)
+
+  private def qualityStage(df: DataFrame, id: String, textCol: String,
+                           minTokens: Int, minQuality: Double): DataFrame = {
+    val text: Column = col(textCol)
+    df.select(col(id),
         TextOps.tokenCount(text).as("n_tokens"),
         TextOps.qualityScore(text).as("quality_score"))
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+  }
+
+  def stages(df: DataFrame, id: String, textCol: String,
+             minTokens: Int = 20, minQuality: Double = 0.5,
+             nearDupJaccard: Double = 0.8): Seq[(String, DataFrame)] = {
+    val exactKept = exactStage(df, id, textCol)
+    val nearKept = nearStage(exactKept, id, textCol, nearDupJaccard)
+    val curated = qualityStage(nearKept, id, textCol, minTokens, minQuality)
     Seq("input" -> df, "exact_dedup" -> exactKept,
       "near_dedup" -> nearKept, "quality_gate" -> curated)
+  }
+
+  /** Resumable curation: every stage persists its survivors under
+    * `stageDir/<stage>`, and a re-run resumes from the last stage whose
+    * output already exists (checked via the Hadoop FileSystem `_SUCCESS`
+    * marker, so the same code short-circuits on HDFS/object stores at
+    * cluster scale). The re-run cost of a 100 TB curation job after a
+    * downstream-stage failure is then the failed stage only, not the
+    * whole dedup chain.
+    */
+  def curateResumable(df: DataFrame, id: String, textCol: String, stageDir: String,
+                      minTokens: Int = 20, minQuality: Double = 0.5,
+                      nearDupJaccard: Double = 0.8): DataFrame = {
+    val spark = df.sparkSession
+    def path(stage: String) = s"$stageDir/$stage"
+    def done(stage: String): Boolean = {
+      val marker = new org.apache.hadoop.fs.Path(path(stage), "_SUCCESS")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
+    }
+    def materialize(stage: String, build: => DataFrame): DataFrame = {
+      if (!done(stage)) build.write.mode("overwrite").parquet(path(stage))
+      spark.read.parquet(path(stage))
+    }
+    val exact = materialize("exact_dedup", exactStage(df, id, textCol))
+    val near = materialize("near_dedup", nearStage(exact, id, textCol, nearDupJaccard))
+    materialize("quality_gate", qualityStage(near, id, textCol, minTokens, minQuality))
   }
 
   /** Per-stage survivor counts — the curation funnel a pipeline operator

@@ -66,7 +66,20 @@ object TextCatalog extends Catalog {
 
     "curation_funnel" -> ((s, d) =>
       Curation.funnel(Tables(s, d).documents, "doc_id", "text")),
+
+    // resumable variant: first call materializes the per-stage outputs
+    // (once per JVM and source dir), later calls short-circuit to the
+    // persisted stages — same rows, same oracle as curated_corpus
+    "curated_corpus_resumed" -> ((s, d) => {
+      val dir = TextCatalog.stageDirs.getOrElseUpdate(d,
+        java.nio.file.Files.createTempDirectory("graft-curation-stages").toString)
+      Curation.curateResumable(Tables(s, d).documents, "doc_id", "text", dir)
+        .orderBy("doc_id")
+    }),
   )
+
+  /** Once-per-JVM curation stage dirs, keyed by source dir. */
+  private val stageDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   // -- oracle SQL (shared formula fragments in OracleSql) -------------------
 
@@ -74,6 +87,32 @@ object TextCatalog extends Catalog {
   private val docTokens = OracleSql.docTokens
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Shared by curated_corpus and its resumable variant (same rows). */
+  private lazy val curatedCorpusSql: String =
+    s"""WITH ex AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      min(doc_id) OVER (PARTITION BY md5($norm)) AS canon
+       |    FROM documents)
+       |  WHERE doc_id = canon),
+       |${OracleSql.jaccardPairsCtesFrom("ex")},
+       |kept AS (
+       |  SELECT doc_id, text FROM ex
+       |  WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.8)),
+       |k AS (SELECT doc_id, string_split($norm, ' ') AS w, text FROM kept)
+       |SELECT doc_id, len(w) AS n_tokens,
+       |  least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
+       |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+       |    AS quality_score
+       |FROM k
+       |WHERE len(w) >= 20
+       |  AND least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+       |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
+       |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+       |    >= 0.5
+       |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "text_stats" ->
@@ -188,30 +227,9 @@ object TextCatalog extends Catalog {
          |  doc_id <> min(doc_id) OVER (PARTITION BY md5($norm)) AS is_duplicate
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "curated_corpus" ->
-      s"""WITH ex AS (
-         |  SELECT doc_id, text FROM (
-         |    SELECT doc_id, text,
-         |      min(doc_id) OVER (PARTITION BY md5($norm)) AS canon
-         |    FROM documents)
-         |  WHERE doc_id = canon),
-         |${OracleSql.jaccardPairsCtesFrom("ex")},
-         |kept AS (
-         |  SELECT doc_id, text FROM ex
-         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.8)),
-         |k AS (SELECT doc_id, string_split($norm, ' ') AS w, text FROM kept)
-         |SELECT doc_id, len(w) AS n_tokens,
-         |  least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-         |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
-         |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
-         |    AS quality_score
-         |FROM k
-         |WHERE len(w) >= 20
-         |  AND least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-         |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
-         |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
-         |    >= 0.5
-         |ORDER BY doc_id""".stripMargin,
+    "curated_corpus" -> curatedCorpusSql,
+    // identical rows by construction — resuming must not change the output
+    "curated_corpus_resumed" -> curatedCorpusSql,
 
     // same stage chain as curated_corpus, counted per stage
     "curation_funnel" ->

@@ -212,6 +212,26 @@ class LlmSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("curateResumable short-circuits to persisted stage outputs") {
+    val docs = Tables(spark, sf).documents
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val first = graft.llm.Curation.curateResumable(docs, "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+    assert(first.nonEmpty)
+    // a re-run with EMPTY input returns the same rows: every stage resumes
+    val again = graft.llm.Curation.curateResumable(docs.limit(0), "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+    assert(again.toSeq === first.toSeq)
+    // dropping the final stage recomputes it from the persisted near_dedup
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir/quality_gate"))
+    val resumed = graft.llm.Curation.curateResumable(docs.limit(0), "doc_id", "text", dir)
+      .orderBy("doc_id").collect()
+    assert(resumed.toSeq === first.toSeq)
+  }
+
   test("langId picks the profile with most marker hits, und when none") {
     val df = Seq(
       (1L, "the cat is on the mat and it is fine"),
