@@ -138,17 +138,25 @@ object Views {
   private def preferences(b: DataFrame, key: String, withRating: Boolean): DataFrame =
     preferencesFromCube(categoryCube(b, Seq(key)), key, withRating)
 
+  /** Top-k ordered category array per key from an ALREADY-AGGREGATED cube —
+    * the array-valued sibling of [[preferencesFromCube]], and the top-k
+    * derivation for incrementally-maintained state (a cube kept by
+    * stateful streaming derives bit-identical arrays to a batch recompute).
+    */
+  def topCategoriesFromCube(cube: DataFrame, key: String, k: Int): DataFrame =
+    withKeyWindows(cube, key, withRating = false)
+      .filter(col("__rn") <= k)
+      .groupBy(col(key), col("orders"), col("avg_spend"))
+      .agg(Relational.orderedArrayAggDesc(col("cnt"), col("category"))
+        .as("top_categories"))
+      .orderBy(key)
+
   /** v_location_preferences (bigquery_views.sql:75-100): per-location stats,
     * top-3 categories, re-aggregated into an ordered ARRAY<STRING> — same
     * single-scan window shape, then one fold of the ≤3 rows per location.
     */
   def locationPreferences(t: Tables): DataFrame =
-    withKeyWindows(categoryCube(base(t), Seq("location")), "location", withRating = false)
-      .filter(col("__rn") <= 3)
-      .groupBy(col("location"), col("orders"), col("avg_spend"))
-      .agg(Relational.orderedArrayAggDesc(col("cnt"), col("category"))
-        .as("top_categories"))
-      .orderBy("location")
+    topCategoriesFromCube(categoryCube(base(t), Seq("location")), "location", 3)
 
   /** v_age_gender_category (bigquery_views.sql:103-126): 3-key aggregate. */
   def ageGenderCategory(t: Tables): DataFrame =

@@ -107,26 +107,46 @@ object StreamingCatalog extends Catalog {
     * budget; the memory sink holds group-cardinality rows (segments ×
     * event types), a serving-edge footprint.
     */
-  def replayIncrementalView(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+  /** Replay events through the stateful cube aggregation and return the
+    * final maintained state (complete-mode memory sink — group-cardinality
+    * rows, a serving-edge footprint).
+    */
+  private def replayCube(s: SparkSession, d: String, keys: Seq[String],
+                         timeoutMs: Long): DataFrame = {
     val enriched = graft.streaming.Streams.enriched(replayStream(s, d))
       .withColumn("category", col("event_type"))
-    val cube = graft.streaming.Streams.incrementalCube(
-      enriched, Seq("customer_segment", "category"))
-    val sinkName = "graft_incr_view_" +
+    val cube = graft.streaming.Streams.incrementalCube(enriched, keys)
+    val sinkName = "graft_incr_cube_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = cube.writeStream.format("memory").queryName(sinkName)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     awaitOrFail(q, timeoutMs)
-    graft.shopping.Views.preferencesFromCube(
-      s.table(sinkName), "customer_segment", withRating = false)
+    s.table(sinkName)
   }
+
+  def replayIncrementalView(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame =
+    graft.shopping.Views.preferencesFromCube(
+      replayCube(s, d, Seq("customer_segment", "category"), timeoutMs),
+      "customer_segment", withRating = false)
+
+  /** Top-3 ordered category arrays derived from the SAME maintained cube —
+    * the array-valued view (v_location_preferences shape) over
+    * incrementally-maintained state; array stringified at the oracle
+    * boundary like v_location_preferences.
+    */
+  def replayIncrementalTopK(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame =
+    graft.shopping.Views.topCategoriesFromCube(
+        replayCube(s, d, Seq("customer_segment", "category"), timeoutMs),
+        "customer_segment", 3)
+      .withColumn("top_categories", concat_ws(",", col("top_categories")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_enriched_replay"  -> ((s, d) => replayEnriched(s, d)),
     "stream_view_refresh"     -> ((s, d) => replayViewRefresh(s, d)),
     "stream_incremental_view" -> ((s, d) => replayIncrementalView(s, d)),
+    "stream_incremental_topk" -> ((s, d) => replayIncrementalTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -186,6 +206,33 @@ object StreamingCatalog extends Catalog {
          |SELECT s.customer_segment, s.orders, s.avg_spend,
          |       t.category AS top_category
          |FROM stats s LEFT JOIN top t USING (customer_segment)
+         |ORDER BY s.customer_segment""".stripMargin,
+
+    "stream_incremental_topk" ->
+      s"""WITH b AS (
+         |  SELECT CASE WHEN user_id % 10 = 0 THEN 'VIP'
+         |              WHEN user_id % 10 <= 3 THEN 'Premium'
+         |              WHEN user_id % 10 <= 7 THEN 'Regular'
+         |              ELSE 'New' END AS customer_segment,
+         |         event_type AS category,
+         |         value AS amount
+         |  FROM events
+         |), stats AS (
+         |  SELECT customer_segment, count(*) AS orders,
+         |         ${Catalog.moneyAvgSql("amount")} AS avg_spend
+         |  FROM b GROUP BY customer_segment
+         |), top3 AS (
+         |  SELECT customer_segment, category, count(*) AS category_count
+         |  FROM b GROUP BY customer_segment, category
+         |  QUALIFY row_number() OVER (PARTITION BY customer_segment
+         |    ORDER BY category_count DESC, category ASC) <= 3
+         |)
+         |SELECT s.customer_segment, s.orders, s.avg_spend,
+         |       array_to_string(
+         |         array_agg(t.category ORDER BY t.category_count DESC, t.category ASC),
+         |         ',') AS top_categories
+         |FROM stats s LEFT JOIN top3 t USING (customer_segment)
+         |GROUP BY s.customer_segment, s.orders, s.avg_spend
          |ORDER BY s.customer_segment""".stripMargin,
   )
 }
