@@ -51,10 +51,13 @@ object Similarity {
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   /** Corpus prepared for search: quantized vector + squared norm, computed
-    * once (narrow) so every downstream join reuses them.
+    * once (narrow) so every downstream join reuses them. Idempotent: a
+    * frame that already carries `q`/`n2` passes through, so composed paths
+    * (fit → assign → search) never re-quantize.
     */
   def prepare(df: DataFrame, id: String, vec: String): DataFrame =
-    df.withColumn("q", quantize(col(vec)))
+    if (df.columns.contains("q") && df.columns.contains("n2")) df
+    else df.withColumn("q", quantize(col(vec)))
       .withColumn("n2", norm2Q(col("q")))
 
   /** Brute-force cosine top-k: broadcast the (small) query set against the
@@ -172,8 +175,11 @@ object Similarity {
                         vec: String, k: Int, cells: Int, probes: Int,
                         iters: Int = 3): DataFrame = {
     val model = kmeansFit(corpus, id, vec, cells, iters)
-    val c = corpus.join(model.assign(corpus), Seq(id))
-    val q = queries.join(model.assignTop(queries, probes), Seq(id))
+    // prepare once; assign/assignTop/ivfTopK pass prepared frames through
+    val pc = prepare(corpus, id, vec)
+    val pq = prepare(queries, id, vec)
+    val c = pc.join(model.assign(pc), Seq(id))
+    val q = pq.join(model.assignTop(pq, probes), Seq(id))
     ivfTopK(c, q, id, vec, "cluster", k)
   }
 
