@@ -36,7 +36,12 @@ object ServingCatalog extends Catalog {
         .agg(
           count(lit(1)).as("n_orders"),
           Relational.moneySum(col("value")).as("raw_revenue"),
-          sum(col("final_amount_usd").cast("decimal(18,4)")).cast("double").as("final_revenue"))
+          sum(col("final_amount_usd").cast("decimal(18,4)")).cast("double").as("final_revenue"),
+          Relational.moneyAvg(col("value")).as("avg_order"),
+          // CLV carries 2 decimals; the decimal round-trip makes the mean
+          // summation-order independent (same trick as moneyAvg)
+          round(sum(col("estimated_clv").cast("decimal(20,4)")).cast("double")
+            / count(lit(1)), 4).as("avg_clv"))
     }),
 
     // per-user sessionization (north-star §7.5): same session_window the
@@ -89,7 +94,9 @@ object ServingCatalog extends Catalog {
       s"""WITH e AS (${EnrichCatalog.enrichedSql})
          |SELECT count(*) AS n_orders,
          |       ${Catalog.moneySumSql("value")} AS raw_revenue,
-         |       CAST(sum(fin) AS DOUBLE) AS final_revenue
+         |       CAST(sum(fin) AS DOUBLE) AS final_revenue,
+         |       ${Catalog.moneyAvgSql("value")} AS avg_order,
+         |       round(CAST(sum(fin * CAST(${Enrich.ClvFactor} AS DECIMAL(2,0))) AS DOUBLE) / count(*), 4) AS avg_clv
          |FROM e
          |WHERE user_id % 10 = 0 AND value >= ${Enrich.PremiumMin}""".stripMargin,
 

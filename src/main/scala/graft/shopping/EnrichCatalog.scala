@@ -64,9 +64,33 @@ object EnrichCatalog extends Catalog {
       .agg(
         count(lit(1)).as("n_orders"),
         Relational.moneySum(col("value")).as("revenue"),
-        Relational.moneyAvg(col("value")).as("avg_order"))
+        Relational.moneyAvg(col("value")).as("avg_order"),
+        sum6(col("estimated_profit_usd")).as("total_profit"))
       .orderBy(col("revenue").desc, col("customer_segment"))
   }
+
+  /** VIP ∧ Premium per-category breakdown (streamlit_app.py:703-708):
+    * count / revenue / mean amount / mean CLV per category, revenue
+    * descending.
+    */
+  def vipCategoryBreakdown(t: Tables): DataFrame = {
+    val e = Enrich.enrich(t.events, processedTime = col("ts"))
+    e.filter(col("customer_segment") === "VIP" && col("amount_category") === "Premium")
+      .groupBy(col("event_type").as("category"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Relational.moneySum(col("value")).as("total_revenue"),
+        Relational.moneyAvg(col("value")).as("avg_amount"),
+        round(sum(col("estimated_clv").cast("decimal(20,4)")).cast("double")
+          / count(lit(1)), 4).as("avg_clv"))
+      .orderBy(col("total_revenue").desc, col("category"))
+  }
+
+  /** Anomaly amount distribution (streamlit_app.py:787-795 nbins=30): the
+    * histogram op over the anomalous rows only.
+    */
+  def anomalyHistogram(t: Tables): DataFrame =
+    Relational.histogram(anomalies(t), col("value"), 10.0)
 
   /** Satisfaction × amount-tier crosstab (streamlit_app.py:873-894), with
     * the ordinal column order the reference reindexes to.
@@ -144,6 +168,8 @@ object EnrichCatalog extends Catalog {
     "anomaly_by_category" -> ((s, d) => anomalyByCategory(Tables(s, d))),
     "anomaly_by_location" -> ((s, d) => anomalyByLocation(Tables(s, d))),
     "category_satisfaction_pivot" -> ((s, d) => categorySatisfactionPivot(Tables(s, d))),
+    "vip_category_breakdown" -> ((s, d) => vipCategoryBreakdown(Tables(s, d))),
+    "anomaly_histogram" -> ((s, d) => anomalyHistogram(Tables(s, d))),
   )
 
   /** Shared oracle CTE: the enrichment formulas with the SAME declared
@@ -197,15 +223,37 @@ object EnrichCatalog extends Catalog {
          |FROM e ORDER BY event_id""".stripMargin,
 
     "segment_revenue" ->
-      s"""SELECT CASE WHEN user_id % 10 = 0 THEN 'VIP'
+      s"""WITH e AS ($enrichedSql)
+         |SELECT CASE WHEN user_id % 10 = 0 THEN 'VIP'
          |            WHEN user_id % 10 <= 3 THEN 'Premium'
          |            WHEN user_id % 10 <= 7 THEN 'Regular'
          |            ELSE 'New' END AS customer_segment,
          |  count(*) AS n_orders,
          |  ${Catalog.moneySumSql("value")} AS revenue,
-         |  ${Catalog.moneyAvgSql("value")} AS avg_order
-         |FROM events GROUP BY 1
+         |  ${Catalog.moneyAvgSql("value")} AS avg_order,
+         |  CAST(sum(fin * CAST(${Enrich.ProfitMargin} AS DECIMAL(3,2))) AS DOUBLE) AS total_profit
+         |FROM e GROUP BY 1
          |ORDER BY revenue DESC, customer_segment""".stripMargin,
+
+    "vip_category_breakdown" ->
+      s"""WITH e AS ($enrichedSql)
+         |SELECT event_type AS category,
+         |  count(*) AS n_orders,
+         |  ${Catalog.moneySumSql("value")} AS total_revenue,
+         |  ${Catalog.moneyAvgSql("value")} AS avg_amount,
+         |  round(CAST(sum(fin * CAST(${Enrich.ClvFactor} AS DECIMAL(2,0))) AS DOUBLE) / count(*), 4) AS avg_clv
+         |FROM e
+         |WHERE user_id % 10 = 0 AND value >= ${Enrich.PremiumMin}
+         |GROUP BY 1
+         |ORDER BY total_revenue DESC, category""".stripMargin,
+
+    "anomaly_histogram" ->
+      s"""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+         |       count(*) AS n,
+         |       CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS lo
+         |FROM events
+         |WHERE value > ${Enrich.AnomalyAmount} OR event_type = 'error'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "satisfaction_pivot" ->
       s"""WITH e AS ($enrichedSql),
