@@ -137,6 +137,29 @@ object Similarity {
         .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cluster"))
     }
 
+    /** Margin-based adaptive probe set: every cell whose squared distance
+      * is within `alpha`× the nearest cell's, capped at `maxProbes` (the
+      * nearest cell always probes). Queries near a cell boundary fan out;
+      * central queries stay single-probe — the probe budget concentrates
+      * where recall actually needs it, instead of a fixed width.
+      */
+    def assignAdaptive(df: DataFrame, alpha: Double, maxProbes: Int): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val c = broadcast(centroids.toDF("cid", "cq").withColumn("cn2", norm2Q(col("cq"))))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(id)
+      val scored = prepare(df, id, vec)
+        .crossJoin(c)
+        .select(col(id), col("cid"),
+          (col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")).as("dist"))
+        .withColumn("mind", min(col("dist")).over(w))
+      graft.ops.Relational.topKPerGroup(
+        scored.filter(col("dist") === col("mind")
+          || col("dist").cast("double") <= col("mind").cast("double") * alpha),
+        Seq(id), Seq(col("dist").asc, col("cid").asc), maxProbes)
+        .select(col(id), col("cid").as("cluster"))
+    }
+
     /** The `p` nearest cells per row (multi-probe assignment): `p` rows per
       * input id, deterministic ties on the lower cell id. `p = 1` reduces
       * to [[assign]].
@@ -180,6 +203,22 @@ object Similarity {
     val pq = prepare(queries, id, vec)
     val c = pc.join(model.assign(pc), Seq(id))
     val q = pq.join(model.assignTop(pq, probes), Seq(id))
+    ivfTopK(c, q, id, vec, "cluster", k)
+  }
+
+  /** Adaptive-probe IVF: probe width picked per query from the centroid
+    * distance margin ([[KMeansModel.assignAdaptive]]) instead of a fixed
+    * count — `alpha = 1` degenerates to single-probe, `alpha = ∞` with
+    * `maxProbes = cells` to exact brute force.
+    */
+  def ivfTopKAdaptive(corpus: DataFrame, queries: DataFrame, id: String,
+                      vec: String, k: Int, cells: Int, alpha: Double,
+                      maxProbes: Int, iters: Int = 3): DataFrame = {
+    val model = kmeansFit(corpus, id, vec, cells, iters)
+    val pc = prepare(corpus, id, vec)
+    val pq = prepare(queries, id, vec)
+    val c = pc.join(model.assign(pc), Seq(id))
+    val q = pq.join(model.assignAdaptive(pq, alpha, maxProbes), Seq(id))
     ivfTopK(c, q, id, vec, "cluster", k)
   }
 

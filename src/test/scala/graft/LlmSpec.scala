@@ -186,6 +186,26 @@ class LlmSpec extends SparkSpec {
       s"query $qid: widening probes lowered the best cosine") }
   }
 
+  test("adaptive probing spans single-probe to exact brute force") {
+    val t = Tables(spark, sf)
+    val q = t.embeddings.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "nn_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // alpha = 1: only distance-tied cells probe — same results as the
+    // fixed single-probe path
+    val single = rows(Similarity.ivfTopKAuto(t.embeddings, q, "vec_id", "embedding",
+      k = 5, cells = 4, iters = 2))
+    val tight = rows(Similarity.ivfTopKAdaptive(t.embeddings, q, "vec_id", "embedding",
+      k = 5, cells = 4, alpha = 1.0, maxProbes = 1, iters = 2))
+    assert(tight === single)
+    // an unbounded margin with all cells allowed is exact brute force
+    val wide = rows(Similarity.ivfTopKAdaptive(t.embeddings, q, "vec_id", "embedding",
+      k = 5, cells = 4, alpha = Double.MaxValue, maxProbes = 4, iters = 2))
+    val brute = rows(Similarity.cosineTopK(t.embeddings, q, "vec_id", "embedding", 5))
+    assert(wide === brute)
+  }
+
   test("cellNearDupPairs stays exact when one cell holds nearly everything") {
     // degenerate skew: 28 of 32 vectors in one cell — the within-cell
     // O(cell^2) case the scale notes flag; results must match an
