@@ -36,7 +36,10 @@ object Verify {
       t.join(timeoutMs)
       if (t.isAlive) {
         System.err.println(s"[verify] $name TIMED OUT after $timeoutMs ms — cancelling its jobs")
-        spark.sparkContext.cancelJobGroup(s"verify-$name")
+        // ...AndFutureJobs: a thread stalled in driver-side code (between
+        // jobs) would otherwise keep launching new, uncancelled jobs and
+        // could later write output for a query recorded as timed out
+        spark.sparkContext.cancelJobGroupAndFutureJobs(s"verify-$name")
         t.join(30000)
       }
     }

@@ -66,10 +66,28 @@ object Curation {
                       minTokens: Int = 20, minQuality: Double = 0.5,
                       nearDupJaccard: Double = 0.8): DataFrame = {
     val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    // a stageDir binds to one (input, thresholds) run, like a streaming
+    // checkpoint dir; the threshold fingerprint is enforced so a re-run
+    // with different parameters fails fast instead of silently returning
+    // stages persisted under the old ones (the input is the caller's
+    // responsibility — fingerprinting 100 TB of text is not)
+    val params = s"minTokens=$minTokens,minQuality=$minQuality,nearDupJaccard=$nearDupJaccard"
+    val pMarker = new org.apache.hadoop.fs.Path(stageDir, "_params")
+    val fs = pMarker.getFileSystem(conf)
+    if (fs.exists(pMarker)) {
+      val in = fs.open(pMarker)
+      val existing = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      require(existing == params,
+        s"stageDir $stageDir was built with [$existing], requested [$params] — use a fresh dir")
+    } else {
+      val out = fs.create(pMarker, true)
+      try out.write(params.getBytes("UTF-8")) finally out.close()
+    }
     def path(stage: String) = s"$stageDir/$stage"
     def done(stage: String): Boolean = {
       val marker = new org.apache.hadoop.fs.Path(path(stage), "_SUCCESS")
-      marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
+      marker.getFileSystem(conf).exists(marker)
     }
     def materialize(stage: String, build: => DataFrame): DataFrame = {
       if (!done(stage)) build.write.mode("overwrite").parquet(path(stage))

@@ -53,7 +53,9 @@ object Similarity {
   /** Corpus prepared for search: quantized vector + squared norm, computed
     * once (narrow) so every downstream join reuses them. Idempotent: a
     * frame that already carries `q`/`n2` passes through, so composed paths
-    * (fit → assign → search) never re-quantize.
+    * (fit → assign → search) never re-quantize. `q` and `n2` are therefore
+    * RESERVED column names on similarity inputs — a caller frame carrying
+    * unrelated columns with those names would be passed through unprepared.
     */
   def prepare(df: DataFrame, id: String, vec: String): DataFrame =
     if (df.columns.contains("q") && df.columns.contains("n2")) df
@@ -153,9 +155,14 @@ object Similarity {
         .select(col(id), col("cid"),
           (col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")).as("dist"))
         .withColumn("mind", min(col("dist")).over(w))
+      // the margin floor of 1 (the smallest nonzero quantized distance)
+      // keeps the filter meaningful when the query coincides with its
+      // centroid (mind = 0, where mind * alpha would collapse to 0 and
+      // break the alpha→∞ ≡ brute-force guarantee)
       graft.ops.Relational.topKPerGroup(
         scored.filter(col("dist") === col("mind")
-          || col("dist").cast("double") <= col("mind").cast("double") * alpha),
+          || col("dist").cast("double") <=
+            greatest(col("mind"), lit(1L)).cast("double") * alpha),
         Seq(id), Seq(col("dist").asc, col("cid").asc), maxProbes)
         .select(col(id), col("cid").as("cluster"))
     }
@@ -197,10 +204,11 @@ object Similarity {
   def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame, id: String,
                         vec: String, k: Int, cells: Int, probes: Int,
                         iters: Int = 3): DataFrame = {
-    val model = kmeansFit(corpus, id, vec, cells, iters)
-    // prepare once; assign/assignTop/ivfTopK pass prepared frames through
+    // prepare once, BEFORE the fit: kmeansFit/assign/ivfTopK all call the
+    // idempotent prepare, so the full-corpus quantize pass runs exactly once
     val pc = prepare(corpus, id, vec)
     val pq = prepare(queries, id, vec)
+    val model = kmeansFit(pc, id, vec, cells, iters)
     val c = pc.join(model.assign(pc), Seq(id))
     val q = pq.join(model.assignTop(pq, probes), Seq(id))
     ivfTopK(c, q, id, vec, "cluster", k)
@@ -214,9 +222,9 @@ object Similarity {
   def ivfTopKAdaptive(corpus: DataFrame, queries: DataFrame, id: String,
                       vec: String, k: Int, cells: Int, alpha: Double,
                       maxProbes: Int, iters: Int = 3): DataFrame = {
-    val model = kmeansFit(corpus, id, vec, cells, iters)
     val pc = prepare(corpus, id, vec)
     val pq = prepare(queries, id, vec)
+    val model = kmeansFit(pc, id, vec, cells, iters)
     val c = pc.join(model.assign(pc), Seq(id))
     val q = pq.join(model.assignAdaptive(pq, alpha, maxProbes), Seq(id))
     ivfTopK(c, q, id, vec, "cluster", k)
@@ -232,7 +240,7 @@ object Similarity {
     import spark.implicits._
     val p = prepare(df, id, vec).select(col(id), col("q"), col("n2"))
       .localCheckpoint(false)
-    val dim = p.select(size(col("q"))).head.getInt(0)
+    val dim = p.select(size(col("q"))).head().getInt(0)
 
     def centroidFrame(cs: Seq[(Int, Seq[Long])]) =
       broadcast(cs.toDF("cid", "cq").withColumn("cn2", norm2Q(col("cq"))))

@@ -155,7 +155,11 @@ object EnrichCatalog extends Catalog {
       .count().na.fill(0)
     val ordinal = Seq("Very Satisfied", "Satisfied", "Neutral", "Dissatisfied")
     val present = piv.columns.toSet
-    piv.select(col("category") +: ordinal.filter(present).map(l => col(s"`$l`")): _*)
+    // levels absent from the data surface as zero columns so the output
+    // schema is fixed (the oracle contract needs a deterministic column
+    // set); the pivot's level discovery stays dynamic
+    val ordered = ordinal.map(l => if (present(l)) col(s"`$l`") else lit(0L).as(l))
+    piv.select(col("category") +: ordered: _*)
       .orderBy("category")
   }
 

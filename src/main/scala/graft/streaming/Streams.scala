@@ -133,9 +133,10 @@ object Streams {
         Relational.moneySum(col("value")).as("total_value"))
       .select(col("w.start").as("bucket"), col("n"), col("total_value"))
 
-  /** Incrementally-maintained view core (north-star extension): the same
-    * `(key, category) → (cnt, amount_dec, rating_sum)` cube every analytic
-    * view derives from ([[graft.shopping.Views]]), kept up to date by
+  /** Incrementally-maintained view core (north-star extension): the
+    * `keys → (cnt, amount_dec)` cube the rating-free analytic views derive
+    * from ([[graft.shopping.Views.preferencesFromCube]] /
+    * `topCategoriesFromCube` with `withRating = false`), kept up to date by
     * Spark's stateful streaming aggregation instead of per-batch full
     * recompute. Counts and decimal sums compose associatively, so the
     * incremental state equals the batch cube exactly; downstream stats /

@@ -250,6 +250,12 @@ class LlmSpec extends SparkSpec {
     val resumed = graft.llm.Curation.curateResumable(docs.limit(0), "doc_id", "text", dir)
       .orderBy("doc_id").collect()
     assert(resumed.toSeq === first.toSeq)
+    // resuming under DIFFERENT thresholds must fail fast, not silently
+    // return stages persisted under the old ones
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Curation.curateResumable(docs, "doc_id", "text", dir, minQuality = 0.9)
+    }
+    assert(e.getMessage.contains("use a fresh dir"))
   }
 
   test("langId picks the profile with most marker hits, und when none") {

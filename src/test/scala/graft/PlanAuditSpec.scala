@@ -89,7 +89,8 @@ class PlanAuditSpec extends SparkSpec {
                else "improvement, regenerate the snapshot"))
           case _ => None
         }
-      }
+      } ++ (expected.keySet -- actual.keySet).toSeq.sorted
+        .map(n => s"$n: stale snapshot row (query removed) — regenerate")
       assert(diffs.isEmpty, diffs.mkString("\n"))
     }
   }
