@@ -27,6 +27,18 @@ object OpsCatalog extends Catalog {
     "value_counts" -> ((s, d) =>
       Relational.valueCounts(Tables(s, d).events, "event_type")),
 
+    // skew-safe two-phase aggregation in the gate: the salted partial +
+    // re-aggregated final must equal the direct group-by exactly (counts
+    // and decimal sums re-associate), which is the whole point of the op
+    "salted_segment_counts" -> ((s, d) =>
+      Relational.saltedAgg(
+          Tables(s, d).events, Seq("event_type"), col("user_id"), 16,
+          Seq(count(lit(1)).as("pc"),
+            sum(Relational.moneyDec(col("value"))).as("ps")),
+          Seq(sum(col("pc")).as("n"),
+            sum(col("ps")).cast("double").as("total_value")))
+        .orderBy("event_type")),
+
     "time_bucket_hourly" -> ((s, d) =>
       Relational.timeBucketAgg(
         Tables(s, d).events, col("ts"), "hour",
@@ -68,6 +80,11 @@ object OpsCatalog extends Catalog {
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type ASC""".stripMargin,
+
+    // the oracle is the DIRECT aggregate: salting must be invisible
+    "salted_segment_counts" ->
+      s"""SELECT event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "time_bucket_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,

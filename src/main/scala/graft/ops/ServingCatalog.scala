@@ -16,6 +16,10 @@ object ServingCatalog extends Catalog {
   private val partitionedDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Once-per-JVM range-sorted-layout fixture dirs, keyed by source dir. */
+  private val rangeSortedDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ORDER BY processed_time DESC LIMIT n (streamlit_app.py:188-189)
     "latest_events" -> ((s, d) =>
@@ -71,6 +75,25 @@ object ServingCatalog extends Catalog {
         .orderBy("event_id")
     }),
 
+    // the other half of the write-time-layout story: range-repartition +
+    // in-file sort on a high-cardinality column, read back through a range
+    // predicate — parquet min/max stats skip the non-matching row groups
+    // (LayoutSpec asserts the PushedFilters); same once-per-JVM fixture
+    // treatment as partitioned_scan
+    "range_pruned_scan" -> ((s, d) => {
+      val dir = ServingCatalog.rangeSortedDir.getOrElseUpdate(d, {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-range").toString
+        graft.engine.Layout.writeRangeSorted(
+          Tables(s, d).events.select("event_id", "user_id", "event_type", "value"),
+          tmp, "value")
+        tmp
+      })
+      s.read.parquet(dir)
+        .filter(col("value") >= 450.0)
+        .select(col("event_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // IN-list + boolean + display projection page (streamlit_app.py:998-1011)
     "filtered_display" -> ((s, d) =>
       Serving.displayPage(
@@ -120,6 +143,11 @@ object ServingCatalog extends Catalog {
     "partitioned_scan" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id, value
         |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "range_pruned_scan" ->
+      """SELECT event_id, value
+        |FROM events WHERE value >= 450.0
         |ORDER BY event_id""".stripMargin,
 
     "filtered_display" ->
