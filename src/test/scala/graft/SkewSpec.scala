@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+
+/** Proves the declared skew mitigation for the within-cell pair search
+  * actually engages: with the AQE skew thresholds scaled to test size, a
+  * degenerate cell's shuffle partition is split by OptimizeSkewedJoin.
+  * (The thresholds are the ONLY thing scaled down — the plan mechanics
+  * are identical at 256 MB partitions on a cluster.)
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val skewConfs = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB")
+
+  private def withConfs[A](confs: Map[String, String])(body: => A): A = {
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits the degenerate cell in the pair-search join") {
+    withConfs(skewConfs) {
+      // one cell holds ~98% of the vectors — the cellNearDupPairs worst case
+      val rnd = new scala.util.Random(3)
+      val rows = (0 until 3000).map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat()), 0)) ++
+        (0 until 60).map(i => (10000L + i, Seq.fill(4)(rnd.nextFloat()), 1 + i % 3))
+      val df = rows.toDF("vec_id", "embedding", "cell").repartition(4)
+      val pairs = Similarity.cellNearDupPairs(df, "vec_id", "embedding", "cell", 2.0)
+      // threshold 2.0: zero surviving pairs, but the join runs in full;
+      // collect() executes THIS frame's plan so its adaptive plan finalizes
+      assert(pairs.collect().isEmpty)
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), "adaptive plan finalized")
+      assert(plan.toLowerCase.contains("skewed"),
+        s"expected a skew-split AQEShuffleRead in:\n${plan.take(4000)}")
+    }
+  }
+}
