@@ -198,10 +198,13 @@ object Dedup {
         .select(col(id), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
           .as("cluster_id"))
         .localCheckpoint(false)
-      val changed = next.join(labels.select(col(id), col("cluster_id").as("prev")), Seq(id))
-        .filter(col("cluster_id") =!= col("prev")).count()
+      // existence check, not a count: isEmpty short-circuits at the first
+      // changed row, so the per-iteration convergence probe stops scanning
+      // as soon as it knows the answer
+      converged = next
+        .join(labels.select(col(id), col("cluster_id").as("prev")), Seq(id))
+        .filter(col("cluster_id") =!= col("prev")).isEmpty
       labels = next
-      converged = changed == 0
       iter += 1
     }
     // an unconverged exit would return labels that disagree with the true
