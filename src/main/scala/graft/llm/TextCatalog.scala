@@ -73,18 +73,12 @@ object TextCatalog extends Catalog {
     // (short-circuit reads of the persisted stages); same rows, same
     // oracle as curated_corpus
     "curated_corpus_resumed" -> ((s, d) => {
-      val dir = TextCatalog.stageDirs.getOrElseUpdate(d, {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-curation-stages").toString
-        Curation.curateResumable(Tables(s, d).documents, "doc_id", "text", tmp)
-        tmp
-      })
+      val dir = graft.engine.FixtureDirs("curation-stages", d)(tmp =>
+        Curation.curateResumable(Tables(s, d).documents, "doc_id", "text", tmp))
       Curation.curateResumable(Tables(s, d).documents, "doc_id", "text", dir)
         .orderBy("doc_id")
     }),
   )
-
-  /** Once-per-JVM curation stage dirs, keyed by source dir. */
-  private val stageDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   // -- oracle SQL (shared formula fragments in OracleSql) -------------------
 
@@ -93,9 +87,20 @@ object TextCatalog extends Catalog {
   private def inList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** Shared by curated_corpus and its resumable variant (same rows). */
-  private lazy val curatedCorpusSql: String =
-    s"""WITH ex AS (
+  /** Quality-score formula in DuckDB SQL (mirror of TextOps.qualityScore)
+    * over a frame exposing `w` (token list) and `text` — one source of
+    * truth for text_stats and both curation oracles.
+    */
+  private val qualitySql: String =
+    """least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+      |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
+      |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)""".stripMargin
+
+  /** CTE chain `ex → pairs → kept → k` (exact dedup, near-dup drop,
+    * tokenized survivors) shared by both curation oracles.
+    */
+  private lazy val curationKeptCtes: String =
+    s"""ex AS (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text,
        |      min(doc_id) OVER (PARTITION BY md5($norm)) AS canon
@@ -105,17 +110,17 @@ object TextCatalog extends Catalog {
        |kept AS (
        |  SELECT doc_id, text FROM ex
        |  WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.8)),
-       |k AS (SELECT doc_id, string_split($norm, ' ') AS w, text FROM kept)
+       |k AS (SELECT doc_id, string_split($norm, ' ') AS w, text FROM kept)""".stripMargin
+
+  /** Shared by curated_corpus and its resumable variant (same rows). */
+  private lazy val curatedCorpusSql: String =
+    s"""WITH $curationKeptCtes
        |SELECT doc_id, len(w) AS n_tokens,
-       |  least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-       |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
-       |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+       |  $qualitySql
        |    AS quality_score
        |FROM k
        |WHERE len(w) >= 20
-       |  AND least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-       |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
-       |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+       |  AND $qualitySql
        |    >= 0.5
        |ORDER BY doc_id""".stripMargin
 
@@ -130,9 +135,7 @@ object TextCatalog extends Catalog {
          |  CAST(length(nt) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_token_len,
          |  CAST(len(list_filter(w, t -> t IN ${inList(TextOps.Stopwords)})) AS DOUBLE) / len(w) AS stopword_ratio,
          |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
-         |  least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-         |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
-         |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+         |  $qualitySql
          |    AS quality_score
          |FROM t ORDER BY doc_id""".stripMargin,
 
@@ -238,22 +241,10 @@ object TextCatalog extends Catalog {
 
     // same stage chain as curated_corpus, counted per stage
     "curation_funnel" ->
-      s"""WITH ex AS (
-         |  SELECT doc_id, text FROM (
-         |    SELECT doc_id, text,
-         |      min(doc_id) OVER (PARTITION BY md5($norm)) AS canon
-         |    FROM documents)
-         |  WHERE doc_id = canon),
-         |${OracleSql.jaccardPairsCtesFrom("ex")},
-         |kept AS (
-         |  SELECT doc_id, text FROM ex
-         |  WHERE doc_id NOT IN (SELECT id_b FROM pairs WHERE jaccard >= 0.8)),
-         |k AS (SELECT doc_id, string_split($norm, ' ') AS w, text FROM kept),
+      s"""WITH $curationKeptCtes,
          |q AS (SELECT doc_id FROM k
          |  WHERE len(w) >= 20
-         |    AND least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-         |      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
-         |      + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)
+         |    AND $qualitySql
          |      >= 0.5)
          |SELECT 'input' AS stage, count(*) AS n_docs FROM documents
          |UNION ALL SELECT 'exact_dedup', count(*) FROM ex

@@ -12,13 +12,6 @@ import graft.shopping.{Enrich, EnrichCatalog}
   */
 object ServingCatalog extends Catalog {
 
-  /** Once-per-JVM partitioned-layout fixture dirs, keyed by source dir. */
-  private val partitionedDir =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** Once-per-JVM range-sorted-layout fixture dirs, keyed by source dir. */
-  private val rangeSortedDir =
-    scala.collection.concurrent.TrieMap.empty[String, String]
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ORDER BY processed_time DESC LIMIT n (streamlit_app.py:188-189)
@@ -63,11 +56,8 @@ object ServingCatalog extends Catalog {
     // test, not part of the query; re-writing it per run would charge write
     // cost to every bench repetition of a read-side pruning proof
     "partitioned_scan" -> ((s, d) => {
-      val dir = ServingCatalog.partitionedDir.getOrElseUpdate(d, {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
-        graft.engine.Layout.writePartitionedBy(Tables(s, d).events, tmp, "event_type")
-        tmp
-      })
+      val dir = graft.engine.FixtureDirs("part", d)(tmp =>
+        graft.engine.Layout.writePartitionedBy(Tables(s, d).events, tmp, "event_type"))
       s.read.parquet(dir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), Relational.tsStr(col("ts")).as("ts"),
@@ -81,13 +71,10 @@ object ServingCatalog extends Catalog {
     // (LayoutSpec asserts the PushedFilters); same once-per-JVM fixture
     // treatment as partitioned_scan
     "range_pruned_scan" -> ((s, d) => {
-      val dir = ServingCatalog.rangeSortedDir.getOrElseUpdate(d, {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-range").toString
+      val dir = graft.engine.FixtureDirs("range", d)(tmp =>
         graft.engine.Layout.writeRangeSorted(
           Tables(s, d).events.select("event_id", "user_id", "event_type", "value"),
-          tmp, "value")
-        tmp
-      })
+          tmp, "value"))
       s.read.parquet(dir)
         .filter(col("value") >= 450.0)
         .select(col("event_id"), col("value"))

@@ -176,6 +176,15 @@ object EnrichCatalog extends Catalog {
     "anomaly_histogram" -> ((s, d) => anomalyHistogram(Tables(s, d))),
   )
 
+  /** The customer-segment CASE in DuckDB SQL — one source of truth for
+    * every oracle that groups or filters by segment.
+    */
+  val segmentCaseSql: String =
+    """CASE WHEN user_id % 10 = 0 THEN 'VIP'
+      |       WHEN user_id % 10 <= 3 THEN 'Premium'
+      |       WHEN user_id % 10 <= 7 THEN 'Regular'
+      |       ELSE 'New' END""".stripMargin
+
   /** Shared oracle CTE: the enrichment formulas with the SAME declared
     * constants as [[Enrich]] (decimal-exact money math, mirrored verbatim).
     */
@@ -228,10 +237,7 @@ object EnrichCatalog extends Catalog {
 
     "segment_revenue" ->
       s"""WITH e AS ($enrichedSql)
-         |SELECT CASE WHEN user_id % 10 = 0 THEN 'VIP'
-         |            WHEN user_id % 10 <= 3 THEN 'Premium'
-         |            WHEN user_id % 10 <= 7 THEN 'Regular'
-         |            ELSE 'New' END AS customer_segment,
+         |SELECT $segmentCaseSql AS customer_segment,
          |  count(*) AS n_orders,
          |  ${Catalog.moneySumSql("value")} AS revenue,
          |  ${Catalog.moneyAvgSql("value")} AS avg_order,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.engine.Catalog
-import graft.shopping.EnrichCatalog
+import graft.shopping.{Enrich, EnrichCatalog, Views}
 
 /** Driver-contract registration that runs the REAL streaming path inside
   * the correctness gate: replay the events table through a file-source
@@ -75,9 +75,9 @@ object StreamingCatalog extends Catalog {
       col("amount_category"),
       col("event_type").as("category"),
       col("value").as("amount"),
-      graft.shopping.Enrich.rating(col("props")).cast("double").as("rating"))
-    graft.shopping.Views.preferencesFromCube(
-      graft.shopping.Views.categoryCube(b, Seq("amount_category")),
+      Enrich.rating(col("props")).cast("double").as("rating"))
+    Views.preferencesFromCube(
+      Views.categoryCube(b, Seq("amount_category")),
       "amount_category", withRating = true)
   }
 
@@ -89,7 +89,7 @@ object StreamingCatalog extends Catalog {
   def replayViewRefresh(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
     val base = Files.createTempDirectory("graft-view-refresh").toString
     @volatile var state: DataFrame = null
-    val q = graft.streaming.Streams.consumeWithViewRefresh(
+    val q = Streams.consumeWithViewRefresh(
       s, replayStream(s, d), s"$base/sink", s"$base/ckpt",
       full => state = streamViewState(full),
       Trigger.AvailableNow())
@@ -98,24 +98,20 @@ object StreamingCatalog extends Catalog {
     state
   }
 
-  /** Incrementally-maintained view state in the gate: replay events through
-    * the STATEFUL streaming aggregation ([[Streams.incrementalCube]],
-    * complete mode — counts and decimal sums compose associatively, so the
-    * maintained state is exactly the batch cube), then derive the
-    * preferences view from the final cube. This is the scale path that
-    * replaces per-batch full recompute once the sink outgrows the refresh
-    * budget; the memory sink holds group-cardinality rows (segments ×
-    * event types), a serving-edge footprint.
-    */
-  /** Replay events through the stateful cube aggregation and return the
-    * final maintained state (complete-mode memory sink — group-cardinality
-    * rows, a serving-edge footprint).
+  /** Replay events through the STATEFUL streaming aggregation
+    * ([[Streams.incrementalCube]], complete mode — counts and decimal sums
+    * compose associatively, so the maintained state is exactly the batch
+    * cube) and return the final state. The memory sink holds
+    * group-cardinality rows (segments × event types), a serving-edge
+    * footprint. Deriving views from this maintained cube is the scale path
+    * that replaces per-batch full recompute once the sink outgrows the
+    * refresh budget.
     */
   private def replayCube(s: SparkSession, d: String, keys: Seq[String],
                          timeoutMs: Long): DataFrame = {
-    val enriched = graft.streaming.Streams.enriched(replayStream(s, d))
+    val enriched = Streams.enriched(replayStream(s, d))
       .withColumn("category", col("event_type"))
-    val cube = graft.streaming.Streams.incrementalCube(enriched, keys)
+    val cube = Streams.incrementalCube(enriched, keys)
     val sinkName = "graft_incr_cube_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val q = cube.writeStream.format("memory").queryName(sinkName)
@@ -127,7 +123,7 @@ object StreamingCatalog extends Catalog {
   }
 
   def replayIncrementalView(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame =
-    graft.shopping.Views.preferencesFromCube(
+    Views.preferencesFromCube(
       replayCube(s, d, Seq("customer_segment", "category"), timeoutMs),
       "customer_segment", withRating = false)
 
@@ -137,7 +133,7 @@ object StreamingCatalog extends Catalog {
     * boundary like v_location_preferences.
     */
   def replayIncrementalTopK(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame =
-    graft.shopping.Views.topCategoriesFromCube(
+    Views.topCategoriesFromCube(
         replayCube(s, d, Seq("customer_segment", "category"), timeoutMs),
         "customer_segment", 3)
       .withColumn("top_categories", concat_ws(",", col("top_categories")))
@@ -157,9 +153,9 @@ object StreamingCatalog extends Catalog {
     // same declared enrichment constants (mirrors ViewsCatalog.prefOracle)
     "stream_view_refresh" ->
       s"""WITH b AS (
-         |  SELECT CASE WHEN value >= ${graft.shopping.Enrich.PremiumMin} THEN 'Premium'
-         |              WHEN value >= ${graft.shopping.Enrich.HighMin} THEN 'High'
-         |              WHEN value >= ${graft.shopping.Enrich.MediumMin} THEN 'Medium'
+         |  SELECT CASE WHEN value >= ${Enrich.PremiumMin} THEN 'Premium'
+         |              WHEN value >= ${Enrich.HighMin} THEN 'High'
+         |              WHEN value >= ${Enrich.MediumMin} THEN 'Medium'
          |              ELSE 'Low' END AS amount_category,
          |         event_type AS category,
          |         value AS amount,
@@ -185,19 +181,7 @@ object StreamingCatalog extends Catalog {
     // oracle is the plain batch SQL — the whole point is that the stateful
     // stream's final cube derives the identical view
     "stream_incremental_view" ->
-      s"""WITH b AS (
-         |  SELECT CASE WHEN user_id % 10 = 0 THEN 'VIP'
-         |              WHEN user_id % 10 <= 3 THEN 'Premium'
-         |              WHEN user_id % 10 <= 7 THEN 'Regular'
-         |              ELSE 'New' END AS customer_segment,
-         |         event_type AS category,
-         |         value AS amount
-         |  FROM events
-         |), stats AS (
-         |  SELECT customer_segment, count(*) AS orders,
-         |         ${Catalog.moneyAvgSql("amount")} AS avg_spend
-         |  FROM b GROUP BY customer_segment
-         |), top AS (
+      s"""WITH $incrementalBaseCtes, top AS (
          |  SELECT customer_segment, category, count(*) AS category_count
          |  FROM b GROUP BY customer_segment, category
          |  QUALIFY row_number() OVER (PARTITION BY customer_segment
@@ -209,19 +193,7 @@ object StreamingCatalog extends Catalog {
          |ORDER BY s.customer_segment""".stripMargin,
 
     "stream_incremental_topk" ->
-      s"""WITH b AS (
-         |  SELECT CASE WHEN user_id % 10 = 0 THEN 'VIP'
-         |              WHEN user_id % 10 <= 3 THEN 'Premium'
-         |              WHEN user_id % 10 <= 7 THEN 'Regular'
-         |              ELSE 'New' END AS customer_segment,
-         |         event_type AS category,
-         |         value AS amount
-         |  FROM events
-         |), stats AS (
-         |  SELECT customer_segment, count(*) AS orders,
-         |         ${Catalog.moneyAvgSql("amount")} AS avg_spend
-         |  FROM b GROUP BY customer_segment
-         |), top3 AS (
+      s"""WITH $incrementalBaseCtes, top3 AS (
          |  SELECT customer_segment, category, count(*) AS category_count
          |  FROM b GROUP BY customer_segment, category
          |  QUALIFY row_number() OVER (PARTITION BY customer_segment
@@ -235,4 +207,19 @@ object StreamingCatalog extends Catalog {
          |GROUP BY s.customer_segment, s.orders, s.avg_spend
          |ORDER BY s.customer_segment""".stripMargin,
   )
+
+  /** Shared CTE prefix of both incremental-view oracles: the segment/
+    * category/amount mapping of raw events plus the per-segment stats.
+    */
+  private lazy val incrementalBaseCtes: String =
+    s"""b AS (
+       |  SELECT ${EnrichCatalog.segmentCaseSql} AS customer_segment,
+       |         event_type AS category,
+       |         value AS amount
+       |  FROM events
+       |), stats AS (
+       |  SELECT customer_segment, count(*) AS orders,
+       |         ${Catalog.moneyAvgSql("amount")} AS avg_spend
+       |  FROM b GROUP BY customer_segment
+       |)""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.llm.{Dedup, Similarity, TextOps}
+import graft.llm.{Curation, Dedup, Similarity, TextOps}
 
 /** Cross-validation and property checks for the LLM-pipeline operators. */
 class LlmSpec extends SparkSpec {
@@ -235,11 +235,11 @@ class LlmSpec extends SparkSpec {
   test("curateResumable short-circuits to persisted stage outputs") {
     val docs = Tables(spark, sf).documents
     val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
-    val first = graft.llm.Curation.curateResumable(docs, "doc_id", "text", dir)
+    val first = Curation.curateResumable(docs, "doc_id", "text", dir)
       .orderBy("doc_id").collect()
     assert(first.nonEmpty)
     // a re-run with EMPTY input returns the same rows: every stage resumes
-    val again = graft.llm.Curation.curateResumable(docs.limit(0), "doc_id", "text", dir)
+    val again = Curation.curateResumable(docs.limit(0), "doc_id", "text", dir)
       .orderBy("doc_id").collect()
     assert(again.toSeq === first.toSeq)
     // dropping the final stage recomputes it from the persisted near_dedup
@@ -247,13 +247,13 @@ class LlmSpec extends SparkSpec {
       if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
     }
     rm(new java.io.File(s"$dir/quality_gate"))
-    val resumed = graft.llm.Curation.curateResumable(docs.limit(0), "doc_id", "text", dir)
+    val resumed = Curation.curateResumable(docs.limit(0), "doc_id", "text", dir)
       .orderBy("doc_id").collect()
     assert(resumed.toSeq === first.toSeq)
     // resuming under DIFFERENT thresholds must fail fast, not silently
     // return stages persisted under the old ones
     val e = intercept[IllegalArgumentException] {
-      graft.llm.Curation.curateResumable(docs, "doc_id", "text", dir, minQuality = 0.9)
+      Curation.curateResumable(docs, "doc_id", "text", dir, minQuality = 0.9)
     }
     assert(e.getMessage.contains("use a fresh dir"))
   }
@@ -282,7 +282,7 @@ class LlmSpec extends SparkSpec {
   }
 
   test("curateStats reports a monotone survivor funnel") {
-    val stats = graft.llm.Curation.curateStats(
+    val stats = Curation.curateStats(
       Tables(spark, sf).documents, "doc_id", "text").toMap
     assert(stats("input") === 500)
     assert(stats("exact_dedup") <= stats("input"))
