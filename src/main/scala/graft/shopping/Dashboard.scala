@@ -56,10 +56,15 @@ final class Dashboard(spark: SparkSession, dataDir: String,
     Relational.timeBucketAgg(enrichedOrders.get(), col("ts"), "hour",
       Seq(count(lit(1)).as("n"), Relational.moneySum(col("value")).as("revenue")))
 
-  /** The analysis tabs (streamlit_app.py:769-894). */
+  /** The analysis tabs (streamlit_app.py:680-894). */
   def segmentRevenue(): DataFrame = EnrichCatalog.segmentRevenue(t)
   def satisfactionPivot(): DataFrame = EnrichCatalog.satisfactionPivot(t)
   def anomalyHourly(): DataFrame = EnrichCatalog.anomalyHourly(t)
+  def anomalyByCategory(): DataFrame = EnrichCatalog.anomalyByCategory(t)
+  def anomalyByLocation(): DataFrame = EnrichCatalog.anomalyByLocation(t)
+  def anomalyHistogram(): DataFrame = EnrichCatalog.anomalyHistogram(t)
+  def categorySatisfactionPivot(): DataFrame = EnrichCatalog.categorySatisfactionPivot(t)
+  def vipCategoryBreakdown(): DataFrame = EnrichCatalog.vipCategoryBreakdown(t)
 
   /** Filter-widget domains (streamlit_app.py:984,990). */
   def eventTypes(): DataFrame = Serving.distinctValues(enrichedOrders.get(), "event_type")

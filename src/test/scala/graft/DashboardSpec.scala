@@ -27,6 +27,16 @@ class DashboardSpec extends SparkSpec {
     assert(dash.eventTypes().count() === 5)
   }
 
+  test("analysis-tab fetchers serve the anomaly and VIP breakdowns") {
+    assert(dash.anomalyByCategory().columns.toSeq ===
+      Seq("category", "n_anomalies", "total_amount"))
+    assert(dash.anomalyByLocation().count() <= 15)
+    assert(dash.anomalyHistogram().columns.toSeq === Seq("bin", "n", "lo"))
+    assert(dash.categorySatisfactionPivot().columns.toSeq ===
+      Seq("category", "Very Satisfied", "Satisfied", "Neutral", "Dissatisfied"))
+    assert(dash.vipCategoryBreakdown().columns.contains("avg_clv"))
+  }
+
   test("ttl caching reuses the same plan within the window") {
     val d1 = dash.agePreferences()
     val d2 = dash.agePreferences()
