@@ -12,7 +12,6 @@ import graft.shopping.{Enrich, EnrichCatalog}
   */
 object ServingCatalog extends Catalog {
 
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ORDER BY processed_time DESC LIMIT n (streamlit_app.py:188-189)
     "latest_events" -> ((s, d) =>

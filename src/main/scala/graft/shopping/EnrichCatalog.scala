@@ -185,6 +185,15 @@ object EnrichCatalog extends Catalog {
       |       WHEN user_id % 10 <= 7 THEN 'Regular'
       |       ELSE 'New' END""".stripMargin
 
+  /** The amount-tier CASE in DuckDB SQL — one source of truth for every
+    * oracle that buckets by amount category.
+    */
+  val amountCaseSql: String =
+    s"""CASE WHEN value >= ${Enrich.PremiumMin} THEN 'Premium'
+       |       WHEN value >= ${Enrich.HighMin} THEN 'High'
+       |       WHEN value >= ${Enrich.MediumMin} THEN 'Medium'
+       |       ELSE 'Low' END""".stripMargin
+
   /** Shared oracle CTE: the enrichment formulas with the SAME declared
     * constants as [[Enrich]] (decimal-exact money math, mirrored verbatim).
     */
@@ -202,14 +211,8 @@ object EnrichCatalog extends Catalog {
   val derivedSql: String =
     s"""strftime(ts, '%Y-%m-%d %H:%M:%S') AS processed_time,
        |  CAST(fin AS DOUBLE) AS final_amount_usd,
-       |  CASE WHEN value >= ${Enrich.PremiumMin} THEN 'Premium'
-       |       WHEN value >= ${Enrich.HighMin} THEN 'High'
-       |       WHEN value >= ${Enrich.MediumMin} THEN 'Medium'
-       |       ELSE 'Low' END AS amount_category,
-       |  CASE WHEN user_id % 10 = 0 THEN 'VIP'
-       |       WHEN user_id % 10 <= 3 THEN 'Premium'
-       |       WHEN user_id % 10 <= 7 THEN 'Regular'
-       |       ELSE 'New' END AS customer_segment,
+       |  $amountCaseSql AS amount_category,
+       |  $segmentCaseSql AS customer_segment,
        |  CASE WHEN rating >= 5 THEN 'Very Satisfied'
        |       WHEN rating = 4 THEN 'Satisfied'
        |       WHEN rating = 3 THEN 'Neutral'
@@ -272,10 +275,7 @@ object EnrichCatalog extends Catalog {
          |       WHEN rating = 4 THEN 'Satisfied'
          |       WHEN rating = 3 THEN 'Neutral'
          |       ELSE 'Dissatisfied' END AS satisfaction_level,
-         |  CASE WHEN value >= ${Enrich.PremiumMin} THEN 'Premium'
-         |       WHEN value >= ${Enrich.HighMin} THEN 'High'
-         |       WHEN value >= ${Enrich.MediumMin} THEN 'Medium'
-         |       ELSE 'Low' END AS amount_category
+         |  $amountCaseSql AS amount_category
          |FROM e)
          |SELECT satisfaction_level,
          |  CAST(sum(CASE WHEN amount_category = 'Low' THEN 1 ELSE 0 END) AS BIGINT) AS "Low",

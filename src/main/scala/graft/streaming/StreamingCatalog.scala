@@ -153,10 +153,7 @@ object StreamingCatalog extends Catalog {
     // same declared enrichment constants (mirrors ViewsCatalog.prefOracle)
     "stream_view_refresh" ->
       s"""WITH b AS (
-         |  SELECT CASE WHEN value >= ${Enrich.PremiumMin} THEN 'Premium'
-         |              WHEN value >= ${Enrich.HighMin} THEN 'High'
-         |              WHEN value >= ${Enrich.MediumMin} THEN 'Medium'
-         |              ELSE 'Low' END AS amount_category,
+         |  SELECT ${EnrichCatalog.amountCaseSql} AS amount_category,
          |         event_type AS category,
          |         value AS amount,
          |         CAST(json_extract_string(props, '$$.k') AS BIGINT) % 5 + 1 AS rating
