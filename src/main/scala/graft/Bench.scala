@@ -31,9 +31,14 @@ object Bench {
 
     // full untimed warmup pass: primes codegen/JIT and the once-per-JVM
     // fixtures (partitioned layout, curation stages), so the timed pass
-    // measures steady-state query cost for every query
+    // measures steady-state query cost for every query. Warmup failures are
+    // logged (not swallowed): a fixture that failed to prime would otherwise
+    // silently rebuild inside its first timed repetition.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(n => try run(n) catch { case _: Throwable => () })
+    names.foreach(n => try run(n) catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup of $n failed: ${e.getMessage}")
+    })
 
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = names.map { name =>

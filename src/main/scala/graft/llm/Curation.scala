@@ -98,26 +98,84 @@ object Curation {
     materialize("quality_gate", qualityStage(near, id, textCol, minTokens, minQuality))
   }
 
+  /** Every doc labelled with the FIRST pipeline stage that drops it
+    * (`exact_dup_loser` → `near_dup_loser` → `quality_fail`) or
+    * `survivor` — the single-pass basis for the funnel and for per-stage
+    * drop accounting. Unlike unioning the four stage frames (which
+    * re-plans each pipeline prefix — the document scan and fingerprint
+    * window three times, the LSH verify chain twice), every upstream job
+    * here runs once: the fingerprint window materializes once (checkpoint,
+    * it feeds both the labels and the near-dup chain's input), the LSH
+    * chain runs once over the exact survivors, and the quality score is a
+    * narrow projection carried alongside.
+    */
+  def exitStages(df: DataFrame, id: String, textCol: String,
+                 minTokens: Int = 20, minQuality: Double = 0.5,
+                 nearDupJaccard: Double = 0.8): DataFrame = {
+    val text: Column = col(textCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    // one fingerprint window over the corpus, quality flag carried narrow;
+    // checkpointed because it feeds two branches (labels + near-dup input)
+    val base = df.select(col(id), text,
+        TextOps.fingerprintMd5(text).as("fingerprint"),
+        (TextOps.tokenCount(text) >= minTokens &&
+          TextOps.qualityScore(text) >= minQuality).as("quality_ok"))
+      .withColumn("exact_loser", col(id) =!= min(col(id)).over(w))
+      .select(col(id), text, col("quality_ok"), col("exact_loser"))
+      .localCheckpoint(false)
+    // near-dup losers among the exact survivors; the loser set is pair-graph
+    // sized (≪ corpus), so the join back onto base broadcasts
+    val losers = Dedup.nearDupPairs(
+        base.filter(!col("exact_loser")).select(col(id), text),
+        id, textCol, nearDupJaccard)
+      .select(col("id_b").as(id)).distinct()
+      .withColumn("near_loser", lit(true))
+    base.join(losers, Seq(id), "left")
+      .select(col(id),
+        when(col("exact_loser"), lit("exact_dup_loser"))
+          .when(coalesce(col("near_loser"), lit(false)), lit("near_dup_loser"))
+          .when(!col("quality_ok"), lit("quality_fail"))
+          .otherwise(lit("survivor")).as("exit_stage"))
+  }
+
+  /** The four funnel counts as ONE aggregate row over the exit-stage
+    * labels: each stage's survivor count is the docs that made it PAST
+    * every earlier drop — a running subtraction expressed as conditional
+    * counts, so the whole funnel is one job.
+    */
+  private def funnelAgg(labels: DataFrame): DataFrame =
+    labels.agg(
+      count(lit(1)).as("input"),
+      count(when(col("exit_stage") =!= "exact_dup_loser", lit(1))).as("exact_dedup"),
+      count(when(!col("exit_stage").isin("exact_dup_loser", "near_dup_loser"), lit(1)))
+        .as("near_dedup"),
+      count(when(col("exit_stage") === "survivor", lit(1))).as("quality_gate"))
+
   /** Per-stage survivor counts — the curation funnel a pipeline operator
     * watches ("silent caps" made loud: how many docs each stage dropped).
+    * ONE action over the single-pass labels, not four sequential counts.
     */
   def curateStats(df: DataFrame, id: String, textCol: String,
                   minTokens: Int = 20, minQuality: Double = 0.5,
-                  nearDupJaccard: Double = 0.8): Seq[(String, Long)] =
-    stages(df, id, textCol, minTokens, minQuality, nearDupJaccard)
-      .map { case (name, frame) => name -> frame.count() }
+                  nearDupJaccard: Double = 0.8): Seq[(String, Long)] = {
+    val r = funnelAgg(exitStages(df, id, textCol, minTokens, minQuality, nearDupJaccard))
+      .head()
+    Seq("input" -> r.getLong(0), "exact_dedup" -> r.getLong(1),
+      "near_dedup" -> r.getLong(2), "quality_gate" -> r.getLong(3))
+  }
 
-  /** The funnel as ONE DataFrame (`stage, n_docs`) — a lazy union of the
-    * four stage counts, no driver-side actions, so it registers in the
-    * correctness gate and ships as a side output of a curation run.
+  /** The funnel as ONE DataFrame (`stage, n_docs`) — the single aggregate
+    * row pivoted to four rows, no driver-side actions, so it registers in
+    * the correctness gate and ships as a side output of a curation run.
     */
   def funnel(df: DataFrame, id: String, textCol: String,
              minTokens: Int = 20, minQuality: Double = 0.5,
-             nearDupJaccard: Double = 0.8): DataFrame =
-    stages(df, id, textCol, minTokens, minQuality, nearDupJaccard)
-      .map { case (name, frame) =>
-        frame.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
-      }
-      .reduce(_ union _)
+             nearDupJaccard: Double = 0.8): DataFrame = {
+    val stageCols = Seq("input", "exact_dedup", "near_dedup", "quality_gate")
+    funnelAgg(exitStages(df, id, textCol, minTokens, minQuality, nearDupJaccard))
+      .select(explode(array(stageCols.map(s =>
+        struct(lit(s).as("stage"), col(s).as("n_docs"))): _*)).as("f"))
+      .select(col("f.stage"), col("f.n_docs"))
       .orderBy("stage")
+  }
 }

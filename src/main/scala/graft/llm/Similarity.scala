@@ -50,17 +50,44 @@ object Similarity {
   def cosineQ(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
+  /** Column-metadata marker stamped on `q` by [[prepare]], recording which
+    * vector column it quantized — the machine-checked form of the reserved-
+    * name contract (metadata survives select/alias/join propagation).
+    */
+  private val PreparedForKey = "graft.similarity.preparedFor"
+
   /** Corpus prepared for search: quantized vector + squared norm, computed
     * once (narrow) so every downstream join reuses them. Idempotent: a
-    * frame that already carries `q`/`n2` passes through, so composed paths
-    * (fit → assign → search) never re-quantize. `q` and `n2` are therefore
-    * RESERVED column names on similarity inputs — a caller frame carrying
-    * unrelated columns with those names would be passed through unprepared.
+    * frame already prepared FROM THE SAME `vec` column passes through, so
+    * composed paths (fit → assign → search) never re-quantize. `q`/`n2`
+    * are RESERVED column names on similarity inputs, and the contract is
+    * enforced: a frame carrying those names without [[prepare]]'s metadata
+    * marker (or prepared from a different vector column) fails fast instead
+    * of silently skipping quantization.
     */
   def prepare(df: DataFrame, id: String, vec: String): DataFrame =
-    if (df.columns.contains("q") && df.columns.contains("n2")) df
-    else df.withColumn("q", quantize(col(vec)))
-      .withColumn("n2", norm2Q(col("q")))
+    if (df.columns.contains("q") || df.columns.contains("n2")) {
+      val qOk = df.columns.contains("q") && df.columns.contains("n2") && {
+        val qf = df.schema("q")
+        (qf.dataType match {
+          case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+          case _ => false
+        }) && df.schema("n2").dataType == org.apache.spark.sql.types.LongType &&
+          qf.metadata.contains(PreparedForKey) &&
+          qf.metadata.getString(PreparedForKey) == vec
+      }
+      require(qOk,
+        s"q/n2 are reserved similarity columns: this frame carries them but they " +
+          s"were not produced by prepare(_, _, $vec) — rename the caller's columns " +
+          s"or prepare from the intended vector column")
+      df
+    } else {
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(PreparedForKey, vec).build()
+      df.withColumn("q", quantize(col(vec)))
+        .withMetadata("q", md)
+        .withColumn("n2", norm2Q(col("q")))
+    }
 
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, score in one narrow pass, keep k per query via the ranking
@@ -158,11 +185,22 @@ object Similarity {
       // the margin floor of 1 (the smallest nonzero quantized distance)
       // keeps the filter meaningful when the query coincides with its
       // centroid (mind = 0, where mind * alpha would collapse to 0 and
-      // break the alpha→∞ ≡ brute-force guarantee)
+      // break the alpha→∞ ≡ brute-force guarantee). The compare runs in
+      // DECIMAL, not DOUBLE: long distances reach dim·2^50 > 2^53, where a
+      // double round-trip loses low bits and can misclassify borderline
+      // cells. dist < 10^19 fits DECIMAL(19,0) exactly; alpha is rounded
+      // to 6 decimals (a probe-width dial, not a precise quantity), so the
+      // (19,0)×(13,6) product stays inside DECIMAL(33,6) — exact.
+      val withinMargin =
+        // alpha ≥ 1e18 passes every possible distance (dist < 2^63 ≤
+        // 1e18 × mind-floor), so ∞/MaxValue-style "unbounded" dials skip
+        // the decimal literal (whose precision would overflow) entirely
+        if (alpha >= 1e18) lit(true)
+        else col("dist").cast("decimal(19,0)") <=
+          greatest(col("mind"), lit(1L)).cast("decimal(19,0)") *
+            lit(BigDecimal(alpha).setScale(6, BigDecimal.RoundingMode.HALF_UP))
       graft.ops.Relational.topKPerGroup(
-        scored.filter(col("dist") === col("mind")
-          || col("dist").cast("double") <=
-            greatest(col("mind"), lit(1L)).cast("double") * alpha),
+        scored.filter(col("dist") === col("mind") || withinMargin),
         Seq(id), Seq(col("dist").asc, col("cid").asc), maxProbes)
         .select(col(id), col("cid").as("cluster"))
     }

@@ -46,13 +46,18 @@ object SimilarityCatalog extends Catalog {
       Similarity.cellStats(Tables(s, d).embeddings, "embedding", "label")
         .orderBy("label", "dim")),
 
-    // IVF build: deterministic integer k-means assignment (rows-only: the
-    // iterative build has no practical single-statement SQL oracle; the
-    // clustering property is unit-tested in LlmSpec)
-    "ivf_kmeans_assign" -> ((s, d) =>
-      Similarity.kmeansAssign(Tables(s, d).embeddings, "vec_id", "embedding",
-          k = 8, iters = 3)
-        .orderBy("vec_id")),
+    // IVF build: deterministic integer k-means. The FIT is iterative (no
+    // single-statement oracle), but it is deterministic by construction —
+    // so the fitted centroids are captured here and the ASSIGNMENT is
+    // oracled as nearest-centroid SQL over a VALUES table of the k×dim
+    // centroid longs (kmeansOracle below). Verify dumps oracle_sql.json
+    // AFTER running every query, so the capture is always populated.
+    "ivf_kmeans_assign" -> ((s, d) => {
+      val model = Similarity.kmeansFit(Tables(s, d).embeddings, "vec_id",
+        "embedding", k = 8, iters = 3)
+      fittedCentroids = Some(model.centroids)
+      model.assign(Tables(s, d).embeddings).orderBy("vec_id")
+    }),
 
     // the same brute-force top-k through the pure SQL surface: the native
     // expressions registered by GraftExtensions (dot_q / quantize_q) over
@@ -90,6 +95,40 @@ object SimilarityCatalog extends Catalog {
     }),
   )
 
+  /** Centroids of the last `ivf_kmeans_assign` fit in this JVM — the
+    * deterministic fit output, republished to the oracle side.
+    */
+  @volatile private var fittedCentroids: Option[Seq[(Int, Seq[Long])]] = None
+
+  /** Nearest-centroid assignment oracle over the captured centroid table:
+    * same exact-integer distance (n2 - 2·dot + cn2), same lower-cid
+    * tie-break as [[Similarity.KMeansModel.assign]]. Present only once the
+    * assign query has fitted (absent → the driver's rows-only fallback,
+    * exactly the pre-capture behavior).
+    */
+  private def kmeansOracle: Option[(String, String)] = fittedCentroids.map { cs =>
+    val values = cs.map { case (cid, cq) =>
+      s"($cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+    }.mkString(",\n    ")
+    "ivf_kmeans_assign" ->
+      s"""WITH $prepSql,
+         |c(cid, cq) AS (VALUES
+         |    $values),
+         |cn AS (SELECT cid, cq,
+         |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+         |  FROM c),
+         |scored AS (
+         |  SELECT pn.vec_id, cn.cid,
+         |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+         |                 FROM (SELECT unnest(pn.q) AS x, unnest(cn.cq) AS y))
+         |      + cn.cn2 AS dist
+         |  FROM pn CROSS JOIN cn)
+         |SELECT vec_id, cid AS cluster FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY dist ASC, cid ASC) = 1
+         |ORDER BY vec_id""".stripMargin
+  }
+
   /** Quantized vectors + exact integer norms (oracle side). */
   private val prepSql =
     s"""p AS (SELECT vec_id, label,
@@ -100,7 +139,7 @@ object SimilarityCatalog extends Catalog {
        |  FROM (SELECT vec_id, unnest(q) AS x FROM p) GROUP BY vec_id),
        |pn AS (SELECT p.vec_id, p.label, p.q, n.n2 FROM p JOIN n USING (vec_id))""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = kmeansOracle.toMap ++ Map(
     "cosine_topk" ->
       s"""WITH $prepSql,
          |scored AS (

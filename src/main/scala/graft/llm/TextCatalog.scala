@@ -67,6 +67,11 @@ object TextCatalog extends Catalog {
     "curation_funnel" -> ((s, d) =>
       Curation.funnel(Tables(s, d).documents, "doc_id", "text")),
 
+    // the single-pass labeling the funnel derives from, oracled per doc
+    "curation_exit_stages" -> ((s, d) =>
+      Curation.exitStages(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id")),
+
     // resumable variant: the per-stage outputs materialize ONCE per (JVM,
     // source dir) as the fixture — stage writes are eager inside
     // curateResumable — so the registered query measures a RESUMED run
@@ -251,5 +256,19 @@ object TextCatalog extends Catalog {
          |UNION ALL SELECT 'near_dedup', count(*) FROM kept
          |UNION ALL SELECT 'quality_gate', count(*) FROM q
          |ORDER BY stage""".stripMargin,
+
+    // per-doc first-drop labels: membership in each successive stage CTE
+    "curation_exit_stages" ->
+      s"""WITH $curationKeptCtes,
+         |q AS (SELECT doc_id FROM k
+         |  WHERE len(w) >= 20
+         |    AND $qualitySql
+         |      >= 0.5)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM ex) THEN 'exact_dup_loser'
+         |       WHEN d.doc_id NOT IN (SELECT doc_id FROM kept) THEN 'near_dup_loser'
+         |       WHEN d.doc_id NOT IN (SELECT doc_id FROM q) THEN 'quality_fail'
+         |       ELSE 'survivor' END AS exit_stage
+         |FROM documents d ORDER BY d.doc_id""".stripMargin,
   )
 }

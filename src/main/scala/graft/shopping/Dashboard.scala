@@ -66,6 +66,16 @@ final class Dashboard(spark: SparkSession, dataDir: String,
   def categorySatisfactionPivot(): DataFrame = EnrichCatalog.categorySatisfactionPivot(t)
   def vipCategoryBreakdown(): DataFrame = EnrichCatalog.vipCategoryBreakdown(t)
 
+  /** Distribution tiles (streamlit_app.py:426-462,727,950-966). */
+  def topCategoriesByVolume(limit: Int = 10): DataFrame =
+    Serving.topN(Relational.valueCounts(enrichedOrders.get(), "event_type"),
+      Seq(col("n").desc, col("event_type")), limit)
+  def topCategoriesByRevenue(): DataFrame = EnrichCatalog.categoryRevenueTop10(t)
+  def amountHistogram(): DataFrame = EnrichCatalog.amountHistogram(t)
+  def amountCategoryCounts(): DataFrame = EnrichCatalog.amountCategoryCounts(t)
+  def frequencyCategoryCounts(): DataFrame = EnrichCatalog.frequencyCategoryCounts(t)
+  def vipLoyaltyCounts(): DataFrame = EnrichCatalog.vipLoyaltyCounts(t)
+
   /** Filter-widget domains (streamlit_app.py:984,990). */
   def eventTypes(): DataFrame = Serving.distinctValues(enrichedOrders.get(), "event_type")
   def segments(): DataFrame = Serving.distinctValues(enrichedOrders.get(), "customer_segment")

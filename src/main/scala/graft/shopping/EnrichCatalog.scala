@@ -163,6 +163,43 @@ object EnrichCatalog extends Catalog {
       .orderBy("category")
   }
 
+  /** Enriched frame shared by the distribution tiles below. */
+  private def enriched(t: Tables): DataFrame =
+    Enrich.enrich(t.events, processedTime = col("ts"))
+
+  /** Amount-tier order counts (streamlit_app.py:950-957 value_counts bar). */
+  def amountCategoryCounts(t: Tables): DataFrame =
+    Relational.valueCounts(enriched(t), "amount_category")
+
+  /** Frequency-tier order counts (streamlit_app.py:961-966 pie). */
+  def frequencyCategoryCounts(t: Tables): DataFrame =
+    Relational.valueCounts(enriched(t), "frequency_category")
+
+  /** Loyalty-score distribution of VIP ∧ Premium orders
+    * (streamlit_app.py:727-733 donut).
+    */
+  def vipLoyaltyCounts(t: Tables): DataFrame =
+    Relational.valueCounts(
+      enriched(t).filter(col("customer_segment") === "VIP" &&
+        col("amount_category") === "Premium"),
+      "loyalty_score")
+
+  /** Top-10 categories by revenue (streamlit_app.py:440-449): group-sum,
+    * revenue-descending, bounded — TakeOrderedAndProject, no global sort.
+    */
+  def categoryRevenueTop10(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("event_type").as("category"))
+      .agg(Relational.moneySum(col("value")).as("revenue"))
+      .orderBy(col("revenue").desc, col("category"))
+      .limit(10)
+
+  /** All-orders amount distribution (streamlit_app.py:455-462 nbins=50):
+    * the histogram op bound to the full table, not just the anomaly subset.
+    */
+  def amountHistogram(t: Tables): DataFrame =
+    Relational.histogram(t.events, col("value"), 10.0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "enriched_orders"    -> ((s, d) => enrichedEvents(Tables(s, d))),
     "enriched_metrics"   -> ((s, d) => enrichedMetrics(Tables(s, d))),
@@ -174,6 +211,11 @@ object EnrichCatalog extends Catalog {
     "category_satisfaction_pivot" -> ((s, d) => categorySatisfactionPivot(Tables(s, d))),
     "vip_category_breakdown" -> ((s, d) => vipCategoryBreakdown(Tables(s, d))),
     "anomaly_histogram" -> ((s, d) => anomalyHistogram(Tables(s, d))),
+    "amount_category_counts" -> ((s, d) => amountCategoryCounts(Tables(s, d))),
+    "frequency_category_counts" -> ((s, d) => frequencyCategoryCounts(Tables(s, d))),
+    "vip_loyalty_counts" -> ((s, d) => vipLoyaltyCounts(Tables(s, d))),
+    "category_revenue_top10" -> ((s, d) => categoryRevenueTop10(Tables(s, d))),
+    "amount_histogram" -> ((s, d) => amountHistogram(Tables(s, d))),
   )
 
   /** The customer-segment CASE in DuckDB SQL — one source of truth for
@@ -193,6 +235,13 @@ object EnrichCatalog extends Catalog {
        |       WHEN value >= ${Enrich.HighMin} THEN 'High'
        |       WHEN value >= ${Enrich.MediumMin} THEN 'Medium'
        |       ELSE 'Low' END""".stripMargin
+
+  /** The frequency-tier CASE in DuckDB SQL (mirror of derivedSql's). */
+  val frequencyCaseSql: String =
+    """CASE WHEN user_id % 7 <= 1 THEN 'Rare'
+      |       WHEN user_id % 7 <= 4 THEN 'Occasional'
+      |       WHEN user_id % 7 = 5 THEN 'Frequent'
+      |       ELSE 'Very Frequent' END""".stripMargin
 
   /** Shared oracle CTE: the enrichment formulas with the SAME declared
     * constants as [[Enrich]] (decimal-exact money math, mirrored verbatim).
@@ -318,6 +367,36 @@ object EnrichCatalog extends Catalog {
          |  CAST(sum(CASE WHEN rating <= 2 OR rating IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "Dissatisfied"
          |FROM e GROUP BY event_type
          |ORDER BY category""".stripMargin,
+
+    "amount_category_counts" ->
+      s"""SELECT $amountCaseSql AS amount_category, count(*) AS n
+         |FROM events
+         |GROUP BY 1 ORDER BY n DESC, amount_category ASC""".stripMargin,
+
+    "frequency_category_counts" ->
+      s"""SELECT $frequencyCaseSql AS frequency_category, count(*) AS n
+         |FROM events
+         |GROUP BY 1 ORDER BY n DESC, frequency_category ASC""".stripMargin,
+
+    "vip_loyalty_counts" ->
+      s"""SELECT CAST((user_id * 31 + 7) % 101 AS INTEGER) AS loyalty_score,
+         |  count(*) AS n
+         |FROM events
+         |WHERE user_id % 10 = 0 AND value >= ${Enrich.PremiumMin}
+         |GROUP BY 1 ORDER BY n DESC, loyalty_score ASC""".stripMargin,
+
+    "category_revenue_top10" ->
+      s"""SELECT event_type AS category,
+         |  ${Catalog.moneySumSql("value")} AS revenue
+         |FROM events
+         |GROUP BY 1 ORDER BY revenue DESC, category LIMIT 10""".stripMargin,
+
+    "amount_histogram" ->
+      s"""SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+         |       count(*) AS n,
+         |       CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS lo
+         |FROM events
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "enriched_metrics" ->
       s"""WITH e AS ($enrichedSql)

@@ -62,6 +62,15 @@ object StreamingCatalog extends Catalog {
       .trigger(Trigger.AvailableNow())
       .start()
     awaitOrFail(q, timeoutMs)
+    // per-batch profile to stderr: separates micro-batch cost (addBatch =
+    // the enrich+sink write) from fixed query overhead, so a slow replay is
+    // attributable from the log instead of re-instrumented (the r3 bench's
+    // 15 s replay reading proved to be machine variance — r4 re-measure ran
+    // the same code at 2 s — and this keeps the next drift diagnosable)
+    q.recentProgress.foreach { p =>
+      System.err.println(s"[replay] batch ${p.batchId}: rows=${p.numInputRows} " +
+        s"durationMs=${p.durationMs}")
+    }
     s.read.parquet(s"$base/sink").orderBy("event_id")
   }
 

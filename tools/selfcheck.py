@@ -47,6 +47,13 @@ def main():
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        # _SUCCESS gate: a per-task committer interrupted by Verify's query
+        # timeout can leave committed part files with no _SUCCESS marker —
+        # partial rows must fail, not verify
+        if not os.path.exists(f"{out_dir}/{name}/_SUCCESS"):
+            print(f"FAIL {name}: incomplete output (no _SUCCESS)")
+            n_fail += 1
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
