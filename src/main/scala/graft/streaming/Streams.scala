@@ -1,12 +1,29 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.ops.Relational
 import graft.shopping.{Enrich, Views}
+
+/** One exploded band row of a record's SimHash: `bandKey` is
+  * (band index, 15-bit slice) packed into a long — the LSH bucket key the
+  * streaming near-dup state shards on.
+  */
+final case class SimHashBandRow(bandKey: Long, eventId: Long,
+                                ts: java.sql.Timestamp, fp: Long)
+
+/** Per-band near-dup verdict for one record: `near` = some fingerprint
+  * seen earlier in this band bucket is within the hamming threshold.
+  */
+final case class SimHashFlag(eventId: Long, bandKey: Long, near: Boolean)
+
+/** Watermark-bounded state of one band bucket: the full 60-bit
+  * fingerprints seen (each fp is stored in `bands` buckets total).
+  */
+final case class SimHashBandState(fps: List[Long])
 
 /** The streaming ingest tier (SURVEY §2.5): the reference's off-repo
   * "Consumer Spark" job — file-source readStream → per-record enrichment →
@@ -159,6 +176,79 @@ object Streams {
                   watermark: String = "1 hour"): DataFrame =
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming NEAR-duplicate signal (north-star extension) — the in-flight
+    * tier of the dedup stack for near-dups, not just exact keys: each
+    * record's 60-bit SimHash fingerprint is checked against everything seen
+    * within the watermark horizon, and flagged if any prior fingerprint is
+    * within `maxHamming` bits.
+    *
+    * Shape (the scale-safe one — never all-pairs): the fingerprint is split
+    * into `bands` slices (LSH banding of the hamming space); by pigeonhole,
+    * two fingerprints differing in ≤ bands-1 bits agree on at least one
+    * whole slice, so checking only same-slice buckets is EXACT for
+    * `maxHamming ≤ bands - 1` — zero misses, and zero false flags because
+    * the bucket check verifies true hamming distance over the full stored
+    * fingerprints. State shards on the band key (hash-partitioned across
+    * executors) and expires on event-time timeout once the watermark passes
+    * `stateTtlMs`, like `dropDuplicatesWithinWatermark`'s key state.
+    *
+    * Emits one flag per (record, band); a record's verdict is the OR of its
+    * `bands` flags — a plain batch aggregate, done per micro-batch in the
+    * consumer ([[nearDupVerdicts]]) to keep this a single stateful operator.
+    * Input must carry an event-time `ts`, a long `idCol`, and the long
+    * `fpCol` (e.g. [[graft.llm.TextOps.simHashAgg]]'s `fp_simhash`).
+    */
+  def simHashNearDupFlags(stream: DataFrame, idCol: String, fpCol: String,
+                          maxHamming: Int = 3, bands: Int = 4,
+                          watermark: String = "1 hour",
+                          stateTtlMs: Long = 3600000L): Dataset[SimHashFlag] = {
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs > $maxHamming bands for exact banding recall (got $bands)")
+    require(60 % bands == 0, s"bands=$bands must divide the 60-bit fingerprint")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val width = 60 / bands
+    val mask = (1L << width) - 1
+    val keys = (0 until bands).map { i =>
+      lit(i.toLong * (mask + 1)) +
+        shiftright(col(fpCol), i * width).bitwiseAND(lit(mask))
+    }
+    stream
+      .withWatermark("ts", watermark)
+      .select(explode(array(keys: _*)).as("bandKey"),
+        col(idCol).cast("long").as("eventId"), col("ts"), col(fpCol).as("fp"))
+      .as[SimHashBandRow]
+      .groupByKey(_.bandKey)
+      .flatMapGroupsWithState[SimHashBandState, SimHashFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[SimHashBandRow], state: GroupState[SimHashBandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.map(_.fps).getOrElse(Nil)
+            // deterministic within-batch order: earlier events register
+            // before later ones test against them
+            val out = it.toSeq.sortBy(r => (r.ts.getTime, r.eventId)).map { r =>
+              val near = seen.exists(s => java.lang.Long.bitCount(s ^ r.fp) <= maxHamming)
+              if (!seen.contains(r.fp)) seen = r.fp :: seen
+              SimHashFlag(r.eventId, key, near)
+            }
+            state.update(SimHashBandState(seen))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** Per-record verdict over [[simHashNearDupFlags]] output: a record is a
+    * near-dup if ANY of its band buckets flagged it. A plain batch
+    * aggregate — run it inside `foreachBatch` (all of a record's band rows
+    * are exploded from one input row, so they land in the same micro-batch)
+    * or over the collected sink.
+    */
+  def nearDupVerdicts(flags: DataFrame): DataFrame =
+    flags.groupBy(col("eventId").as("event_id"))
+      .agg(max(col("near")).as("is_near_dup"))
 
   /** Watermarked stream-stream inner join (north-star extension): match
     * each left event with right events of the same key within

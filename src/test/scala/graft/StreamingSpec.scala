@@ -14,6 +14,9 @@ import graft.streaming.Streams
 case class RawEvent(event_id: Long, ts: Timestamp, user_id: Long,
                     event_type: String, value: Double, props: String)
 
+/** Fingerprinted record for the streaming simhash near-dup signal. */
+case class FpEvent(event_id: Long, ts: Timestamp, fp: Long)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -172,6 +175,40 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(60000)
     val ids = spark.table("stream_dedup").select("event_id").collect().map(_.getLong(0))
     assert(ids.length === 20 && ids.toSet.size === 20)
+  }
+
+  test("streaming simhash dedup flags a NEAR-dup replay within the watermark") {
+    // deterministic 60-bit fingerprints, pairwise hamming far above the
+    // threshold (asserted below, so the negative cases can't flake)
+    def mix(i: Long): Long = {
+      var z = i * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      (z ^ (z >>> 27)) & ((1L << 60) - 1)
+    }
+    val base = (0L until 10L).map(i => FpEvent(i, Timestamp.valueOf("2024-03-01 10:00:00"), mix(i)))
+    for (a <- base; b <- base if a.event_id < b.event_id)
+      assert(java.lang.Long.bitCount(a.fp ^ b.fp) > 6, "fixture fps must be far apart")
+    // id 100: fp of id 3 with 3 bits flipped (hamming 3 — a near-dup, not
+    // an exact replay); id 101: a fresh far-away fingerprint
+    val replay = Seq(
+      FpEvent(100, Timestamp.valueOf("2024-03-01 10:05:00"), base(3).fp ^ 0x2100000001L),
+      FpEvent(101, Timestamp.valueOf("2024-03-01 10:05:00"), mix(42)))
+    assert(java.lang.Long.bitCount(base(3).fp ^ replay.head.fp) === 3)
+
+    val input = MemoryStream[FpEvent](spark)
+    input.addData(base: _*)
+    input.addData(replay: _*)
+    val q = Streams.simHashNearDupFlags(input.toDF(), "event_id", "fp")
+      .writeStream.format("memory").queryName("stream_simhash_flags")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val verdicts = Streams.nearDupVerdicts(spark.table("stream_simhash_flags"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(verdicts.size === 12)
+    assert(verdicts(100L), "a 3-bit-flipped near-dup replay must be flagged")
+    assert(!verdicts(101L), "an unrelated fingerprint must pass")
+    assert(base.forall(e => !verdicts(e.event_id)), "originals must pass")
   }
 
   test("stream-stream join matches purchases to views within the window") {
