@@ -24,6 +24,7 @@ object SparkEntry {
     graft.llm.TextCatalog,
     graft.llm.DedupCatalog,
     graft.llm.SimilarityCatalog,
+    graft.llm.CorpusCatalog,
     graft.llm.MultimodalCatalog,
     graft.streaming.StreamingCatalog,
   )

@@ -1,0 +1,84 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for a large-scale training-data pipeline:
+  * deterministic stratified sampling, token-budget shard packing, and
+  * benchmark decontamination — the steps between "curated corpus" and
+  * "training shards" that the dedup/quality tier ([[Curation]]) feeds.
+  *
+  * Everything is deterministic and partitioning-independent (md5-derived
+  * hashes, id-ordered windows), so a re-run on any cluster layout produces
+  * the identical sample/packing — and the DuckDB oracle can reproduce it
+  * bit-for-bit.
+  */
+object Corpus {
+
+  /** Deterministic per-row bucket in [0, 1000): md5-derived from the salted
+    * id, so the keep decision is a pure function of the row — no RNG, no
+    * partitioning dependence; sampling 100 TB is a narrow filter.
+    */
+  def sampleHash(idCol: Column, salt: String): Column =
+    pmod(TextOps.hash60(concat(lit(salt + ":"), idCol.cast("string"))), lit(1000L))
+
+  /** Per-stratum deterministic sampling (corpus rebalancing): each stratum
+    * keeps ~`rates(stratum)` of its rows (`defaultRate` for unlisted
+    * strata), rates quantized to 1/1000. The standard mixture-tuning step
+    * (up-weight scarce languages, down-sample the dominant one) as a single
+    * codegen'd filter.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "sample"): DataFrame = {
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit((defaultRate * 1000).toLong)) {
+      case (acc, (s, r)) =>
+        when(col(strataCol) === s, lit((r * 1000).toLong)).otherwise(acc)
+    }
+    df.filter(sampleHash(col(idCol), salt) < rateCol)
+  }
+
+  /** Token-budget shard packing: docs are packed, in deterministic id order
+    * within each stratum, into shards of ~`tokensPerShard` tokens —
+    * `shard_id = floor(tokens-before-this-doc / budget)`. One shuffle on
+    * the stratum key; the running sum is sequential per stratum BY DESIGN
+    * (packing is order-defined), so at 100 TB the stratum is chosen fine
+    * enough (lang × date bucket) that no single stratum serializes the job.
+    * Exact while per-stratum token totals stay under 2^53 (~36 PB of text).
+    */
+  def packShards(df: DataFrame, idCol: String, strataCol: String,
+                 textCol: String, tokensPerShard: Long): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(strataCol),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(tokensPerShard)))
+  }
+
+  /** Benchmark decontamination scores: for every corpus doc, the fraction
+    * of its word n-gram shingles that appear ANYWHERE in the benchmark set
+    * (containment, the standard eval-leak test — Jaccard would dilute a
+    * fully-contained short doc against a large benchmark). Docs shorter
+    * than `n` tokens have no shingles and are the exact-dedup tier's job.
+    *
+    * Shape: benchmark shingles are distinct-reduced first (benchmarks are
+    * tiny next to the corpus, so the join side broadcasts / AQE picks), the
+    * corpus side is one shingle explode → left join → per-doc aggregate —
+    * never doc×doc pairs.
+    */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame, id: String,
+                          textCol: String, n: Int = 3): DataFrame = {
+    val bsh = Dedup.shingleRows(benchmark, id, textCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(true))
+    Dedup.shingleRows(corpus, id, textCol, n)
+      .join(bsh, Seq("shingle"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("hit"), lit(1))).as("n_overlap"))
+      .select(col(id), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("containment"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Tables}
+
+/** Driver-contract registrations for the corpus-management tier over
+  * `documents`: stratified sampling, shard packing, decontamination.
+  *
+  * All three are hash/window-deterministic, so the DuckDB oracles are exact
+  * mirrors (same md5-derived sample hash, same running-sum window frame,
+  * same shingle containment).
+  */
+object CorpusCatalog extends Catalog {
+
+  /** Mixture dial: up-keep scarce zh, halve dominant en, quarter the rest. */
+  val SampleRates = Map("en" -> 0.5, "zh" -> 1.0)
+  val DefaultRate = 0.25
+  val TokensPerShard = 2000L
+  val BenchmarkSource = "src0" // the held-out eval slice in the fixture data
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stratified_sample" -> ((s, d) =>
+      Corpus.stratifiedSample(Tables(s, d).documents, "doc_id", "lang",
+          SampleRates, DefaultRate)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "token_shard_packing" -> ((s, d) =>
+      Corpus.packShards(Tables(s, d).documents, "doc_id", "lang", "text",
+          TokensPerShard)
+        .orderBy("doc_id")),
+
+    "benchmark_contamination" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Corpus.contaminationScores(
+          docs.filter(col("source") =!= BenchmarkSource),
+          docs.filter(col("source") === BenchmarkSource),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "stratified_sample" -> {
+      val cases = SampleRates.toSeq.sortBy(_._1).reverse
+        .foldLeft((DefaultRate * 1000).toLong.toString) { case (acc, (s, r)) =>
+          s"CASE WHEN lang = '$s' THEN ${(r * 1000).toLong} ELSE $acc END"
+        }
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${OracleSql.h60("'sample:' || CAST(doc_id AS VARCHAR)")} % 1000
+         |  < $cases
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "token_shard_packing" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    len(string_split(${OracleSql.norm}, ' ')) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, n_tokens,
+         |    coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+         |  FROM t)
+         |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(floor(run / ${TokensPerShard}.0) AS BIGINT) AS shard_id
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "benchmark_contamination" ->
+      s"""WITH tt AS (SELECT doc_id, source,
+         |    string_split(${OracleSql.norm}, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |    list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
+         |                   FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM tt WHERE len(w) >= 3),
+         |bench AS (SELECT DISTINCT unnest(s) AS shingle FROM sh
+         |          WHERE source = '$BenchmarkSource'),
+         |corp AS (SELECT doc_id, unnest(s) AS shingle FROM sh
+         |         WHERE source <> '$BenchmarkSource'),
+         |per AS (SELECT c.doc_id, count(*) AS n_shingles,
+         |          count(b.shingle) AS n_overlap
+         |        FROM corp c LEFT JOIN bench b USING (shingle)
+         |        GROUP BY c.doc_id)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  CAST(n_overlap AS DOUBLE) / n_shingles AS containment
+         |FROM per ORDER BY doc_id""".stripMargin,
+  )
+}

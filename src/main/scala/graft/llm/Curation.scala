@@ -19,11 +19,16 @@ object Curation {
     */
   def curate(df: DataFrame, id: String, textCol: String,
              minTokens: Int = 20, minQuality: Double = 0.5,
-             nearDupJaccard: Double = 0.8): DataFrame =
-    stages(df, id, textCol, minTokens, minQuality, nearDupJaccard).last._2
+             nearDupJaccard: Double = 0.8): DataFrame = {
+    val (base, losers) = labeledBase(df, id, textCol, nearDupJaccard)
+    base.filter(!col("exact_loser"))
+      .join(losers, Seq(id), "left_anti")
+      .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+      .select(col(id), col("n_tokens"), col("quality_score"))
+  }
 
-  /** The pipeline with its intermediate frames, in order — the basis for
-    * per-stage drop accounting ([[curateStats]]) and stage-level reuse.
+  /** The per-stage builders [[curateResumable]] persists one at a time
+    * (the non-resumable paths fuse them via [[labeledBase]] instead).
     */
   private def exactStage(df: DataFrame, id: String, textCol: String): DataFrame =
     df.join(
@@ -42,16 +47,6 @@ object Curation {
         TextOps.tokenCount(text).as("n_tokens"),
         TextOps.qualityScore(text).as("quality_score"))
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
-  }
-
-  def stages(df: DataFrame, id: String, textCol: String,
-             minTokens: Int = 20, minQuality: Double = 0.5,
-             nearDupJaccard: Double = 0.8): Seq[(String, DataFrame)] = {
-    val exactKept = exactStage(df, id, textCol)
-    val nearKept = nearStage(exactKept, id, textCol, nearDupJaccard)
-    val curated = qualityStage(nearKept, id, textCol, minTokens, minQuality)
-    Seq("input" -> df, "exact_dedup" -> exactKept,
-      "near_dedup" -> nearKept, "quality_gate" -> curated)
   }
 
   /** Resumable curation: every stage persists its survivors under
@@ -98,43 +93,50 @@ object Curation {
     materialize("quality_gate", qualityStage(near, id, textCol, minTokens, minQuality))
   }
 
+  /** The one-pass basis every non-resumable entry point shares: the corpus
+    * with its exact-dup flag and quality stats carried narrow (ONE
+    * fingerprint window, checkpointed — it feeds both the caller's
+    * filter/labels branch and the near-dup chain's input), plus the
+    * near-dup loser id set among the exact survivors (the LSH verify chain
+    * runs once; the loser set is pair-graph sized, ≪ corpus, so joins
+    * against it broadcast).
+    */
+  private def labeledBase(df: DataFrame, id: String, textCol: String,
+                          nearDupJaccard: Double): (DataFrame, DataFrame) = {
+    val text: Column = col(textCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    val base = df.select(col(id), text,
+        TextOps.fingerprintMd5(text).as("fingerprint"),
+        TextOps.tokenCount(text).as("n_tokens"),
+        TextOps.qualityScore(text).as("quality_score"))
+      .withColumn("exact_loser", col(id) =!= min(col(id)).over(w))
+      .select(col(id), text, col("n_tokens"), col("quality_score"), col("exact_loser"))
+      .localCheckpoint(false)
+    val losers = Dedup.nearDupPairs(
+        base.filter(!col("exact_loser")).select(col(id), text),
+        id, textCol, nearDupJaccard)
+      .select(col("id_b").as(id)).distinct()
+    (base, losers)
+  }
+
   /** Every doc labelled with the FIRST pipeline stage that drops it
     * (`exact_dup_loser` → `near_dup_loser` → `quality_fail`) or
     * `survivor` — the single-pass basis for the funnel and for per-stage
     * drop accounting. Unlike unioning the four stage frames (which
     * re-plans each pipeline prefix — the document scan and fingerprint
     * window three times, the LSH verify chain twice), every upstream job
-    * here runs once: the fingerprint window materializes once (checkpoint,
-    * it feeds both the labels and the near-dup chain's input), the LSH
-    * chain runs once over the exact survivors, and the quality score is a
-    * narrow projection carried alongside.
+    * here runs once ([[labeledBase]]).
     */
   def exitStages(df: DataFrame, id: String, textCol: String,
                  minTokens: Int = 20, minQuality: Double = 0.5,
                  nearDupJaccard: Double = 0.8): DataFrame = {
-    val text: Column = col(textCol)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
-    // one fingerprint window over the corpus, quality flag carried narrow;
-    // checkpointed because it feeds two branches (labels + near-dup input)
-    val base = df.select(col(id), text,
-        TextOps.fingerprintMd5(text).as("fingerprint"),
-        (TextOps.tokenCount(text) >= minTokens &&
-          TextOps.qualityScore(text) >= minQuality).as("quality_ok"))
-      .withColumn("exact_loser", col(id) =!= min(col(id)).over(w))
-      .select(col(id), text, col("quality_ok"), col("exact_loser"))
-      .localCheckpoint(false)
-    // near-dup losers among the exact survivors; the loser set is pair-graph
-    // sized (≪ corpus), so the join back onto base broadcasts
-    val losers = Dedup.nearDupPairs(
-        base.filter(!col("exact_loser")).select(col(id), text),
-        id, textCol, nearDupJaccard)
-      .select(col("id_b").as(id)).distinct()
-      .withColumn("near_loser", lit(true))
-    base.join(losers, Seq(id), "left")
+    val (base, losers) = labeledBase(df, id, textCol, nearDupJaccard)
+    base.join(losers.withColumn("near_loser", lit(true)), Seq(id), "left")
       .select(col(id),
         when(col("exact_loser"), lit("exact_dup_loser"))
           .when(coalesce(col("near_loser"), lit(false)), lit("near_dup_loser"))
-          .when(!col("quality_ok"), lit("quality_fail"))
+          .when(!(col("n_tokens") >= minTokens &&
+            col("quality_score") >= minQuality), lit("quality_fail"))
           .otherwise(lit("survivor")).as("exit_stage"))
   }
 

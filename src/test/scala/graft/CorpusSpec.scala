@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.llm.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf).documents
+
+  test("stratified sample is deterministic and partitioning-independent") {
+    val rates = Map("en" -> 0.5, "zh" -> 1.0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Corpus.stratifiedSample(df, "doc_id", "lang", rates, 0.25)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    assert(a === ids(docs.repartition(13)), "sample must not depend on layout")
+    // zh keeps everything at rate 1.0
+    val zh = docs.filter(col("lang") === "zh").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(zh.subsetOf(a))
+    // strata actually thin out: the sample is a strict subset overall
+    assert(a.size < docs.count())
+  }
+
+  test("shard packing respects the running token budget within each stratum") {
+    val packed = Corpus.packShards(docs, "doc_id", "lang", "text", 500L)
+      .orderBy("lang", "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2), r.getLong(3)))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_._2).foreach { case (_, _, nTok, shard) =>
+        assert(shard === run / 500L, "shard = floor(tokens-before / budget)")
+        run += nTok
+      }
+    }
+    assert(packed.map(_._4).max > 0, "fixture spans multiple shards")
+  }
+
+  test("contamination is 1.0 for a benchmark-contained doc and 0.0 for a disjoint one") {
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // fully contained
+      (11L, "one two three four five six"),         // disjoint
+      (12L, "alpha beta gamma nine ten eleven")     // 1 of 4 shingles shared
+    ).toDF("doc_id", "text")
+    val got = Corpus.contaminationScores(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(10L) === 1.0)
+    assert(got(11L) === 0.0)
+    assert(got(12L) === 0.25)
+  }
+}
