@@ -81,4 +81,28 @@ object Corpus {
       .select(col(id), col("n_shingles"), col("n_overlap"),
         (col("n_overlap").cast("double") / col("n_shingles")).as("containment"))
   }
+
+  /** Embedding-tier decontamination: each corpus vector's maximum cosine
+    * against the benchmark set, flagged at `threshold` — catches eval leaks
+    * that survive paraphrase (where n-gram containment goes blind). Same
+    * shape as the brute-force search baseline: broadcast the (small)
+    * benchmark side, one narrow scoring pass over the corpus, per-partition
+    * partial max — no corpus self-join, exact quantized-integer arithmetic.
+    */
+  def embeddingContamination(corpus: DataFrame, benchmark: DataFrame,
+                             id: String, vec: String,
+                             threshold: Double): DataFrame = {
+    val c = Similarity.prepare(corpus, id, vec)
+      .select(col(id), col("q").as("cq"), col("n2").as("cn2"))
+    val b = Similarity.prepare(benchmark, id, vec)
+      .select(col("q").as("bq"), col("n2").as("bn2"))
+    c.crossJoin(broadcast(b))
+      .select(col(id),
+        Similarity.cosineQ(Similarity.dotQ(col("cq"), col("bq")),
+          col("cn2"), col("bn2")).as("cosine"))
+      .groupBy(col(id))
+      .agg(max(col("cosine")).as("max_cosine"))
+      .select(col(id), col("max_cosine"),
+        (col("max_cosine") >= threshold).as("is_contaminated"))
+  }
 }

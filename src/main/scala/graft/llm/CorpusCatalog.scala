@@ -19,6 +19,8 @@ object CorpusCatalog extends Catalog {
   val DefaultRate = 0.25
   val TokensPerShard = 2000L
   val BenchmarkSource = "src0" // the held-out eval slice in the fixture data
+  val BenchmarkMod = 10L       // embeddings benchmark: vec_id % 10 = 0
+  val EmbContamCos = 0.35      // near-orthogonal fixture vectors; >0.35 is close
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_sample" -> ((s, d) =>
@@ -39,6 +41,15 @@ object CorpusCatalog extends Catalog {
           docs.filter(col("source") === BenchmarkSource),
           "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    "embedding_contamination" -> ((s, d) => {
+      val emb = Tables(s, d).embeddings
+      Corpus.embeddingContamination(
+          emb.filter(pmod(col("vec_id"), lit(BenchmarkMod)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(BenchmarkMod)) === 0),
+          "vec_id", "embedding", EmbContamCos)
+        .orderBy("vec_id")
     }),
   )
 
@@ -65,6 +76,21 @@ object CorpusCatalog extends Catalog {
          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(floor(run / ${TokensPerShard}.0) AS BIGINT) AS shard_id
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "embedding_contamination" ->
+      s"""WITH ${SimilarityCatalog.prepSql},
+         |scored AS (
+         |  SELECT c.vec_id, c.n2 AS cn2, b.n2 AS bn2,
+         |    (SELECT CAST(sum(x * y) AS BIGINT)
+         |     FROM (SELECT unnest(c.q) AS x, unnest(b.q) AS y)) AS dot
+         |  FROM pn c JOIN pn b
+         |    ON b.vec_id % $BenchmarkMod = 0 AND c.vec_id % $BenchmarkMod <> 0),
+         |per AS (SELECT vec_id,
+         |    max(CAST(dot AS DOUBLE) /
+         |        (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(bn2 AS DOUBLE)))) AS max_cosine
+         |  FROM scored GROUP BY vec_id)
+         |SELECT vec_id, max_cosine, max_cosine >= $EmbContamCos AS is_contaminated
+         |FROM per ORDER BY vec_id""".stripMargin,
 
     "benchmark_contamination" ->
       s"""WITH tt AS (SELECT doc_id, source,

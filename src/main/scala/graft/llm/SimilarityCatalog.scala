@@ -129,8 +129,10 @@ object SimilarityCatalog extends Catalog {
          |ORDER BY vec_id""".stripMargin
   }
 
-  /** Quantized vectors + exact integer norms (oracle side). */
-  private val prepSql =
+  /** Quantized vectors + exact integer norms (oracle side; shared with the
+    * embedding-contamination oracle in [[CorpusCatalog]]).
+    */
+  private[llm] val prepSql =
     s"""p AS (SELECT vec_id, label,
        |  list_transform(embedding, x ->
        |    CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QScale}.0) AS BIGINT)) AS q

@@ -96,7 +96,7 @@ object TextCatalog extends Catalog {
     * over a frame exposing `w` (token list) and `text` — one source of
     * truth for text_stats and both curation oracles.
     */
-  private val qualitySql: String =
+  private[graft] val qualitySql: String =
     """least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
       |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
       |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)""".stripMargin

@@ -74,6 +74,44 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("event_id")
   }
 
+  /** documents.parquet schema for the doc-stream replay (file streams must
+    * declare schemas).
+    */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The streaming-side quality gate: replay the documents table through a
+    * file-source readStream → per-doc token count / quality score / gate
+    * flag → checkpointed parquet sink. A pure narrow projection (no state,
+    * no watermark) — the in-flight tier of the batch quality stage, tagging
+    * low-quality docs before they ever land in the corpus. Oracled with
+    * the same quality formula as the batch curation gate.
+    */
+  def replayDocQuality(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val base = Files.createTempDirectory("graft-doc-quality").toString
+    val text = col("text")
+    val q = s.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .select(col("doc_id"),
+        graft.llm.TextOps.tokenCount(text).as("n_tokens"),
+        graft.llm.TextOps.qualityScore(text).as("quality_score"))
+      .withColumn("passes_gate",
+        col("n_tokens") >= 20 && col("quality_score") >= 0.5)
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    s.read.parquet(s"$base/sink").orderBy("doc_id")
+  }
+
   /** The age-preferences view shape over the ENRICHED sink: the enriched
     * `amount_category` plays the bucketing key (so a green row proves the
     * enrichment ran through the stream), `event_type` plays category —
@@ -152,11 +190,24 @@ object StreamingCatalog extends Catalog {
     "stream_view_refresh"     -> ((s, d) => replayViewRefresh(s, d)),
     "stream_incremental_view" -> ((s, d) => replayIncrementalView(s, d)),
     "stream_incremental_topk" -> ((s, d) => replayIncrementalTopK(s, d)),
+    "stream_doc_quality"      -> ((s, d) => replayDocQuality(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
     // identical semantics to the batch path — reuse its oracle verbatim
     "stream_enriched_replay" -> EnrichCatalog.oracleSql("enriched_orders"),
+
+    // the batch quality formula over the whole documents table — the
+    // stream's narrow projection must reproduce it exactly
+    "stream_doc_quality" ->
+      s"""WITH t AS (${graft.llm.OracleSql.docTokens})
+         |SELECT doc_id, len(w) AS n_tokens,
+         |  ${graft.llm.TextCatalog.qualitySql}
+         |    AS quality_score,
+         |  len(w) >= 20 AND
+         |  ${graft.llm.TextCatalog.qualitySql}
+         |    >= 0.5 AS passes_gate
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     // the view over the enriched stream, derived from raw events with the
     // same declared enrichment constants (mirrors ViewsCatalog.prefOracle)

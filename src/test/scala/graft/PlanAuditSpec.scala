@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     // the legitimate nested-loop shapes: scoring a broadcast query set /
     // centroid set against the corpus; everything else must hash-join
     val intended =
-      Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk", "sql_cosine_topk")
+      Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk", "sql_cosine_topk",
+        "embedding_contamination")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }
