@@ -39,6 +39,21 @@ class CorpusSpec extends SparkSpec {
     assert(packed.map(_._4).max > 0, "fixture spans multiple shards")
   }
 
+  test("embedding contamination flags a benchmark copy and passes an orthogonal vector") {
+    val bench = Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)),   // exact copy of the benchmark vector
+      (11L, Seq(0f, 1f, 0f, 0f)),   // orthogonal
+      (12L, Seq(0.8f, 0.6f, 0f, 0f)) // cos = 0.8 vs the benchmark
+    ).toDF("vec_id", "embedding")
+    val got = Corpus.embeddingContamination(corpus, bench, "vec_id", "embedding", 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1) * 1e6).round / 1e6, r.getBoolean(2))).toMap
+    assert(got(10L) === ((1.0, true)))
+    assert(got(11L) === ((0.0, false)))
+    assert(got(12L)._2 === false && math.abs(got(12L)._1 - 0.8) < 1e-6)
+  }
+
   test("contamination is 1.0 for a benchmark-contained doc and 0.0 for a disjoint one") {
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
