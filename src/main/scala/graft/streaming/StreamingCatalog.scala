@@ -112,6 +112,45 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("doc_id")
   }
 
+  /** Replay the corpus fingerprints through the stateful streaming
+    * near-dup operator ([[Streams.simHashNearDupFlags]]) and return the
+    * per-doc verdicts: is each doc within hamming ≤ 3 of any EARLIER doc
+    * (id order, via a synthetic id-derived event time)? The fingerprints
+    * are batch-computed once per (JVM, source dir) — the aggregate that
+    * builds them has no streaming form — and the banded-LSH state check is
+    * EXACT (see the operator's scaladoc), so the oracle is the plain
+    * quadratic SQL over the same simhash table.
+    */
+  def replaySimHashDedup(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val dir = graft.engine.FixtureDirs("simhash-fp", d) { tmp =>
+      graft.llm.TextOps.simHashAgg(
+          graft.engine.Tables(s, d).documents, "doc_id", "text")
+        // +1: the initial stream watermark is epoch 0 and its late-row
+        // filter is strict, so a doc_id-0 row AT epoch 0 would be dropped
+        .select(col("doc_id"),
+          timestamp_micros((col("doc_id") + 1) * 1000000L).as("ts"),
+          col("fp_simhash").as("fp"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val fpSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("fp", LongType)))
+    val sinkName = "graft_simhash_flags_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Streams.simHashNearDupFlags(
+        s.readStream.schema(fpSchema).parquet(dir), "doc_id", "fp")
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    Streams.nearDupVerdicts(s.table(sinkName))
+      .withColumnRenamed("event_id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** The age-preferences view shape over the ENRICHED sink: the enriched
     * `amount_category` plays the bucketing key (so a green row proves the
     * enrichment ran through the stream), `event_type` plays category —
@@ -191,11 +230,23 @@ object StreamingCatalog extends Catalog {
     "stream_incremental_view" -> ((s, d) => replayIncrementalView(s, d)),
     "stream_incremental_topk" -> ((s, d) => replayIncrementalTopK(s, d)),
     "stream_doc_quality"      -> ((s, d) => replayDocQuality(s, d)),
+    "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
     // identical semantics to the batch path — reuse its oracle verbatim
     "stream_enriched_replay" -> EnrichCatalog.oracleSql("enriched_orders"),
+
+    // the streaming state machine vs the plain quadratic definition: a doc
+    // is a near-dup iff an earlier doc's simhash is within 3 bits
+    "stream_simhash_dedup" ->
+      s"""WITH ${graft.llm.OracleSql.simhashCtes}
+         |SELECT a.doc_id,
+         |  EXISTS (SELECT 1 FROM simhash b
+         |          WHERE b.doc_id < a.doc_id
+         |            AND bit_count(xor(a.fp_simhash, b.fp_simhash)) <= 3)
+         |    AS is_near_dup
+         |FROM simhash a ORDER BY a.doc_id""".stripMargin,
 
     // the batch quality formula over the whole documents table — the
     // stream's narrow projection must reproduce it exactly
