@@ -20,6 +20,7 @@ object SparkEntry {
     ViewsCatalog,
     graft.ops.OpsCatalog,
     graft.ops.ServingCatalog,
+    graft.ops.TemporalCatalog,
     graft.shopping.EnrichCatalog,
     graft.llm.TextCatalog,
     graft.llm.DedupCatalog,
