@@ -133,21 +133,14 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Verified near-duplicate pairs: LSH candidates whose exact n-gram
-    * Jaccard meets the threshold. Jaccard is computed relationally —
+  /** Exact Jaccard verification of candidate pairs, computed relationally —
     * |A ∩ B| is a join-count of common shingle rows, |A ∪ B| = |A|+|B|-|A∩B|
     * from per-doc shingle counts — so the verify stage is two hash joins
     * and an aggregate, all codegen, no array materialization.
     */
-  def nearDupPairs(df: DataFrame, id: String, textCol: String,
-                   threshold: Double, n: Int = 3): DataFrame = {
-    // the shingle frame feeds four plan branches (counts, signatures, both
-    // verify joins); checkpoint it so the tokenize/window/distinct work and
-    // the fact scan run once instead of four times (lazy: materializes on
-    // first use, lineage-truncated after)
-    val sh = shingleRows(df, id, textCol, n).localCheckpoint(false)
-    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val common = lshCandidates(sh, id)
+  private def verifiedJaccard(cand: DataFrame, sh: DataFrame, counts: DataFrame,
+                              id: String, threshold: Double): DataFrame = {
+    val common = cand
       .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
@@ -158,6 +151,79 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Verified near-duplicate pairs: LSH candidates whose exact n-gram
+    * Jaccard meets the threshold (see [[verifiedJaccard]]).
+    */
+  def nearDupPairs(df: DataFrame, id: String, textCol: String,
+                   threshold: Double, n: Int = 3): DataFrame = {
+    // the shingle frame feeds four plan branches (counts, signatures, both
+    // verify joins); checkpoint it so the tokenize/window/distinct work and
+    // the fact scan run once instead of four times (lazy: materializes on
+    // first use, lineage-truncated after)
+    val sh = shingleRows(df, id, textCol, n).localCheckpoint(false)
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    verifiedJaccard(lshCandidates(sh, id), sh, counts, id, threshold)
+  }
+
+  /** EXACT n-gram Jaccard similarity self-join by prefix filtering (the
+    * AllPairs/PPJoin family): unlike the banded-LSH path this has 100%
+    * recall at ANY threshold — banding at (16, 4) recalls only ~64% of
+    * pairs at s = 0.5, while the prefix principle is lossless: order every
+    * doc's shingles by ascending global document frequency (rarest first);
+    * two docs with Jaccard >= t and compatible sizes must share a shingle
+    * within their first |s| - ceil(t|s|) + 1 shingles, so equi-joining on
+    * prefix shingles alone generates a complete candidate set. Rare-first
+    * ordering keeps the join buckets small — the inverted index is probed
+    * only on each doc's most selective shingles.
+    *
+    * All threshold comparisons in the candidate stage run in exact integer
+    * arithmetic at millesimal precision, rounded DOWN (t' = floor(1000t)/1000
+    * <= t), so float rounding can only widen the candidate superset; the
+    * verify stage applies the caller's exact threshold.
+    *
+    * Scale shape: shuffles on shingle (df-count + index join) and doc id
+    * (window, verify) only — never all-pairs. One hot shingle shared by m
+    * prefix entries costs O(m²) candidates; df-ascending ordering makes
+    * hot shingles ineligible for prefixes precisely because they are hot.
+    */
+  def prefixFilterPairs(df: DataFrame, id: String, textCol: String,
+                        threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val num = math.floor(threshold * 1000).toLong
+    val sh = shingleRows(df, id, textCol, n).localCheckpoint(false)
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(id).orderBy(col("df"), col("shingle"))))
+      .join(counts, Seq(id))
+    // ceil(t'·n_sh) in exact integers: (num·n_sh + 999) div 1000
+    val need = floor((col("n_sh") * num + 999L) / 1000L)
+    val pre = ranked.filter(col("rk") <= col("n_sh") - need + 1)
+      .select(col(id), col("shingle"), col("n_sh"), col("rk"))
+    val cand = pre.select(col(id).as("id_a"), col("shingle"),
+        col("n_sh").as("n_a"), col("rk").as("ra"))
+      .join(pre.select(col(id).as("id_b"), col("shingle"),
+        col("n_sh").as("n_b"), col("rk").as("rb")), Seq("shingle"))
+      // size-compatibility: J >= t forces t·max(|a|,|b|) <= min(|a|,|b|)
+      .filter(col("id_a") < col("id_b") &&
+        col("n_a") * num <= col("n_b") * 1000L &&
+        col("n_b") * num <= col("n_a") * 1000L)
+      // positional filter (the PPJoin refinement): per-doc ranks are
+      // order-isomorphic to the one global (df, shingle) order, so a pair's
+      // max matched rank on both sides is attained at the SAME shingle t,
+      // every common shingle globally before t is itself a prefix match
+      // (m counts them all), and at most min(n_a-ra, n_b-rb) common
+      // shingles can follow t. J >= t' needs overlap
+      // >= ceil(t'(n_a+n_b)/(1+t')); prune pairs whose bound can't reach it.
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("m"), max("ra").as("ra"), max("rb").as("rb"))
+      .filter(col("m") + least(col("n_a") - col("ra"), col("n_b") - col("rb")) >=
+        floor(((col("n_a") + col("n_b")) * num + (1000L + num) - 1L) / (1000L + num)))
+      .select("id_a", "id_b")
+    verifiedJaccard(cand, sh, counts, id, threshold)
   }
 
   /** Near-dup dedup, keep-first: drop every doc that is the higher id of a

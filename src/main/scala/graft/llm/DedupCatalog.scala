@@ -19,9 +19,19 @@ object DedupCatalog extends Catalog {
 
   val JaccardThreshold = 0.8
 
+  /** Below the (16,4) banding's useful range (candidate recall at 0.6 is
+    * ~89%) — the prefix-filter path is exact there, which is the point of
+    * registering it separately from `near_dup_pairs`.
+    */
+  val PrefixThreshold = 0.6
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "near_dup_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(Tables(s, d).documents, "doc_id", "text", JaccardThreshold)
+        .orderBy("id_a", "id_b")),
+
+    "jaccard_prefix_pairs" -> ((s, d) =>
+      Dedup.prefixFilterPairs(Tables(s, d).documents, "doc_id", "text", PrefixThreshold)
         .orderBy("id_a", "id_b")),
 
     "near_dup_dedup" -> ((s, d) =>
@@ -58,6 +68,12 @@ object DedupCatalog extends Catalog {
       s"""WITH ${OracleSql.jaccardPairsCtes}
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "jaccard_prefix_pairs" ->
+      s"""WITH ${OracleSql.jaccardPairsCtes}
+         |SELECT id_a, id_b, jaccard FROM pairs
+         |WHERE jaccard >= $PrefixThreshold
          |ORDER BY id_a, id_b""".stripMargin,
 
     "near_dup_dedup" ->

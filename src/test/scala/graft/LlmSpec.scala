@@ -58,6 +58,23 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.dropNearDups(all, "doc_id", "text", 0.8).count() === all.count() - losers)
   }
 
+  test("prefixFilterPairs equals brute-force Jaccard at thresholds below LSH range") {
+    val docs = Tables(spark, sf).documents
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // brute force over all pairs via the array-level shingles (small SF only)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .filter(size(col("s")) > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.jaccard(col("a.s"), col("b.s")).as("j"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.prefixFilterPairs(docs, "doc_id", "text", t)
+        .collect().map(key).toSet
+      val expected = brute.filter(col("j") >= t).collect().map(key).toSet
+      assert(exact === expected, s"threshold $t")
+    }
+  }
+
   test("dupClusters propagates the minimum id through chains") {
     // 1~2, 2~3 (chain), 5~6, 9 isolated: components {1,2,3}, {5,6}, {9}.
     // Near-dups differ by one token over 20 (jaccard ~0.85, inside the
