@@ -15,7 +15,13 @@ import graft.engine.{Catalog, Tables}
   */
 object TextCatalog extends Catalog {
 
+  val TfIdfK = 5
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> ((s, d) =>
+      TextOps.tfIdfTopTerms(Tables(s, d).documents, "doc_id", "text", TfIdfK)
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))),
+
     "text_stats" -> ((s, d) =>
       Tables(s, d).documents.select(
         col("doc_id"),
@@ -130,6 +136,19 @@ object TextCatalog extends Catalog {
        |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      s"""WITH t AS ($docTokens),
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |         CAST(tf * n_docs AS DOUBLE) / df AS tfidf
+         |       FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, tfidf FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= $TfIdfK
+         |ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+
     "text_stats" ->
       s"""WITH t AS ($docTokens)
          |SELECT doc_id,

@@ -229,6 +229,35 @@ object TextOps {
       (distinctTokenCount(c).cast("double") / tokenCount(c)) * 0.4 +
       (lit(1.0) - punctRatio(c)) * 0.2
 
+  /** Per-document top-k TF-IDF terms: `(id, term, tf, df, tfidf)`.
+    *
+    * idf is the exact rational N/df, NOT log(N/df): a transcendental idf
+    * would hash-differently across engines (libm vs DuckDB's ln disagree in
+    * the last bits), while `(tf·N as exact long) cast double ÷ df` is one
+    * IEEE division with identical operands on both sides. Declared variant:
+    * ranking within a doc orders by tf/df exactly as log-idf would whenever
+    * tf is constant, and favors high-tf terms slightly more when not.
+    *
+    * Scale shape: explode → hash agg on (id, term) → term-keyed df agg →
+    * term-keyed join → broadcast 1-row corpus count (stays in the plan, no
+    * driver action) → WindowGroupLimit top-k per doc. No collect, no
+    * all-pairs; vocabulary skew lands on the term-keyed exchange where AQE
+    * skew handling applies.
+    */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+                    k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(id), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", (col("tf") * col("n_docs")).cast("double") / col("df"))
+    graft.ops.Relational.topKPerGroup(scored, Seq(id),
+        Seq(col("tfidf").desc, col("term").asc), k)
+      .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Function-word marker profiles for the n-gram/stopword language-ID
     * heuristic (declared constants; priority order breaks ties).
     */

@@ -58,6 +58,23 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.dropNearDups(all, "doc_id", "text", 0.8).count() === all.count() - losers)
   }
 
+  test("tfIdfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "apple apple common"),
+      (2L, "banana common common"),
+      (3L, "cherry common"),
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfIdfTopTerms(df, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // 'common' appears in every doc (df=3, idf=1); each fruit is unique (idf=3)
+    assert(top(1L) === (("apple", 2L, 1L)))
+    assert(top(2L) === (("banana", 1L, 1L)))
+    assert(top(3L) === (("cherry", 1L, 1L)))
+    // k larger than vocabulary: every (doc, term) pair appears exactly once
+    val all = TextOps.tfIdfTopTerms(df, "doc_id", "text", 100)
+    assert(all.count() === all.select("doc_id", "term").distinct().count())
+  }
+
   test("prefixFilterPairs equals brute-force Jaccard at thresholds below LSH range") {
     val docs = Tables(spark, sf).documents
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))

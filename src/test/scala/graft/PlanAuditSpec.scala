@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     // centroid set against the corpus; everything else must hash-join
     val intended =
       Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk", "sql_cosine_topk",
-        "embedding_contamination")
+        "embedding_contamination",
+        "tfidf_top_terms") // broadcast of the 1-row corpus-count aggregate
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }
