@@ -151,6 +151,47 @@ object StreamingCatalog extends Catalog {
       .orderBy("doc_id")
   }
 
+  /** The watermarked stream-stream interval join run as a REAL stream
+    * inside the gate: clicks and errors replay as two independent
+    * file-source streams, [[Streams.joinWithinWindow]] pairs each click
+    * with same-user errors inside [click.ts, click.ts + 4h], and the
+    * joined rows land in a checkpointed parquet sink. With AvailableNow
+    * replay every row arrives within one micro-batch, so the inner join
+    * emits the complete pair set — the oracle is the plain batch
+    * inequality join (inclusive bounds, unlike the batch `rangeJoin`'s
+    * left-exclusive window).
+    */
+  def replayRangeJoin(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val base = Files.createTempDirectory("graft-range-join").toString
+    val clicks = replayStream(s, d).filter(col("event_type") === "click")
+    val errors = replayStream(s, d).filter(col("event_type") === "error")
+    // A stream-stream join opens FOUR state stores per shuffle partition,
+    // and each store pays init + delta-commit per micro-batch — at 32
+    // partitions that is 128 store commits to join 40k rows, dominating the
+    // batch (~4x the join work itself, measured). State parallelism is a
+    // per-query knob (the checkpoint pins it at first start): 8 partitions
+    // keeps every executor busy at this volume for 16x less commit
+    // overhead. Restored after the replay so batch queries keep theirs.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = Streams.joinWithinWindow(clicks, errors, "user_id", "4 hours")
+        .select(col("l_id").as("event_id"), col("user_id"),
+          graft.ops.Relational.tsStr(col("l_ts")).as("ts"),
+          col("r_id").as("err_event_id"),
+          graft.ops.Relational.tsStr(col("r_ts")).as("err_ts"),
+          col("r_value").as("err_value"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, timeoutMs)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(s"$base/sink").orderBy("event_id", "err_event_id")
+  }
+
   /** The age-preferences view shape over the ENRICHED sink: the enriched
     * `amount_category` plays the bucketing key (so a green row proves the
     * enrichment ran through the stream), `event_type` plays category —
@@ -231,11 +272,27 @@ object StreamingCatalog extends Catalog {
     "stream_incremental_topk" -> ((s, d) => replayIncrementalTopK(s, d)),
     "stream_doc_quality"      -> ((s, d) => replayDocQuality(s, d)),
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
+    "stream_range_join"       -> ((s, d) => replayRangeJoin(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
     // identical semantics to the batch path — reuse its oracle verbatim
     "stream_enriched_replay" -> EnrichCatalog.oracleSql("enriched_orders"),
+
+    // the stream-stream join's complete pair set vs the plain batch
+    // inequality join over the same events (bounds inclusive on both ends,
+    // matching joinWithinWindow)
+    "stream_range_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  e.event_id AS err_event_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  e.value AS err_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 4 HOUR
+        |ORDER BY c.event_id, e.event_id""".stripMargin,
 
     // the streaming state machine vs the plain quadratic definition: a doc
     // is a near-dup iff an earlier doc's simhash is within 3 bits

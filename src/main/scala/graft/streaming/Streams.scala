@@ -259,10 +259,10 @@ object Streams {
   def joinWithinWindow(left: DataFrame, right: DataFrame, key: String,
                        window: String = "1 hour"): DataFrame = {
     val l = left.withWatermark("ts", window)
-      .select(col(key), col("ts").as("l_ts"), col("event_type").as("l_type"),
-        col("value").as("l_value"))
+      .select(col(key), col("event_id").as("l_id"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
     val r = right.withWatermark("ts", window)
-      .select(col(key).as(s"r_$key"), col("ts").as("r_ts"),
+      .select(col(key).as(s"r_$key"), col("event_id").as("r_id"), col("ts").as("r_ts"),
         col("event_type").as("r_type"), col("value").as("r_value"))
     l.join(r,
       col(key) === col(s"r_$key") &&
