@@ -273,11 +273,31 @@ object StreamingCatalog extends Catalog {
     "stream_doc_quality"      -> ((s, d) => replayDocQuality(s, d)),
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
     "stream_range_join"       -> ((s, d) => replayRangeJoin(s, d)),
+
+    // the sliding-window aggregate through the SAME code path streaming
+    // uses (withWatermark is a declared no-op on batch input): each event
+    // lands in size/slide = 4 overlapping windows
+    "sliding_window_counts"   -> ((s, d) =>
+      Streams.slidingWindowCounts(graft.engine.Tables(s, d).events)
+        .select(graft.ops.Relational.tsStr(col("bucket")).as("bucket"),
+          col("n"), col("total_value"))
+        .orderBy("bucket")),
   )
 
   def oracleSql: Map[String, String] = Map(
     // identical semantics to the batch path — reuse its oracle verbatim
     "stream_enriched_replay" -> EnrichCatalog.oracleSql("enriched_orders"),
+
+    // the 1h/15min sliding window: each event belongs to the 4 grid-aligned
+    // windows starting at floor(ts/15min)*15min - k*15min, k = 0..3
+    "sliding_window_counts" ->
+      s"""SELECT strftime(make_timestamp(
+         |    CAST((floor(epoch(ts) / 900) * 900 - k * 900) * 1000000 AS BIGINT)),
+         |    '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS n,
+         |  ${Catalog.moneySumSql("value")} AS total_value
+         |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the stream-stream join's complete pair set vs the plain batch
     // inequality join over the same events (bounds inclusive on both ends,
