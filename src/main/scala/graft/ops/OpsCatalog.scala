@@ -39,6 +39,34 @@ object OpsCatalog extends Catalog {
             sum(col("ps")).cast("double").as("total_value")))
         .orderBy("event_type")),
 
+    // the canonical star-schema rollup: fact joins the LARGE dim on its
+    // key (shuffle join at scale — AQE is free to broadcast at test SF, the
+    // code does not pin it) and the tiny dims broadcast explicitly; revenue
+    // rolls up decimal-exact per region/nation
+    "region_nation_revenue" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("region", "nation")
+    }),
+
+    // left anti join: customers with no urgent order (no count-based
+    // emulation — the anti join streams, never materializing the match
+    // set; the priority filter pushes into the orders scan)
+    "customers_without_orders" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     "time_bucket_hourly" -> ((s, d) =>
       Relational.timeBucketAgg(
         Tables(s, d).events, col("ts"), "hour",
@@ -85,6 +113,24 @@ object OpsCatalog extends Catalog {
     "salted_segment_counts" ->
       s"""SELECT event_type, count(*) AS n, ${moneySumSql("value")} AS total_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "region_nation_revenue" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+         |       count(*) AS n_orders,
+         |       ${moneySumSql("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY region, nation""".stripMargin,
+
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
 
     "time_bucket_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
