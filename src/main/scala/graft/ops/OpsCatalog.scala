@@ -67,6 +67,19 @@ object OpsCatalog extends Catalog {
         .orderBy("c_custkey")
     }),
 
+    // the reference's inclusive BETWEEN bucket chain, spelled as such
+    // (bigquery_views.sql:6-10) over the integer-valued quantity column
+    "quantity_buckets" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .withColumn("quantity_bucket",
+          Relational.bucketizeBetween(col("l_quantity"),
+            Seq((1L, 9L, "01-09"), (10L, 19L, "10-19"),
+              (20L, 29L, "20-29"), (30L, 39L, "30-39")), "40+"))
+        .groupBy("quantity_bucket")
+        .agg(count(lit(1)).as("n"),
+          Relational.moneyAvg(col("l_extendedprice")).as("avg_price"))
+        .orderBy("quantity_bucket")),
+
     "time_bucket_hourly" -> ((s, d) =>
       Relational.timeBucketAgg(
         Tables(s, d).events, col("ts"), "hour",
@@ -131,6 +144,16 @@ object OpsCatalog extends Catalog {
         |WHERE c_custkey NOT IN
         |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "quantity_buckets" ->
+      s"""SELECT CASE WHEN l_quantity BETWEEN 1 AND 9 THEN '01-09'
+         |            WHEN l_quantity BETWEEN 10 AND 19 THEN '10-19'
+         |            WHEN l_quantity BETWEEN 20 AND 29 THEN '20-29'
+         |            WHEN l_quantity BETWEEN 30 AND 39 THEN '30-39'
+         |            ELSE '40+' END AS quantity_bucket,
+         |       count(*) AS n,
+         |       ${moneyAvgSql("l_extendedprice")} AS avg_price
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "time_bucket_hourly" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,

@@ -34,6 +34,20 @@ object Relational {
     }
   }
 
+  /** Inclusive-range CASE bucketing spelled with BETWEEN — the reference's
+    * literal predicate form (`age BETWEEN 25 AND 34`,
+    * bigquery_views.sql:6-10). Same totality argument as [[bucketize]]'s
+    * right-exclusive chain for integer-valued columns; this variant exists
+    * so the operator surface carries the inclusive spelling 1:1. Values
+    * matching no range get `fallback` (the reference's ELSE '65+').
+    */
+  def bucketizeBetween(c: Column, ranges: Seq[(Long, Long, String)],
+                       fallback: String): Column =
+    ranges.foldRight(lit(fallback): Column) {
+      case ((lo, hi, label), acc) =>
+        when(c.between(lit(lo), lit(hi)), lit(label)).otherwise(acc)
+    }
+
   /** Top-k rows per group, ranked by `order` (add explicit tie-break columns
     * for determinism). Emulates BigQuery QUALIFY ROW_NUMBER() <= k.
     * One shuffle on `keys`; Spark >= 3.5 inserts WindowGroupLimit so each

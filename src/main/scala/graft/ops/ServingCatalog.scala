@@ -48,6 +48,12 @@ object ServingCatalog extends Catalog {
           col("n_events"), col("session_value"))
         .orderBy("user_id", "session_start")),
 
+    // ordered view→click→purchase conversion funnel over the same sessions
+    // (north-star §7.5): stage shares per session, ordering enforced by
+    // running within-session windows
+    "session_funnel" -> ((s, d) =>
+      Sessions.sessionFunnel(Tables(s, d).events, "30 minutes")),
+
     // write-time layout → read-time pruning, inside the gate: partition the
     // events table by type, read back through a partition filter (scans
     // only the matching directory), verify the rows against the flat oracle.
@@ -125,6 +131,46 @@ object ServingCatalog extends Catalog {
          |  ${Catalog.moneySumSql("value")} AS session_value
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+
+    // same gaps-and-islands sessionization as user_sessions, then the
+    // ordered funnel: a click counts only after a view in-session, a
+    // purchase only after such a click (strictly earlier rows, hence the
+    // "1 PRECEDING" frames)
+    "session_funnel" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |f AS (
+        |  SELECT *,
+        |    event_type = 'click' AND count(*) FILTER (WHERE event_type = 'view')
+        |      OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0 AS click_ok
+        |  FROM s),
+        |g AS (
+        |  SELECT *,
+        |    event_type = 'purchase' AND count(*) FILTER (WHERE click_ok)
+        |      OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0 AS purchase_ok
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sid,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+        |    max(CASE WHEN click_ok THEN 1 ELSE 0 END) AS has_click,
+        |    max(CASE WHEN purchase_ok THEN 1 ELSE 0 END) AS has_purchase
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT CASE WHEN has_purchase = 1 THEN '3_converted'
+        |            WHEN has_click = 1 THEN '2_clicked'
+        |            WHEN has_view = 1 THEN '1_viewed'
+        |            ELSE '0_no_view' END AS funnel_stage,
+        |  count(*) AS n_sessions,
+        |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 4) AS pct_sessions
+        |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "partitioned_scan" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id, value

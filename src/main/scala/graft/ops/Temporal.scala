@@ -19,22 +19,35 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   /** As-of join: each left row gains the payload of the single right row
-    * with the greatest `rightTs` strictly below the left row's `leftTs`,
-    * matching on `key` (DuckDB `ASOF JOIN`, kdb `aj`, pandas `merge_asof`).
+    * nearest in time, matching on `key` (DuckDB `ASOF JOIN`, kdb `aj`,
+    * pandas `merge_asof` — including its `direction` and `tolerance`
+    * parameters).
+    *
+    * Directions (all strict — an exactly-simultaneous right row never
+    * matches, pandas `allow_exact_matches=False`):
+    *  - `backward` (default): greatest `rightTs` strictly below `leftTs`;
+    *    right-side timestamp ties resolve to the GREATEST `tieBreak`.
+    *  - `forward`: smallest `rightTs` strictly above `leftTs`; ties
+    *    resolve to the SMALLEST `tieBreak` (mirror-symmetric).
+    *  - `nearest`: whichever of the two is closer in time; an exact
+    *    distance tie prefers backward (pandas behavior).
+    *
+    * `toleranceSec` bounds the match: a candidate farther than this many
+    * seconds (exact integer microsecond comparison) yields null payload,
+    * like pandas `tolerance`.
     *
     * Implementation is the scalable union-tag trick, not an inequality
     * join: tag both sides, hash-partition once on the key, and run one
-    * ordered window pass where `last(payload, ignoreNulls)` carries the
-    * most recent right payload forward into each left row. Cost is ONE
-    * shuffle + one sort — the same bill as any window aggregate —
+    * ordered window pass per direction where `last(payload, ignoreNulls)`
+    * carries the nearest right payload into each left row. Cost is ONE
+    * shuffle + one sort per direction needed (two sorts for `nearest`,
+    * same single exchange) — the same bill as any window aggregate —
     * independent of how many right rows precede each left row (a range
     * join would pair each left row with all of them before pruning).
     *
-    * Strictness: left rows sort BEFORE right rows at an identical
-    * timestamp (`__side` 0 vs 1), so an exactly-simultaneous right row is
-    * not visible — `leftTs > rightTs`, matching DuckDB's `ON l.ts > r.ts`.
-    * Right-side timestamp ties resolve deterministically by `tieBreak`
-    * (the row with the greatest value wins).
+    * Strictness mechanics: in traversal order, left rows sort BEFORE
+    * right rows at an identical timestamp (`__side` 0 vs 1), so a
+    * simultaneous right row is never in a left row's frame.
     *
     * Skew note: partitioning is by `key` alone, so one pathologically hot
     * key serializes into one task. For hot-key data, pre-split by a coarse
@@ -42,15 +55,20 @@ object Temporal {
     * needed for per-user event streams where key cardinality >> cores.
     *
     * @param payload right-side columns to attach, emitted as
-    *                `prefix+name`; all-null when no right row precedes.
+    *                `prefix+name`; all-null when no right row matches.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String,
                payload: Seq[String], tieBreak: String,
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               direction: String = "backward",
+               toleranceSec: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val r = right.select(
       col(key).as("__k"), col(rightTs).as("__t"), lit(1).as("__side"),
-      struct((payload :+ tieBreak).distinct.map(col): _*).as("__p"))
+      struct(((payload :+ tieBreak).distinct.map(col))
+        :+ col(rightTs).as("__rt"): _*).as("__p"))
     val l = left.select(
       col(key).as("__k"), col(leftTs).as("__t"), lit(0).as("__side"),
       lit(null).cast(r.schema("__p").dataType).as("__p"),
@@ -58,12 +76,41 @@ object Temporal {
     val u = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
       .unionByName(l)
     // Left rows carry null __p, which last(ignoreNulls) skips, so the value
-    // carried into a left row is always the latest preceding RIGHT payload.
-    val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__side"), col("__p").getField(tieBreak))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
+    // carried into a left row is always the nearest RIGHT payload in the
+    // traversal direction. Backward walks time ascending; forward walks it
+    // descending (so "preceding" rows are the future ones), with the
+    // tie-break mirrored so the last same-ts right row traversed is the
+    // smallest tieBreak.
+    val tb = col("__p").getField(tieBreak)
+    def carried(w: org.apache.spark.sql.expressions.WindowSpec) =
+      last(col("__p"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val back = carried(Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, tb.asc))
+    val fwd = carried(Window.partitionBy("__k")
+      .orderBy(col("__t").desc, col("__side").asc, tb.desc))
+    def gapUs(m: Column): Column =
+      abs(unix_micros(col("__t")) - unix_micros(m.getField("__rt")))
+    val matched = direction match {
+      case "backward" => u.withColumn("__m", back)
+      case "forward"  => u.withColumn("__m", fwd)
+      case "nearest"  =>
+        // distance compare in exact integer microseconds; equidistant
+        // candidates prefer backward (pandas)
+        u.withColumn("__mb", back).withColumn("__mf", fwd)
+          .withColumn("__m",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(gapUs(col("__mb")) <= gapUs(col("__mf")), col("__mb"))
+              .otherwise(col("__mf")))
+    }
+    val bounded = toleranceSec match {
+      case Some(tol) =>
+        matched.withColumn("__m",
+          when(gapUs(col("__m")) <= tol * 1000000L, col("__m")))
+      case None => matched
+    }
+    bounded.filter(col("__side") === 0)
       .select(col("__l.*") +: payload.map(p => col("__m").getField(p).as(prefix + p)): _*)
   }
 

@@ -22,6 +22,18 @@ class RelationalPropsSpec extends SparkSpec {
       byVal(100.0) === "big", "cuts are right-exclusive upper bounds")
   }
 
+  test("bucketizeBetween matches the exclusive chain on contiguous integer ranges") {
+    // BETWEEN 1 AND 9 / 10 AND 19 / ... over integers is the same partition
+    // as right-exclusive cuts at 10, 20 with a below-range fallback
+    val vals = Seq(1L, 9L, 10L, 19L, 20L, 25L)
+    val df = vals.toDF("v").select(col("v"),
+      Relational.bucketizeBetween(col("v"),
+        Seq((1L, 9L, "lo"), (10L, 19L, "mid")), "hi").as("b"))
+    val byVal = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byVal === Map(1L -> "lo", 9L -> "lo", 10L -> "mid", 19L -> "mid",
+      20L -> "hi", 25L -> "hi"), "bounds are inclusive on both ends")
+  }
+
   test("topKPerGroup returns at most k rows per group, the top-ranked ones") {
     val df = Seq(("a", "x", 5L), ("a", "y", 9L), ("a", "z", 1L),
       ("b", "x", 2L), ("b", "y", 2L)).toDF("g", "c", "n")

@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.ops.Sessions
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // (event_id, user_id, ts, event_type) — five sessions across three users
+  private lazy val events = Seq(
+    // user 1, session 0: the full ordered funnel
+    (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+    (2L, 1L, ts("2024-01-01 10:05:00"), "click"),
+    (3L, 1L, ts("2024-01-01 10:10:00"), "purchase"),
+    // user 1, session 1 (30 min gap): click BEFORE view — order violated,
+    // so the session only reaches the view stage
+    (4L, 1L, ts("2024-01-01 11:00:00"), "click"),
+    (5L, 1L, ts("2024-01-01 11:05:00"), "view"),
+    // user 2, one session: purchase with no view at all
+    (6L, 2L, ts("2024-01-01 10:00:00"), "purchase"),
+    // user 3, session 0: view → click but never purchases...
+    (7L, 3L, ts("2024-01-01 10:00:00"), "view"),
+    (8L, 3L, ts("2024-01-01 10:10:00"), "click"),
+    // ...and the purchase lands in a NEW session, where it doesn't count
+    (9L, 3L, ts("2024-01-01 11:00:00"), "purchase"),
+  ).toDF("event_id", "user_id", "ts", "event_type")
+
+  test("sessionized breaks on gaps >= the threshold") {
+    val sids = Sessions.sessionized(events)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(sids === Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1,
+      6L -> 0, 7L -> 0, 8L -> 0, 9L -> 1))
+  }
+
+  test("sessionFunnel classifies stages in view→click→purchase order") {
+    val out = Sessions.sessionFunnel(events)
+      .select("funnel_stage", "n_sessions", "pct_sessions")
+      .as[(String, Long, Double)].collect().toList
+    assert(out === List(
+      ("0_no_view", 2L, 0.4),    // user 2, and user 3's orphan purchase
+      ("1_viewed", 1L, 0.2),     // user 1 session 1: click preceded the view
+      ("2_clicked", 1L, 0.2),    // user 3 session 0: no purchase followed
+      ("3_converted", 1L, 0.2))) // user 1 session 0
+  }
+
+  test("a click at the same timestamp as an earlier-id view still counts") {
+    val tied = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:00:00"), "click"),
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessions.sessionFunnel(tied)
+      .select("funnel_stage").as[String].collect().toList
+    assert(out === List("2_clicked"),
+      "within-session order is (ts, event_id), not strict ts")
+  }
+
+  test("gaps-and-islands sessions agree with session_window on real data") {
+    val ev = Tables(spark, sf).events
+    val funnelTotal = Sessions.sessionFunnel(ev)
+      .agg(sum("n_sessions")).as[Long].head()
+    val windowTotal = graft.streaming.Streams.userSessions(ev, "30 minutes").count()
+    assert(funnelTotal === windowTotal,
+      "both sessionizations must fuse the same event sets")
+  }
+}

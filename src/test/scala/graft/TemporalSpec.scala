@@ -41,6 +41,48 @@ class TemporalSpec extends SparkSpec {
     assert(out(1L) === Some(101L), "101 > 99 at the tied timestamp")
   }
 
+  test("asofJoin forward picks the earliest strictly-later right row") {
+    val out = Temporal.asofJoin(lefts, rights, "user_id", "t", "t",
+        payload = Seq("rid"), tieBreak = "rid", direction = "forward")
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    // left 2 @12:00: right 103 is simultaneous — strict, so no match
+    assert(out === Map(1L -> Some(102L), 2L -> None, 3L -> Some(104L), 4L -> None))
+  }
+
+  test("asofJoin forward ties resolve to the smallest tieBreak") {
+    val tied = rights.union(Seq((98L, 10L, ts("2024-01-01 11:00:00"))).toDF)
+    val out = Temporal.asofJoin(lefts, tied, "user_id", "t", "t",
+        payload = Seq("rid"), tieBreak = "rid", direction = "forward")
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(98L), "98 < 102 at the tied timestamp")
+  }
+
+  test("asofJoin nearest picks the closer side; equidistant prefers backward") {
+    val l = lefts.union(Seq((5L, 40L, ts("2024-01-01 10:00:00"))).toDF)
+    val r = rights.union(Seq(
+      (301L, 40L, ts("2024-01-01 09:30:00")),
+      (302L, 40L, ts("2024-01-01 10:30:00"))).toDF)
+    val out = Temporal.asofJoin(l, r, "user_id", "t", "t",
+        payload = Seq("rid"), tieBreak = "rid", direction = "nearest")
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(
+      1L -> Some(101L), // 30 min back beats 60 min forward
+      2L -> Some(102L), // only a backward candidate (103 simultaneous)
+      3L -> Some(104L), // only a forward candidate
+      4L -> None,
+      5L -> Some(301L))) // exactly equidistant: backward wins
+  }
+
+  test("asofJoin tolerance nulls matches beyond the gap") {
+    val out = Temporal.asofJoin(lefts, rights, "user_id", "t", "t",
+        payload = Seq("rid"), tieBreak = "rid",
+        toleranceSec = Some(1800L))
+      .select("id", "asof_rid").as[(Long, Option[Long])].collect().toMap
+    // left 1's match is exactly 30 min old (inclusive bound); left 2's is
+    // 60 min old and masked
+    assert(out === Map(1L -> Some(101L), 2L -> None, 3L -> None, 4L -> None))
+  }
+
   test("asofJoin is partitioning-independent") {
     def run(l: org.apache.spark.sql.DataFrame) =
       Temporal.asofJoin(l, rights, "user_id", "t", "t", Seq("rid"), "rid")
