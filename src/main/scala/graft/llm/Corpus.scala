@@ -57,6 +57,37 @@ object Corpus {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(tokensPerShard)))
   }
 
+  /** Training-mixture plan: per stratum, the achieved token share vs a
+    * declared target share, the upsample factor that would hit the target,
+    * and the keep probability for a downsample-only rebalance
+    * (`min(1, target/share)` — strata at or under target keep everything).
+    * The feed-forward step for [[stratifiedSample]]: its `rates` map is this
+    * frame's `keep_prob` column.
+    *
+    * Shape: one hash aggregate on the stratum key + a broadcast 1-row total
+    * (stays in the plan — no driver action). Shares and factors are single
+    * IEEE divisions over exact integer token counts, so the output is
+    * partitioning-invariant and oracle-exact.
+    */
+  def mixtureWeights(df: DataFrame, strataCol: String, textCol: String,
+                     targets: Map[String, Double], defaultTarget: Double): DataFrame = {
+    val per = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val total = per.select(sum("n_tokens").as("total_tokens"))
+    val targetCol = targets.toSeq.sortBy(_._1).foldLeft(lit(defaultTarget)) {
+      case (acc, (s, t)) => when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    per.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("target_share", targetCol)
+      .withColumn("upsample_factor", col("target_share") / col("token_share"))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("token_share"), col("target_share"), col("upsample_factor"),
+        least(lit(1.0), col("upsample_factor")).as("keep_prob"))
+  }
+
   /** Benchmark decontamination scores: for every corpus doc, the fraction
     * of its word n-gram shingles that appear ANYWHERE in the benchmark set
     * (containment, the standard eval-leak test — Jaccard would dilute a

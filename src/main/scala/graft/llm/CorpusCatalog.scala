@@ -18,6 +18,9 @@ object CorpusCatalog extends Catalog {
   val SampleRates = Map("en" -> 0.5, "zh" -> 1.0)
   val DefaultRate = 0.25
   val TokensPerShard = 2000L
+  /** Declared target token shares for the mixture plan (sums to 1). */
+  val TargetShares = Map("en" -> 0.3, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.2)
+  val DefaultTargetShare = 0.1
   val BenchmarkSource = "src0" // the held-out eval slice in the fixture data
   val BenchmarkMod = 10L       // embeddings benchmark: vec_id % 10 = 0
   val EmbContamCos = 0.35      // near-orthogonal fixture vectors; >0.35 is close
@@ -33,6 +36,11 @@ object CorpusCatalog extends Catalog {
       Corpus.packShards(Tables(s, d).documents, "doc_id", "lang", "text",
           TokensPerShard)
         .orderBy("doc_id")),
+
+    "corpus_mixture" -> ((s, d) =>
+      Corpus.mixtureWeights(Tables(s, d).documents, "lang", "text",
+          TargetShares, DefaultTargetShare)
+        .orderBy("lang")),
 
     "benchmark_contamination" -> ((s, d) => {
       val docs = Tables(s, d).documents
@@ -76,6 +84,25 @@ object CorpusCatalog extends Catalog {
          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(floor(run / ${TokensPerShard}.0) AS BIGINT) AS shard_id
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "corpus_mixture" -> {
+      val targetCase = TargetShares.toSeq.sortBy(_._1).reverse
+        .foldLeft(s"CAST($DefaultTargetShare AS DOUBLE)") { case (acc, (s, t)) =>
+          s"CASE WHEN lang = '$s' THEN CAST($t AS DOUBLE) ELSE $acc END"
+        }
+      s"""WITH per AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(${OracleSql.norm}, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per),
+         |m AS (SELECT lang, n_docs, n_tokens,
+         |    CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+         |    $targetCase AS target_share
+         |  FROM per CROSS JOIN tot)
+         |SELECT lang, n_docs, n_tokens, token_share, target_share,
+         |  target_share / token_share AS upsample_factor,
+         |  least(CAST(1.0 AS DOUBLE), target_share / token_share) AS keep_prob
+         |FROM m ORDER BY lang""".stripMargin
+    },
 
     "embedding_contamination" ->
       s"""WITH ${SimilarityCatalog.prepSql},

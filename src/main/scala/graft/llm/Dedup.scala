@@ -95,7 +95,7 @@ object Dedup {
       .maxByOption(_._2)
       .getOrElse(options.minBy(_._2)) // nothing meets the floor: max recall
   }
-  private def scramble(i: Long): Long = {
+  private[llm] def scramble(i: Long): Long = {
     var z = i * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -224,6 +224,59 @@ object Dedup {
         floor(((col("n_a") + col("n_b")) * num + (1000L + num) - 1L) / (1000L + num)))
       .select("id_a", "id_b")
     verifiedJaccard(cand, sh, counts, id, threshold)
+  }
+
+  /** Incremental ingest dedup: flag every NEW doc against the EXISTING
+    * corpus without ever pairing the corpus with itself — the production
+    * shape for appending a batch to a 100 TB corpus, where re-running the
+    * full self-dedup per batch would dominate the pipeline. Returns one row
+    * per new doc: `(id, exact_dup_of, near_dup_of, near_jaccard,
+    * is_duplicate)` where `exact_dup_of` is the minimum corpus id with
+    * identical normalized content (null if none) and `near_dup_of` /
+    * `near_jaccard` identify the corpus doc with the highest verified
+    * n-gram Jaccard ≥ `threshold` (ties on the lower corpus id).
+    *
+    * Scale shape: the exact tier is one hash join on the content
+    * fingerprint; the near tier joins the new batch's LSH band rows against
+    * the corpus's band index (buckets pair new×corpus only), then verifies
+    * candidates relationally like [[nearDupPairs]]. Cost is
+    * O(batch + matching buckets), independent of corpus self-pair volume;
+    * at scale the corpus-side signatures/bands are computed once at ingest
+    * and persisted as the dedup index.
+    */
+  def incrementalDedupFlags(newDocs: DataFrame, corpus: DataFrame, id: String,
+                            textCol: String, threshold: Double,
+                            n: Int = 3): DataFrame = {
+    val corpusFp = corpus
+      .select(TextOps.fingerprintMd5(col(textCol)).as("fingerprint"), col(id).as("cid"))
+      .groupBy("fingerprint").agg(min("cid").as("exact_dup_of"))
+    val exact = newDocs
+      .select(col(id), TextOps.fingerprintMd5(col(textCol)).as("fingerprint"))
+      .join(corpusFp, Seq("fingerprint"), "left")
+      .select(col(id), col("exact_dup_of"))
+
+    val shNew = shingleRows(newDocs, id, textCol, n).localCheckpoint(false)
+    val shCorp = shingleRows(corpus, id, textCol, n).localCheckpoint(false)
+    val bandNew = bandRows(minhashSignatures(shNew, id), id)
+      .select(col(id).as("id_a"), col("band"))
+    val bandCorp = bandRows(minhashSignatures(shCorp, id), id)
+      .select(col(id).as("id_b"), col("band"))
+    val cand = bandNew.join(bandCorp, Seq("band"))
+      .select("id_a", "id_b").distinct()
+    val sh = shNew.union(shCorp)
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val best = graft.ops.Relational.topKPerGroup(
+      verifiedJaccard(cand, sh, counts, id, threshold),
+      Seq("id_a"), Seq(col("jaccard").desc, col("id_b").asc), 1)
+      .select(col("id_a").as(id), col("id_b").as("near_dup_of"),
+        col("jaccard").as("near_jaccard"))
+
+    newDocs.select(col(id))
+      .join(exact, Seq(id), "left")
+      .join(best, Seq(id), "left")
+      .select(col(id), col("exact_dup_of"), col("near_dup_of"), col("near_jaccard"),
+        (col("exact_dup_of").isNotNull || col("near_dup_of").isNotNull)
+          .as("is_duplicate"))
   }
 
   /** Near-dup dedup, keep-first: drop every doc that is the higher id of a

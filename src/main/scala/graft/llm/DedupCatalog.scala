@@ -25,6 +25,11 @@ object DedupCatalog extends Catalog {
     */
   val PrefixThreshold = 0.6
 
+  /** The "new batch" slice for the incremental ingest-dedup gate query
+    * (the rest of `documents` plays the existing corpus).
+    */
+  val NewBatchSources = Seq("src18", "src19")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "near_dup_pairs" -> ((s, d) =>
       Dedup.nearDupPairs(Tables(s, d).documents, "doc_id", "text", JaccardThreshold)
@@ -42,6 +47,15 @@ object DedupCatalog extends Catalog {
     "near_dup_clusters" -> ((s, d) =>
       Dedup.dupClusters(Tables(s, d).documents, "doc_id", "text", JaccardThreshold)
         .orderBy("doc_id")),
+
+    "incremental_dedup" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.incrementalDedupFlags(
+          docs.filter(col("source").isin(NewBatchSources: _*)),
+          docs.filter(!col("source").isin(NewBatchSources: _*)),
+          "doc_id", "text", JaccardThreshold)
+        .orderBy("doc_id")
+    }),
 
     // SimHash as the dedup signal: verified near-dup pairs annotated with
     // the hamming distance of their 60-bit simhashes (near-dups differ in
@@ -97,6 +111,44 @@ object DedupCatalog extends Catalog {
          |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "incremental_dedup" -> {
+      val newSrc = NewBatchSources.map(s => s"'$s'").mkString("(", ", ", ")")
+      s"""WITH nd AS (SELECT doc_id, text FROM documents WHERE source IN $newSrc),
+         |cd AS (SELECT doc_id, text FROM documents WHERE source NOT IN $newSrc),
+         |cfp AS (SELECT md5(${OracleSql.norm}) AS fingerprint,
+         |    min(doc_id) AS exact_dup_of
+         |  FROM cd GROUP BY 1),
+         |ex AS (SELECT nd.doc_id, cfp.exact_dup_of
+         |  FROM nd LEFT JOIN cfp ON md5(${OracleSql.norm}) = cfp.fingerprint),
+         |shn AS (SELECT doc_id,
+         |    list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
+         |                   FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM (SELECT doc_id, string_split(${OracleSql.norm}, ' ') AS w FROM nd)
+         |  WHERE len(w) >= 3),
+         |shc AS (SELECT doc_id,
+         |    list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
+         |                   FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM (SELECT doc_id, string_split(${OracleSql.norm}, ' ') AS w FROM cd)
+         |  WHERE len(w) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |      / len(list_distinct(a.s || b.s)) AS jaccard
+         |  FROM shn a CROSS JOIN shc b),
+         |best AS (
+         |  SELECT id_a, id_b, jaccard FROM pairs
+         |  WHERE jaccard >= $JaccardThreshold
+         |  QUALIFY row_number() OVER (PARTITION BY id_a
+         |    ORDER BY jaccard DESC, id_b ASC) = 1)
+         |SELECT nd.doc_id, ex.exact_dup_of,
+         |  best.id_b AS near_dup_of, best.jaccard AS near_jaccard,
+         |  (ex.exact_dup_of IS NOT NULL OR best.id_b IS NOT NULL) AS is_duplicate
+         |FROM nd
+         |LEFT JOIN ex ON ex.doc_id = nd.doc_id
+         |LEFT JOIN best ON best.id_a = nd.doc_id
+         |ORDER BY nd.doc_id""".stripMargin
+    },
 
     "simhash_near_dup" ->
       s"""WITH ${OracleSql.simhashCtes},

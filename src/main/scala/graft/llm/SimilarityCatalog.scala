@@ -17,6 +17,7 @@ object SimilarityCatalog extends Catalog {
 
   val K = 10
   val NumQueries = 5       // query set: vec_id < 5
+  val Dim = 64             // embedding dimensionality of the fixture table
   val NearDupCos = 0.35    // embeddings are near-orthogonal; pairs over 0.35
                            // within a cell are the "suspiciously close" tier
 
@@ -83,6 +84,16 @@ object SimilarityCatalog extends Catalog {
            |ORDER BY query_id, nn_id""".stripMargin)
     }),
 
+    // the training-free LSH alternative to the IVF scale path: SRP sketch →
+    // band-bucket join → exact re-rank; the oracle replicates the whole
+    // pipeline (declared projection table included), so this is hash-exact,
+    // not rows-only
+    "srp_ann_topk" -> ((s, d) => {
+      val t = Tables(s, d)
+      Srp.annTopK(corpus(t), queriesDf(t), "vec_id", "embedding", Dim, K)
+        .orderBy("query_id", "nn_id")
+    }),
+
     // multi-probe IVF at full probe width: probing every cell must
     // reproduce the brute-force result EXACTLY, so the entire fit →
     // assignTop → replicate → cell-join → dedup machinery is oracled by
@@ -141,7 +152,55 @@ object SimilarityCatalog extends Catalog {
        |  FROM (SELECT vec_id, unnest(q) AS x FROM p) GROUP BY vec_id),
        |pn AS (SELECT p.vec_id, p.label, p.q, n.n2 FROM p JOIN n USING (vec_id))""".stripMargin
 
+  /** SRP sketch + banding CTE chain in DuckDB (mirror of [[Srp.sketches]] /
+    * [[Srp.bandRows]]): the declared projection table as VALUES, the same
+    * exact-integer sign sums, the same (band, 4-bit value) bucket keys.
+    */
+  private def srpOracle: String = {
+    val projCols = (0 until Srp.Bits).map(j => s"s_$j").mkString(", ")
+    val projValues = Srp.signs(Dim)
+      .map { case (d, ss) => s"($d, ${ss.mkString(", ")})" }
+      .mkString(",\n    ")
+    val sums = (0 until Srp.Bits)
+      .map(j => s"CAST(sum(x * s_$j) AS BIGINT) AS p_$j").mkString(",\n    ")
+    val bits = (0 until Srp.Bits)
+      .map(j => s"(CASE WHEN p_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""proj(dim, $projCols) AS (VALUES
+       |    $projValues),
+       |ex AS (SELECT vec_id, unnest(q) AS x,
+       |    CAST(unnest(range(0, len(q))) AS INTEGER) AS dim FROM pn),
+       |sm AS (SELECT vec_id,
+       |    $sums
+       |  FROM ex JOIN proj USING (dim) GROUP BY vec_id),
+       |sk AS (SELECT vec_id, $bits AS sketch FROM sm),
+       |bands AS (SELECT vec_id, b,
+       |    (sketch >> (CAST(b AS INTEGER) * ${Srp.RowsPerBand}))
+       |      & ${(1L << Srp.RowsPerBand) - 1} AS bv
+       |  FROM sk CROSS JOIN (SELECT unnest(range(0, ${Srp.Bands})) AS b)),
+       |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS nn_id
+       |  FROM bands qb JOIN bands cb ON qb.b = cb.b AND qb.bv = cb.bv
+       |    AND cb.vec_id <> qb.vec_id
+       |  WHERE qb.vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT cand.query_id, cand.nn_id, qv.n2 AS qn2, cv.n2 AS cn2,
+       |    (SELECT CAST(sum(x * y) AS BIGINT)
+       |     FROM (SELECT unnest(qv.q) AS x, unnest(cv.q) AS y)) AS dot
+       |  FROM cand
+       |  JOIN pn qv ON qv.vec_id = cand.query_id
+       |  JOIN pn cv ON cv.vec_id = cand.nn_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = kmeansOracle.toMap ++ Map(
+    "srp_ann_topk" ->
+      s"""WITH $prepSql,
+         |$srpOracle
+         |SELECT query_id, nn_id,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cosine
+         |FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, nn_id ASC) <= $K
+         |ORDER BY query_id, nn_id""".stripMargin,
     "cosine_topk" ->
       s"""WITH $prepSql,
          |scored AS (

@@ -1,0 +1,117 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Signed-random-projection (SimHash-for-vectors) LSH over an embedding
+  * column — the bucket-join alternative to the IVF scale path: no training
+  * pass at all (the IVF k-means build is replaced by a declared projection
+  * table), at the cost of a coarser recall dial (band count instead of
+  * probe count). Complements [[Similarity]] the way banded MinHash-LSH
+  * complements the exact prefix-filter join in [[Dedup]].
+  *
+  * Each vector gets a [[Bits]]-bit sketch: bit j is the sign of the dot
+  * product with a Rademacher ±1 hyperplane, the classic SRP family where
+  * P(bit collision) = 1 - angle/pi. The hyperplane signs are a DECLARED
+  * deterministic function of (bit, dimension) (splitmix scramble — the same
+  * generator as [[Dedup]]'s MinHash permutations), so sketches are a pure
+  * function of the vector: partitioning-invariant, reproducible across
+  * runs, and exactly mirrored in the DuckDB oracle.
+  *
+  * Scale shape: sketches are one narrow pass (explode dims → broadcast
+  * 64-row projection join → one wide hash aggregate with [[Bits]] integer
+  * sums — all codegen, exact quantized arithmetic). Search joins the
+  * corpus's band rows against the (broadcast) query band rows — candidate
+  * volume is O(Σ bucket_new × bucket_q), never corpus × queries — then
+  * re-ranks candidates with the exact integer cosine. At 100 TB the corpus
+  * sketches/bands are computed once at ingest and persisted as the index;
+  * a query touches only its colliding buckets.
+  */
+object Srp {
+
+  /** Sketch width and its banding: 4 bands of 4 bits. A band collides with
+    * probability (1 - θ/π)^4; OR-ing 4 bands gives the usual S-curve —
+    * near-duplicate vectors (θ ≈ 0) collide almost surely, random
+    * directions rarely.
+    */
+  val Bits = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** Rademacher sign of hyperplane bit `j` at dimension `d` (declared,
+    * deterministic; 4096 > any real j keeps (j, d) collision-free).
+    */
+  def sign(j: Int, d: Int): Int =
+    if ((Dedup.scramble(j.toLong * 4096L + d.toLong) & 1L) == 1L) 1 else -1
+
+  /** The projection table for a `dim`-dimensional space:
+    * `(d, sign_0 … sign_{Bits-1})`.
+    */
+  def signs(dim: Int): Seq[(Int, Seq[Int])] =
+    (0 until dim).map(d => d -> (0 until Bits).map(j => sign(j, d)))
+
+  /** `(id, sketch)`: the [[Bits]]-bit SRP sketch of each vector. Bit j is
+    * set iff `sum_d q_d · sign(j, d) > 0` (exact integer sums over the
+    * 24-bit-quantized components; the zero tie is declared to clear the
+    * bit, identically in the oracle).
+    */
+  def sketches(df: DataFrame, id: String, vec: String, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proj = broadcast(
+      signs(dim).toDF("dim", "sgn")
+        .select(col("dim") +:
+          (0 until Bits).map(j => element_at(col("sgn"), j + 1).as(s"s_$j")): _*))
+    val sums = (0 until Bits).map(j => sum(col("x") * col(s"s_$j")).as(s"p_$j"))
+    val sketch = (0 until Bits)
+      .map(j => when(col(s"p_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    Similarity.prepare(df, id, vec)
+      .select(col(id), posexplode(col("q")).as(Seq("dim", "x")))
+      .join(proj, Seq("dim"))
+      .groupBy(col(id)).agg(sums.head, sums.tail: _*)
+      .select(col(id), sketch.as("sketch"))
+  }
+
+  /** `(id, band)` rows: band b's key packs the band index with its
+    * [[RowsPerBand]] sketch bits; vectors agreeing on any full band share a
+    * bucket.
+    */
+  def bandRows(sk: DataFrame, id: String): DataFrame = {
+    val keys = (0 until Bands).map { b =>
+      concat_ws(":", lit(b),
+        shiftright(col("sketch"), b * RowsPerBand)
+          .bitwiseAND(lit((1L << RowsPerBand) - 1L)))
+    }
+    sk.select(col(id), explode(array(keys: _*)).as("band"))
+  }
+
+  /** SRP-bucketed approximate top-k: candidates from the band-bucket join
+    * (queries broadcast), exact integer-cosine re-rank, k per query with
+    * deterministic ties. Same output shape as [[Similarity.cosineTopK]];
+    * queries whose buckets hold fewer than k candidates return fewer rows
+    * (the recall dial is [[Bands]]).
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+              dim: Int, k: Int): DataFrame = {
+    val pc = Similarity.prepare(corpus, id, vec)
+    val pq = Similarity.prepare(queries, id, vec)
+    val bc = bandRows(sketches(pc, id, vec, dim), id)
+      .select(col(id).as("nn_id"), col("band"))
+    val bq = bandRows(sketches(pq, id, vec, dim), id)
+      .select(col(id).as("query_id"), col("band"))
+    val cand = bc.join(broadcast(bq), Seq("band"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select("query_id", "nn_id").distinct()
+    val scored = cand
+      .join(pc.select(col(id).as("nn_id"), col("q").as("cq"), col("n2").as("cn2")),
+        Seq("nn_id"))
+      .join(broadcast(pq.select(col(id).as("query_id"), col("q").as("qq"),
+        col("n2").as("qn2"))), Seq("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        Similarity.cosineQ(Similarity.dotQ(col("qq"), col("cq")),
+          col("qn2"), col("cn2")).as("cosine"))
+    graft.ops.Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("nn_id").asc), k)
+  }
+}

@@ -16,6 +16,8 @@ import graft.engine.{Catalog, Tables}
 object TextCatalog extends Catalog {
 
   val TfIdfK = 5
+  val ChunkSize = 32
+  val ChunkStride = 24 // overlap 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> ((s, d) =>
@@ -61,6 +63,15 @@ object TextCatalog extends Catalog {
     "text_fluency" -> ((s, d) =>
       TextOps.fluencyAgg(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
+
+    "doc_repetition" -> ((s, d) =>
+      TextOps.repetitionAgg(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "doc_chunks" -> ((s, d) =>
+      TextOps.chunkRows(Tables(s, d).documents, "doc_id", "text",
+          ChunkSize, ChunkStride)
+        .orderBy("doc_id", "chunk_id")),
 
     "exact_dedup" -> ((s, d) =>
       Dedup.exactDedupMap(Tables(s, d).documents, "doc_id", "text")
@@ -238,6 +249,55 @@ object TextCatalog extends Catalog {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "doc_repetition" ->
+      s"""WITH t AS ($docTokens),
+         |tok AS (SELECT doc_id, unnest(w) AS tok,
+         |               unnest(range(1, len(w) + 1)) AS pos FROM t),
+         |big AS (SELECT a.doc_id, a.tok AS tok, b.tok AS nxt
+         |        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |bc AS (SELECT doc_id, tok, nxt, count(*) AS c FROM big GROUP BY doc_id, tok, nxt),
+         |ba AS (SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |    CAST(max(c) AS BIGINT) AS top_c,
+         |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+         |  FROM bc GROUP BY doc_id),
+         |rn AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              IS DISTINCT FROM tok THEN 1 ELSE 0 END AS chg
+         |  FROM tok),
+         |ri AS (SELECT doc_id,
+         |    sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+         |  FROM rn),
+         |rl AS (SELECT doc_id, run_id, count(*) AS run_len FROM ri GROUP BY doc_id, run_id),
+         |ra AS (SELECT doc_id,
+         |    CAST(max(run_len) AS BIGINT) AS max_run,
+         |    CAST(sum(run_len) AS BIGINT) AS n_tokens
+         |  FROM rl GROUP BY doc_id)
+         |SELECT ra.doc_id, ra.n_tokens,
+         |  CAST(coalesce(ba.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN ba.n_bigrams IS NOT NULL
+         |       THEN CAST(ba.top_c AS DOUBLE) / ba.n_bigrams
+         |       ELSE CAST(0.0 AS DOUBLE) END AS top_bigram_frac,
+         |  CASE WHEN ba.n_bigrams IS NOT NULL
+         |       THEN CAST(ba.dup_c AS DOUBLE) / ba.n_bigrams
+         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac,
+         |  ra.max_run
+         |FROM ra LEFT JOIN ba USING (doc_id)
+         |ORDER BY ra.doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      s"""WITH t AS ($docTokens),
+         |c AS (SELECT doc_id, w, len(w) AS n,
+         |    unnest(range(0, 1 + CAST(floor(
+         |      (greatest(len(w) - $ChunkSize, 0) + ${ChunkStride - 1}) / ${ChunkStride}.0)
+         |      AS BIGINT))) AS k
+         |  FROM t)
+         |SELECT doc_id, k AS chunk_id,
+         |  CAST(least($ChunkSize, n - k * $ChunkStride) AS BIGINT) AS n_tokens,
+         |  array_to_string(w[(k * $ChunkStride + 1):(k * $ChunkStride + $ChunkSize)], ' ')
+         |    AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "doc_fingerprints" ->
       s"""WITH ${OracleSql.simhashCtes},

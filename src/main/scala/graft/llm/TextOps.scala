@@ -258,6 +258,80 @@ object TextOps {
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Repetition quality signals (the Gopher-style "repetitive content"
+    * tier): `(id, n_tokens, n_bigrams, top_bigram_frac, dup_bigram_frac,
+    * max_run)` where
+    *  - `top_bigram_frac` = occurrences of the most frequent adjacent-token
+    *    bigram over all n-1 bigram occurrences,
+    *  - `dup_bigram_frac` = fraction of bigram occurrences whose bigram
+    *    appears more than once,
+    *  - `max_run` = longest run of consecutive identical tokens.
+    * Docs with fewer than 2 tokens report 0 bigrams and 0.0 fractions.
+    *
+    * Shape: posexplode → one window chain per doc id (lead for bigrams,
+    * lag + running sum for runs — same partition key, one exchange) →
+    * hash aggregates. All counts are exact integers; the two fractions are
+    * single double divisions, mirrored in the oracle.
+    */
+  def repetitionAgg(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy("pos")
+    val toks = df.select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val bigAgg = toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col(id), col("tok"), col("nxt")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id))
+      .agg(
+        sum("c").as("n_bigrams"),
+        max("c").as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+    val prev = lag(col("tok"), 1).over(w)
+    val runAgg = toks
+      .withColumn("chg", when(prev.isNull || prev =!= col("tok"), 1).otherwise(0))
+      .withColumn("run_id", sum(col("chg")).over(w))
+      .groupBy(col(id), col("run_id")).agg(count(lit(1)).as("run_len"))
+      .groupBy(col(id))
+      .agg(max("run_len").as("max_run"), sum("run_len").as("n_tokens"))
+    runAgg.join(bigAgg, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNotNull,
+            col("top_c").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        when(col("n_bigrams").isNotNull,
+            col("dup_c").cast("double") / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        col("max_run"))
+  }
+
+  /** Fixed-size token-window chunking with overlap (the training-example
+    * splitter): each doc yields chunks of `chunkSize` tokens starting every
+    * `stride` tokens (overlap = chunkSize - stride); the final chunk keeps
+    * whatever remains. `(id, chunk_id, n_tokens, chunk_text)`.
+    *
+    * Chunk count = 1 + ceil(max(n - chunkSize, 0) / stride), so every token
+    * is covered and a doc shorter than one chunk yields exactly one chunk.
+    * Shape: narrow — explode a per-doc chunk-index sequence, then
+    * `slice` + `array_join` build each window from the token array. No
+    * shuffle at all; chunking 100 TB is a flat map over input splits.
+    */
+  def chunkRows(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+                chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && stride <= chunkSize,
+      s"stride in [1, chunkSize=$chunkSize]: $stride")
+    val n = col("n")
+    val extra = greatest(n - chunkSize, lit(0))
+    val nchunks = (lit(1) + floor((extra + (stride - 1)) / stride)).cast("int")
+    df.select(col(id), tokens(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col(id), col("w"), n,
+        explode(sequence(lit(0), nchunks - 1)).as("k"))
+      .select(col(id),
+        col("k").cast("long").as("chunk_id"),
+        least(lit(chunkSize), n - col("k") * stride).cast("long").as("n_tokens"),
+        array_join(slice(col("w"), col("k") * stride + 1, lit(chunkSize)), " ").as("chunk_text"))
+  }
+
   /** Function-word marker profiles for the n-gram/stopword language-ID
     * heuristic (declared constants; priority order breaks ties).
     */

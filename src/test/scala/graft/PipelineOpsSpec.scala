@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.llm.{Corpus, Dedup, Similarity, Srp, TextOps}
+
+/** Semantics and invariants of the round-4 pipeline additions: repetition
+  * signals, token-window chunking, mixture planning, incremental dedup, and
+  * the SRP-bucketed ANN path.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf).documents
+  private lazy val emb = Tables(spark, sf).embeddings
+
+  // -- repetitionAgg --------------------------------------------------------
+
+  test("repetitionAgg scores a hand-built repetitive vs clean doc") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),         // one token, one giant run
+      (2L, "a b c d e f"),                       // all bigrams unique
+      (3L, "go stop go stop go stop"),           // repeated alternating bigrams
+      (4L, "one")                                // no bigrams at all
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionAgg(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4), x.getLong(5))).toMap
+
+    assert(r(1L) === ((5L, 4L, 1.0, 1.0, 5L)))   // "spam spam" is every bigram
+    assert(r(2L)._3 === 1.0 / 5.0)               // top bigram occurs once of 5
+    assert(r(2L)._4 === 0.0)                     // nothing duplicated
+    assert(r(2L)._5 === 1L)
+    // "go stop" x3, "stop go" x2 → top 3/5, dup (3+2)/5, runs all length 1
+    assert(r(3L) === ((6L, 5L, 0.6, 1.0, 1L)))
+    assert(r(4L) === ((1L, 0L, 0.0, 0.0, 1L)))
+  }
+
+  test("repetitionAgg is total over the corpus and bounded") {
+    val r = TextOps.repetitionAgg(docs, "doc_id", "text").cache()
+    assert(r.count() === docs.count())
+    assert(r.filter(col("dup_bigram_frac") > 0 &&
+        col("top_bigram_frac") > col("dup_bigram_frac")).count() === 0,
+      "a duplicated top bigram's occurrences are included in the duplicated ones")
+    assert(r.filter(col("top_bigram_frac") < 0 || col("top_bigram_frac") > 1 ||
+      col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1).count() === 0)
+    assert(r.filter(col("max_run") < 1 || col("max_run") > col("n_tokens")).count() === 0)
+    r.unpersist()
+  }
+
+  // -- chunkRows ------------------------------------------------------------
+
+  test("chunkRows covers every token with the declared overlap") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
+    val chunks = TextOps.chunkRows(df, "doc_id", "text", chunkSize = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // 100 tokens: chunks at 0, 24, 48, 72 → 1 + ceil(68/24) = 4
+    assert(d1.length === 4)
+    assert(d1.map(_._3).toSeq === Seq(32L, 32L, 32L, 28L))
+    assert(d1.head._4.startsWith("t1 t2 ") && d1.last._4.endsWith(" t100"))
+    // consecutive chunks overlap by exactly 8 tokens
+    val w1 = d1.map(_._4.split(" ").toSeq)
+    assert(w1(0).takeRight(8) === w1(1).take(8))
+    // reconstruction: stride-strided concatenation restores the doc
+    val rebuilt = w1.head ++ w1.tail.flatMap(_.drop(8))
+    assert(rebuilt.mkString(" ") === text)
+
+    assert(chunks.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 2L, "short doc")))
+    assert(chunks.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 1L, "")))
+  }
+
+  test("chunkRows on the corpus: every doc chunked, budgets respected") {
+    val c = TextOps.chunkRows(docs, "doc_id", "text", 32, 24).cache()
+    assert(c.select("doc_id").distinct().count() === docs.count())
+    assert(c.filter(col("n_tokens") < 1 || col("n_tokens") > 32).count() === 0)
+    assert(c.filter(size(split(col("chunk_text"), " ")) =!= col("n_tokens")).count() === 0)
+    c.unpersist()
+  }
+
+  // -- mixtureWeights -------------------------------------------------------
+
+  test("mixtureWeights shares sum to 1 and keep_prob caps at 1") {
+    val targets = Map("en" -> 0.3, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.2)
+    val m = Corpus.mixtureWeights(docs, "lang", "text", targets, 0.1).collect()
+    assert(m.length === 5)
+    val shares = m.map(_.getAs[Double]("token_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-12)
+    m.foreach { r =>
+      val keep = r.getAs[Double]("keep_prob")
+      val up = r.getAs[Double]("upsample_factor")
+      assert(keep <= 1.0 && keep > 0.0)
+      assert(keep === math.min(1.0, up))
+      val lang = r.getString(0)
+      assert(r.getAs[Double]("target_share") === targets.getOrElse(lang, 0.1))
+    }
+    // en dominates the fixture corpus → it must be the downsampled one
+    val en = m.find(_.getString(0) == "en").get
+    assert(en.getAs[Double]("token_share") > 0.3 && en.getAs[Double]("keep_prob") < 1.0)
+  }
+
+  // -- incrementalDedupFlags ------------------------------------------------
+
+  test("incrementalDedupFlags flags exact and near dups against the corpus only") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine ten"),
+      (12L, "completely different corpus content here words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"),      // exact dup of 10
+      (21L, "one two three four five six seven eight nine extra"), // near dup of 11
+      (22L, "fresh unseen text with brand new tokens only")        // clean
+    ).toDF("doc_id", "text")
+    val f = Dedup.incrementalDedupFlags(batch, corpus, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getBoolean(4))).toMap
+
+    assert(f(20L) === ((Some(10L), Some(10L), true))) // exact implies jaccard 1.0
+    assert(f(21L)._1 === None)
+    assert(f(21L)._2 === Some(11L))
+    assert(f(21L)._3 === true)
+    assert(f(22L) === ((None, None, false)))
+  }
+
+  test("incrementalDedupFlags never pairs new docs with each other") {
+    // two identical NEW docs with no corpus counterpart must both come back clean
+    val corpus = Seq((1L, "corpus only content words here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (30L, "twin text shared by two new docs"),
+      (31L, "twin text shared by two new docs")).toDF("doc_id", "text")
+    val f = Dedup.incrementalDedupFlags(batch, corpus, "doc_id", "text", 0.5).collect()
+    assert(f.length === 2)
+    assert(f.forall(!_.getBoolean(4)), "batch-internal dups are the full dedup's job")
+  }
+
+  // -- SRP ANN --------------------------------------------------------------
+
+  test("SRP sketches are deterministic and partitioning-invariant") {
+    val a = Srp.sketches(emb, "vec_id", "embedding", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Srp.sketches(emb.repartition(13), "vec_id", "embedding", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.values.toSet.size > 1, "sketches spread across buckets")
+    assert(a.values.forall(s => s >= 0 && s < (1L << Srp.Bits)))
+  }
+
+  test("a duplicated vector collides in every band and ranks first") {
+    val dup = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.union(dup)
+    val res = Srp.annTopK(corpus, emb.filter(col("vec_id") === 7),
+        "vec_id", "embedding", 64, k = 1)
+      .collect()
+    assert(res.length === 1)
+    assert(res.head.getLong(1) === 100007L, "the exact copy is the top neighbor")
+    assert(math.abs(res.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("SRP ANN results agree with brute force on shared pairs") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val ann = Srp.annTopK(emb, queries, "vec_id", "embedding", 64, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ann.nonEmpty, "4-bit bands collide often enough to yield candidates")
+    val brute = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { case (pair, cos) =>
+      assert(brute(pair) === cos, s"ANN cosine must equal the exact cosine for $pair")
+    }
+  }
+}
