@@ -23,6 +23,94 @@ object Corpus {
   def sampleHash(idCol: Column, salt: String): Column =
     pmod(TextOps.hash60(concat(lit(salt + ":"), idCol.cast("string"))), lit(1000L))
 
+  /** Full-width deterministic priority hash (60 bits, not quantized): the
+    * per-row sort key for "random but reproducible" orderings — quota caps,
+    * shard shuffling. Same md5 derivation as [[sampleHash]], so the oracle
+    * reproduces it bit-for-bit.
+    */
+  def priorityHash(idCol: Column, salt: String): Column =
+    TextOps.hash60(concat(lit(salt + ":"), idCol.cast("string")))
+
+  /** Per-source quota cap (the web-crawl "max N pages per domain" rule):
+    * within each source, docs are ranked by (priority hash, id) and only the
+    * first `cap` survive — a uniform random-but-deterministic choice, not
+    * "whatever N arrived first". One window per source partition; at 100 TB
+    * the source key is the natural partition key and a hot source (one domain
+    * with millions of pages) still ranks inside its own partition — the
+    * window never crosses sources, so skew stays bounded by the largest
+    * single source, the same bound the cap itself is there to enforce.
+    */
+  def capPerSource(df: DataFrame, idCol: String, sourceCol: String,
+                   cap: Int, salt: String = "cap"): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(priorityHash(col(idCol), salt), col(idCol))
+    df.withColumn("keep_rank", row_number().over(w).cast("long"))
+      .filter(col("keep_rank") <= cap)
+  }
+
+  /** Deterministic train/validation/test assignment: the salted hash bucket
+    * (0–999) is cut at the cumulative fraction boundaries, so every doc's
+    * split is a pure function of its id — stable across re-runs, cluster
+    * layouts, and corpus growth (a doc never migrates between splits when
+    * other docs are added). `fractions` are quantized to 1/1000 and assigned
+    * in declaration order; the last split absorbs the remainder.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   fractions: Seq[(String, Double)],
+                   salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $fractions")
+    val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * 1000).round
+    }.tail
+    val bucket = sampleHash(col(idCol), salt)
+    val splitCol = fractions.init.zip(bounds.init)
+      .foldRight(lit(fractions.last._1)) { case (((name, _), hi), acc) =>
+        when(bucket < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("bucket", bucket).withColumn("split", splitCol)
+  }
+
+  /** Deterministic training-order shuffle as (shard, position) — the
+    * scale-safe spelling of "globally shuffle the corpus": shard = hash mod
+    * `numShards` distributes docs uniformly; position = rank of (hash, id)
+    * within the shard randomizes intra-shard order. A literal global
+    * row_number would serialize on one partition; this shape is one shuffle
+    * on the shard key and N independent windows, and a training job reads
+    * shards in shard/position order for the same permutation every run.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    salt: String = "shuffle"): DataFrame = {
+    val h = priorityHash(col(idCol), salt)
+    val w = Window.partitionBy(col("shard")).orderBy(h, col(idCol))
+    df.withColumn("shard", pmod(h, lit(numShards.toLong)))
+      .withColumn("position", row_number().over(w).cast("long"))
+  }
+
+  /** Per-doc novelty: the fraction of a doc's distinct word n-gram shingles
+    * that occur in NO other document — high novelty marks content the corpus
+    * has nowhere else (the diversity complement of the dedup tier, which
+    * hunts the other tail). Shape: one shingle explode → shingle-frequency
+    * aggregate → per-doc aggregate; never doc pairs. Docs shorter than `n`
+    * tokens have no shingles and get a NULL novelty.
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = Dedup.shingleRows(df, idCol, textCol, n)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val per = sh.join(freq, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("sdf") === 1, lit(1))).as("n_unique"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(col("n_shingles") > 0,
+          col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+  }
+
   /** Per-stratum deterministic sampling (corpus rebalancing): each stratum
     * keeps ~`rates(stratum)` of its rows (`defaultRate` for unlisted
     * strata), rates quantized to 1/1000. The standard mixture-tuning step

@@ -24,6 +24,11 @@ object CorpusCatalog extends Catalog {
   val BenchmarkSource = "src0" // the held-out eval slice in the fixture data
   val BenchmarkMod = 10L       // embeddings benchmark: vec_id % 10 = 0
   val EmbContamCos = 0.35      // near-orthogonal fixture vectors; >0.35 is close
+  /** Per-source quota: below the fixture's 25 docs/source so the cap binds. */
+  val SourceCap = 12
+  /** Train/val/test cut points (hash-bucket boundaries at 800/900). */
+  val SplitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  val NumShards = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_sample" -> ((s, d) =>
@@ -59,6 +64,25 @@ object CorpusCatalog extends Catalog {
           "vec_id", "embedding", EmbContamCos)
         .orderBy("vec_id")
     }),
+
+    "source_caps" -> ((s, d) =>
+      Corpus.capPerSource(Tables(s, d).documents, "doc_id", "source", SourceCap)
+        .select("doc_id", "lang", "source", "keep_rank")
+        .orderBy("doc_id")),
+
+    "dataset_split" -> ((s, d) =>
+      Corpus.assignSplits(Tables(s, d).documents, "doc_id", SplitFractions)
+        .select("doc_id", "lang", "bucket", "split")
+        .orderBy("doc_id")),
+
+    "shuffle_shards" -> ((s, d) =>
+      Corpus.shuffleShards(Tables(s, d).documents, "doc_id", NumShards)
+        .select("doc_id", "shard", "position")
+        .orderBy("doc_id")),
+
+    "doc_novelty" -> ((s, d) =>
+      Corpus.noveltyScores(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -118,6 +142,61 @@ object CorpusCatalog extends Catalog {
          |  FROM scored GROUP BY vec_id)
          |SELECT vec_id, max_cosine, max_cosine >= $EmbContamCos AS is_contaminated
          |FROM per ORDER BY vec_id""".stripMargin,
+
+    "source_caps" ->
+      s"""SELECT doc_id, lang, source, keep_rank FROM (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${OracleSql.h60("'cap:' || CAST(doc_id AS VARCHAR)")},
+         |               doc_id) AS keep_rank
+         |  FROM documents)
+         |WHERE keep_rank <= $SourceCap
+         |ORDER BY doc_id""".stripMargin,
+
+    "dataset_split" -> {
+      // same cumulative cut points as Corpus.assignSplits
+      val bounds = SplitFractions.scanLeft(0L) { case (acc, (_, f)) =>
+        acc + (f * 1000).round
+      }.tail
+      val cases = SplitFractions.init.zip(bounds.init)
+        .map { case ((name, _), hi) => s"WHEN b < $hi THEN '$name'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang, b AS bucket,
+         |  CASE $cases ELSE '${SplitFractions.last._1}' END AS split
+         |FROM (SELECT doc_id, lang,
+         |    ${OracleSql.h60("'split:' || CAST(doc_id AS VARCHAR)")} % 1000 AS b
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "shuffle_shards" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${OracleSql.h60("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % $NumShards AS shard,
+         |  row_number() OVER (PARTITION BY h % $NumShards ORDER BY h, doc_id)
+         |    AS position
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "doc_novelty" ->
+      s"""WITH tt AS (SELECT doc_id,
+         |    string_split(${OracleSql.norm}, ' ') AS w FROM documents),
+         |shl AS (SELECT doc_id,
+         |    list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
+         |                   FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM tt WHERE len(w) >= 3),
+         |sh AS (SELECT doc_id, unnest(s) AS shingle FROM shl),
+         |freq AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle),
+         |per AS (SELECT doc_id, count(*) AS n_shingles,
+         |    count(CASE WHEN sdf = 1 THEN 1 END) AS n_unique
+         |  FROM sh JOIN freq USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(per.n_unique, 0) AS BIGINT) AS n_unique,
+         |  CASE WHEN per.n_shingles > 0
+         |       THEN CAST(per.n_unique AS DOUBLE) / per.n_shingles END AS novelty
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "benchmark_contamination" ->
       s"""WITH tt AS (SELECT doc_id, source,

@@ -335,6 +335,31 @@ object Dedup {
     labels
   }
 
+  /** Near-dup dedup, keep-BEST: every doc labelled with its near-dup
+    * cluster, cluster size, the caller's quality score, and whether it is
+    * the cluster's keeper — the highest-scoring member (ties to the lower
+    * id). The production alternative to [[dropNearDups]]' keep-first rule:
+    * when a boilerplate page and its clean original collide, keep-first
+    * keeps whichever has the smaller id; keep-best keeps the better
+    * document. Cost over [[dupClusters]] is one extra window on the cluster
+    * id — clusters are tiny next to the corpus, so the window partitions
+    * are bounded by the largest duplicate cluster.
+    */
+  def keepBestPerCluster(df: DataFrame, id: String, textCol: String,
+                         score: Column => Column, threshold: Double,
+                         n: Int = 3): DataFrame = {
+    val labeled = dupClusters(df, id, textCol, threshold, n)
+      .join(df.select(col(id), score(col(textCol)).as("score")), Seq(id))
+    val w = Window.partitionBy("cluster_id")
+    val pick = Window.partitionBy("cluster_id")
+      .orderBy(col("score").desc, col(id).asc)
+    labeled
+      .withColumn("n_members", count(lit(1)).over(w))
+      .withColumn("is_kept", row_number().over(pick) === 1)
+      .select(col(id), col("cluster_id"), col("n_members"), col("score"),
+        col("is_kept"))
+  }
+
   /** Exact-content dedup assignment: every doc mapped to the canonical
     * (minimum) id of its content-fingerprint group. One window over the
     * fingerprint — the shuffle key is the hash, so identical contents

@@ -48,6 +48,14 @@ object DedupCatalog extends Catalog {
       Dedup.dupClusters(Tables(s, d).documents, "doc_id", "text", JaccardThreshold)
         .orderBy("doc_id")),
 
+    // keep-BEST dedup: the cluster keeper is the highest-quality member,
+    // not the lowest id — the production rule when near-dups differ in
+    // quality (boilerplate copy vs clean original)
+    "near_dup_keep_best" -> ((s, d) =>
+      Dedup.keepBestPerCluster(Tables(s, d).documents, "doc_id", "text",
+          TextOps.qualityScore, JaccardThreshold)
+        .orderBy("doc_id")),
+
     "incremental_dedup" -> ((s, d) => {
       val docs = Tables(s, d).documents
       Dedup.incrementalDedupFlags(
@@ -111,6 +119,36 @@ object DedupCatalog extends Catalog {
          |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
          |GROUP BY d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "near_dup_keep_best" ->
+      s"""WITH RECURSIVE ${OracleSql.jaccardPairsCtes},
+         |e AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= $JaccardThreshold
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs WHERE jaccard >= $JaccardThreshold),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |cl AS (
+         |  SELECT d.doc_id,
+         |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |  GROUP BY d.doc_id),
+         |sc AS (
+         |  SELECT doc_id,
+         |    ${TextCatalog.qualitySql}
+         |      AS score
+         |  FROM (SELECT doc_id, text, string_split(${OracleSql.norm}, ' ') AS w
+         |        FROM documents)),
+         |j AS (SELECT cl.doc_id, cl.cluster_id, sc.score
+         |      FROM cl JOIN sc USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+         |  score,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY score DESC, doc_id) = 1 AS is_kept
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "incremental_dedup" -> {
       val newSrc = NewBatchSources.map(s => s"'$s'").mkString("(", ", ", ")")

@@ -372,4 +372,23 @@ object Similarity {
         cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Semantic dedup (the SemDeDup recipe): inside each cell, drop every
+    * vector that has a lower-id neighbor above the cosine threshold —
+    * near-identical embeddings collapse to their minimum-id representative.
+    * Returns one row per input vector: `(id, cell, dup_of, is_kept)` where
+    * `dup_of` is the minimum such neighbor (NULL for keepers). Built on
+    * [[cellNearDupPairs]], so the pair search never leaves a cell; the drop
+    * decision is one aggregate on the pair frame (tiny next to the corpus)
+    * plus a left join back — no collect, no all-pairs.
+    */
+  def semanticDedup(df: DataFrame, id: String, vec: String, cell: String,
+                    threshold: Double): DataFrame = {
+    val dupOf = cellNearDupPairs(df, id, vec, cell, threshold)
+      .groupBy(col("id_b").as(id))
+      .agg(min(col("id_a")).as("dup_of"))
+    df.select(col(id), col(cell))
+      .join(dupOf, Seq(id), "left")
+      .select(col(id), col(cell), col("dup_of"), col("dup_of").isNull.as("is_kept"))
+  }
 }

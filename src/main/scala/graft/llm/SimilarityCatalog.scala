@@ -43,6 +43,13 @@ object SimilarityCatalog extends Catalog {
           "label", NearDupCos)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup: per-vector keep/drop verdicts from the cell-blocked pair
+    // search — every vector either keeps or names its min-id near neighbor
+    "semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables(s, d).embeddings, "vec_id", "embedding",
+          "label", NearDupCos)
+        .orderBy("vec_id")),
+
     "cell_stats" -> ((s, d) =>
       Similarity.cellStats(Tables(s, d).embeddings, "embedding", "label")
         .orderBy("label", "dim")),
@@ -283,5 +290,21 @@ object SimilarityCatalog extends Catalog {
          |FROM scored
          |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "semantic_dedup" ->
+      s"""WITH $prepSql,
+         |scored AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n2 AS na, b.n2 AS nb,
+         |    (SELECT CAST(sum(x * y) AS BIGINT)
+         |     FROM (SELECT unnest(a.q) AS x, unnest(b.q) AS y)) AS dot
+         |  FROM pn a JOIN pn b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |dup AS (
+         |  SELECT id_b AS vec_id, min(id_a) AS dup_of FROM scored
+         |  WHERE CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+         |  GROUP BY id_b)
+         |SELECT e.vec_id, e.label, d.dup_of, d.dup_of IS NULL AS is_kept
+         |FROM embeddings e LEFT JOIN dup d USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
   )
 }

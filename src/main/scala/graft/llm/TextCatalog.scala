@@ -18,6 +18,9 @@ object TextCatalog extends Catalog {
   val TfIdfK = 5
   val ChunkSize = 32
   val ChunkStride = 24 // overlap 8
+  val VocabK = 50
+  /** Nearest-rank percentiles for the per-language length profile. */
+  val Percentiles = Seq(0.25, 0.5, 0.75, 0.9)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> ((s, d) =>
@@ -63,6 +66,16 @@ object TextCatalog extends Catalog {
     "text_fluency" -> ((s, d) =>
       TextOps.fluencyAgg(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
+
+    // corpus-level vocabulary profile (already deterministically ordered:
+    // TakeOrderedAndProject on tf desc, term asc)
+    "vocab_top_terms" -> ((s, d) =>
+      TextOps.vocabulary(Tables(s, d).documents, "doc_id", "text", VocabK)),
+
+    "length_percentiles" -> ((s, d) =>
+      graft.ops.Relational.exactPercentiles(Tables(s, d).documents,
+          Seq("lang"), "n_chars", "doc_id", Percentiles)
+        .orderBy("lang")),
 
     "doc_repetition" -> ((s, d) =>
       TextOps.repetitionAgg(Tables(s, d).documents, "doc_id", "text")
@@ -298,6 +311,31 @@ object TextCatalog extends Catalog {
          |  array_to_string(w[(k * $ChunkStride + 1):(k * $ChunkStride + $ChunkSize)], ' ')
          |    AS chunk_text
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "vocab_top_terms" ->
+      s"""WITH t AS ($docTokens),
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |pd AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf,
+         |        CAST(count(*) AS BIGINT) AS df
+         |      FROM pd GROUP BY term)
+         |SELECT term, tf, df FROM v
+         |ORDER BY tf DESC, term LIMIT $VocabK""".stripMargin,
+
+    "length_percentiles" -> {
+      val cols = Percentiles.map { p =>
+        val pm = (p * 1000).round
+        s"""max(CASE WHEN rn = CAST(floor(($pm * n + 999) / 1000.0) AS BIGINT)
+           |      THEN n_chars END) AS p$pm""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH r AS (SELECT lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents)
+         |SELECT lang,
+         |  $cols
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "doc_fingerprints" ->
       s"""WITH ${OracleSql.simhashCtes},

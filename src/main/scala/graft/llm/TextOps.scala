@@ -258,6 +258,24 @@ object TextOps {
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Corpus vocabulary heavy-hitters: the top-k terms by total occurrence
+    * count, with document frequency — the tokenizer-training / stopword-
+    * discovery profile of a corpus. Shape: explode → per-(doc, term) count
+    * (partial-aggregated map-side) → per-term rollup of tf and df from the
+    * SAME aggregate (df = count of (doc, term) rows, so no second distinct
+    * shuffle) → TakeOrderedAndProject top-k. Ordering is total (tf desc,
+    * term asc), so the result is partitioning-invariant.
+    */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+                 k: Int): org.apache.spark.sql.DataFrame = {
+    val perDoc = df.select(col(id), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    perDoc.groupBy("term")
+      .agg(sum("tf").as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Repetition quality signals (the Gopher-style "repetitive content"
     * tier): `(id, n_tokens, n_bigrams, top_bigram_frac, dup_bigram_frac,
     * max_run)` where

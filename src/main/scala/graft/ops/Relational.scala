@@ -151,6 +151,32 @@ object Relational {
   def approxQuantiles(c: Column, probs: Seq[Double], accuracy: Int = 10000): Column =
     percentile_approx(c, array(probs.map(lit): _*), lit(accuracy))
 
+  /** Exact per-group discrete percentiles: for each probability p, the value
+    * at row ceil(p·n) of the group's (value, tieBreak)-sorted order — the
+    * classic "nearest-rank" definition, fully deterministic and
+    * engine-portable (rank arithmetic runs in millesimal integers, so there
+    * is no float-boundary disagreement with the SQL oracle, unlike
+    * interpolating quantile_cont variants). One window pass per group plus
+    * one aggregate; the window partitions by the group key, so the sort is
+    * per-group, never global. The exact complement of [[approxQuantiles]]:
+    * use this when groups fit a partition's sort budget, the sketch when
+    * they don't.
+    */
+  def exactPercentiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                       tieBreak: String, ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol), col(tieBreak))
+    val cw = Window.partitionBy(keys.map(col): _*)
+    val ranked = df.select((keys :+ valueCol :+ tieBreak).map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+    val aggs = ps.map { p =>
+      val pm = (p * 1000).round // ceil(p·n) = floor((pm·n + 999) / 1000)
+      val target = floor((lit(pm) * col("__n") + lit(999L)) / lit(1000.0))
+      max(when(col("__rn") === target, col(valueCol))).as(s"p${pm}")
+    }
+    ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Exact, summation-order-independent sum for 2-decimal money columns:
     * DECIMAL(18,2) accumulation is exact (no float reassociation error), so
     * the result is identical across any partitioning/parallelism AND matches

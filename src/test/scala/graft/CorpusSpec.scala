@@ -68,4 +68,65 @@ class CorpusSpec extends SparkSpec {
     assert(got(11L) === 0.0)
     assert(got(12L) === 0.25)
   }
+
+  test("per-source caps keep exactly min(cap, source size) docs, layout-invariant") {
+    val cap = 7
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      Corpus.capPerSource(df, "doc_id", "source", cap)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = kept(docs)
+    assert(a === kept(docs.repartition(13)), "cap choice must not depend on layout")
+    val perSource = Corpus.capPerSource(docs, "doc_id", "source", cap)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    val sizes = docs.groupBy("source").count().collect().map(_.getLong(1))
+    assert(perSource.forall(_ <= cap))
+    assert(perSource.sum === sizes.map(math.min(_, cap.toLong)).sum,
+      "undersized sources keep everything; oversized keep exactly cap")
+  }
+
+  test("dataset split labels are exhaustive, deterministic, and stable under corpus growth") {
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = Corpus.assignSplits(docs, "doc_id", fracs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+    // proportions land near the declared fractions (hash-uniformity sanity)
+    val n = full.size.toDouble
+    assert(full.values.count(_ == "train") / n > 0.7)
+    assert(full.values.count(_ == "train") / n < 0.9)
+    // a doc's split never changes when OTHER docs are added/removed
+    val half = Corpus.assignSplits(docs.filter(col("doc_id") % 2 === 0), "doc_id", fracs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) => assert(full(id) === s, s"doc $id migrated splits") }
+  }
+
+  test("shuffle shards form a permutation: contiguous positions per shard, layout-invariant") {
+    val out = Corpus.shuffleShards(docs, "doc_id", 4)
+      .select("doc_id", "shard", "position").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet.size === out.length, "every doc exactly once")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        "positions are 1..n within each shard")
+    }
+    val again = Corpus.shuffleShards(docs.repartition(17), "doc_id", 4)
+      .select("doc_id", "shard", "position").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(again.toSeq === out.sortBy(_._1).toSeq, "permutation must not depend on layout")
+  }
+
+  test("novelty is 1.0 for unique content, 0.0 for cloned content, NULL below shingle size") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),   // shingles unique to doc 1
+      (2L, "one two three four five"),  // cloned in doc 3 → nothing unique
+      (3L, "one two three four five"),
+      (4L, "tiny doc")                  // < 3 tokens: no shingles
+    ).toDF("doc_id", "text")
+    val got = Corpus.noveltyScores(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getDouble(3) === 1.0)
+    assert(got(1).getDouble(3) === 0.0 && got(2).getDouble(3) === 0.0)
+    assert(got(3).getLong(1) === 0L && got(3).isNullAt(3))
+  }
 }

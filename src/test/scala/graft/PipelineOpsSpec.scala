@@ -172,4 +172,45 @@ class PipelineOpsSpec extends SparkSpec {
       assert(brute(pair) === cos, s"ANN cosine must equal the exact cosine for $pair")
     }
   }
+
+  // -- keepBestPerCluster ---------------------------------------------------
+
+  test("keep-best dedup keeps the highest-quality cluster member, not the first") {
+    // B = A plus a distinct tail: shingle containment keeps Jaccard ≥ 0.8
+    // while B scores higher on both the length and distinct-ratio terms —
+    // so keep-first would keep A (lower id) but keep-best must keep B
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val better = base + " extra fresh novel words"
+    val df = Seq(
+      (1L, base), (2L, better),
+      (3L, "a completely unrelated singleton document")
+    ).toDF("doc_id", "text")
+    val got = Dedup.keepBestPerCluster(df, "doc_id", "text",
+        TextOps.qualityScore, 0.8)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(1L) === ((1L, 2L, false)), "lower-quality original is dropped")
+    assert(got(2L) === ((1L, 2L, true)), "higher-quality near-dup is the keeper")
+    assert(got(3L) === ((3L, 1L, true)), "singletons keep themselves")
+  }
+
+  // -- semanticDedup --------------------------------------------------------
+
+  test("semantic dedup drops to the min-id neighbor within a cell only") {
+    val df = Seq(
+      (0L, Seq(1f, 0f), 0),   // keeper
+      (1L, Seq(1f, 0f), 0),   // same cell, same direction → dup of 0
+      (2L, Seq(0f, 1f), 0),   // same cell, orthogonal → kept
+      (3L, Seq(1f, 0f), 1)    // same direction, different cell → kept
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(df, "vec_id", "embedding", "label", 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3)))
+      .toMap
+    assert(got(0L) === ((None, true)))
+    assert(got(1L) === ((Some(0L), false)))
+    assert(got(2L) === ((None, true)))
+    assert(got(3L) === ((None, true)), "cells block the pair search")
+  }
 }

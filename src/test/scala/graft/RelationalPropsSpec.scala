@@ -127,4 +127,20 @@ class RelationalPropsSpec extends SparkSpec {
     assert(builds === 2, "rebuilt after expiry")
     assert(cache.isFresh)
   }
+
+  test("exact percentiles follow the nearest-rank definition per group") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 40L), ("a", 3L, 20L), ("a", 4L, 30L),
+      ("b", 5L, 7L)
+    ).toDF("g", "id", "v")
+    val got = Relational.exactPercentiles(df, Seq("g"), "v", "id",
+        Seq(0.25, 0.5, 0.75, 0.9, 1.0))
+      .orderBy("g").collect()
+    // group a sorted: 10 20 30 40; ranks ceil(p·4) = 1,2,3,4,4
+    assert(got(0).getLong(1) === 10L && got(0).getLong(2) === 20L &&
+      got(0).getLong(3) === 30L && got(0).getLong(4) === 40L &&
+      got(0).getLong(5) === 40L)
+    // singleton group: every percentile is the single value
+    assert((1 to 5).forall(i => got(1).getLong(i) === 7L))
+  }
 }
