@@ -1,7 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout writers — the storage-side half of the 100 TB design:
   * what gets pruned at read time is decided at write time.
@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions.col
   *    This is the poor-man's Z-order for a single dominant predicate
   *    column — composable with directory partitioning for two levels of
   *    pruning.
+  *  - [[writeZOrdered]]: bit-interleaved (Morton) clustering on TWO
+  *    columns; a range predicate on EITHER (or both) still skips most row
+  *    groups, which a single-column sort can only give to its own column.
   */
 object Layout {
 
@@ -26,5 +29,37 @@ object Layout {
                        numFiles: Int = 8): Unit =
     df.repartitionByRange(numFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Morton (Z-order) key: interleaves the low `bits` bits of two
+    * non-negative integer columns (a's bit i lands at position 2i, b's at
+    * 2i+1), so sorting by the key clusters BOTH dimensions at once. Built
+    * from shift/mask/sum expressions only — whole-stage codegen, no UDF.
+    * Inputs must fit in `bits` bits (clamped via mod to stay safe at the
+    * boundary); 2·bits ≤ 62 keeps the key in a signed long.
+    */
+  def zOrderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits in [1,31]: $bits")
+    val mask = (1L << bits) - 1
+    val ca = pmod(a.cast("long"), lit(mask + 1))
+    val cb = pmod(b.cast("long"), lit(mask + 1))
+    (0 until bits).map { i =>
+      (shiftleft(shiftright(ca, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(cb, i).bitwiseAND(lit(1L)), 2 * i + 1)): Column
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustered write: range-repartition + in-file sort on the
+    * Morton key of (colA, colB), then drop the key — the layout is the
+    * product, not a schema change. Reads filtering either column's range
+    * then skip non-matching row groups via parquet min/max stats, the
+    * two-dimensional generalization of [[writeRangeSorted]].
+    */
+  def writeZOrdered(df: DataFrame, dir: String, colA: Column, colB: Column,
+                    bits: Int, numFiles: Int = 8): Unit =
+    df.withColumn("__z", zOrderKey(colA, colB, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
       .write.mode("overwrite").parquet(dir)
 }

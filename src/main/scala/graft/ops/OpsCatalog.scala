@@ -55,6 +55,80 @@ object OpsCatalog extends Catalog {
         .orderBy("region", "nation")
     }),
 
+    // ROLLUP: the region → nation → grand-total subtotal ladder in ONE
+    // aggregate pass (Expand feeds each input row to its grouping sets;
+    // partial aggregation still combines map-side). Subtotal labels are
+    // coalesced to 'ALL' and disambiguated by grouping_id, so no NULL
+    // sort-order dependence between engines
+    "rollup_revenue" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.orders
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          col("o_totalprice"))
+        .rollup(col("region"), col("nation"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .select(coalesce(col("region"), lit("ALL")).as("region"),
+          coalesce(col("nation"), lit("ALL")).as("nation"),
+          col("gid"), col("n_orders"), col("revenue"))
+        .orderBy("gid", "region", "nation")
+    }),
+
+    // CUBE: all four grouping sets of (event_type, hour) in one pass —
+    // the per-type, per-hour, per-(type,hour), and grand-total tiles a
+    // dashboard derives from the same fact scan
+    "cube_event_hours" -> ((s, d) =>
+      Tables(s, d).events
+        .select(col("event_type"), hour(col("ts")).cast("long").as("hr"),
+          col("value"))
+        .cube(col("event_type"), col("hr"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          Relational.moneySum(col("value")).as("total_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("hr"), lit(-1L)).as("hr"),
+          col("gid"), col("n"), col("total_value"))
+        .orderBy("gid", "event_type", "hr")),
+
+    // cumulative window: per-user running spend over purchase events —
+    // decimal-exact accumulation so every prefix sum is partitioning-
+    // invariant, ordered by (ts, event_id) for a total order under ties
+    "user_running_spend" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, d).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          Relational.tsStr(col("ts")).as("ts"), col("value"),
+          row_number().over(w).cast("long").as("purchase_idx"),
+          sum(Relational.moneyDec(col("value"))).over(w).cast("double")
+            .as("running_spend"))
+        .orderBy("user_id", "purchase_idx")
+    }),
+
+    // ntile quartiles per event type (ordered by value with an id
+    // tie-break so the bucketing is total-order deterministic), rolled up
+    // to per-quartile count/bounds/total
+    "value_quartiles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      Tables(s, d).events
+        .select(col("event_type"), col("event_id"), col("value"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"),
+          max(col("value")).as("hi"),
+          Relational.moneySum(col("value")).as("total_value"))
+        .orderBy("event_type", "quartile")
+    }),
+
     // left anti join: customers with no urgent order (no count-based
     // emulation — the anti join streams, never materializing the match
     // set; the priority filter pushes into the orders scan)
@@ -144,6 +218,53 @@ object OpsCatalog extends Catalog {
         |WHERE c_custkey NOT IN
         |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "rollup_revenue" ->
+      s"""WITH j AS (
+         |  SELECT r_name AS region, n_name AS nation, o_totalprice
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey)
+         |SELECT coalesce(region, 'ALL') AS region,
+         |  coalesce(nation, 'ALL') AS nation,
+         |  CAST(GROUPING(region, nation) AS BIGINT) AS gid,
+         |  count(*) AS n_orders,
+         |  ${moneySumSql("o_totalprice")} AS revenue
+         |FROM j GROUP BY ROLLUP(region, nation)
+         |ORDER BY gid, region, nation""".stripMargin,
+
+    "cube_event_hours" ->
+      s"""WITH e AS (SELECT event_type, hour(ts) AS hr, value FROM events)
+         |SELECT coalesce(event_type, 'ALL') AS event_type,
+         |  coalesce(hr, -1) AS hr,
+         |  CAST(GROUPING(event_type, hr) AS BIGINT) AS gid,
+         |  count(*) AS n,
+         |  ${moneySumSql("value")} AS total_value
+         |FROM e GROUP BY CUBE(event_type, hr)
+         |ORDER BY gid, event_type, hr""".stripMargin,
+
+    "user_running_spend" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+        |  row_number() OVER w AS purchase_idx,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS running_spend
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, purchase_idx""".stripMargin,
+
+    "value_quartiles" ->
+      s"""WITH q AS (SELECT event_type, event_id, value,
+         |    ntile(4) OVER (PARTITION BY event_type
+         |      ORDER BY value, event_id) AS quartile
+         |  FROM events)
+         |SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+         |  count(*) AS n, min(value) AS lo, max(value) AS hi,
+         |  ${moneySumSql("value")} AS total_value
+         |FROM q GROUP BY event_type, quartile
+         |ORDER BY event_type, quartile""".stripMargin,
 
     "quantity_buckets" ->
       s"""SELECT CASE WHEN l_quantity BETWEEN 1 AND 9 THEN '01-09'

@@ -86,6 +86,22 @@ object ServingCatalog extends Catalog {
         .orderBy("event_id")
     }),
 
+    // two-dimensional layout pruning: Z-order (Morton) clustering on
+    // (user_id, floor(value)) — a conjunctive range filter on BOTH natural
+    // columns reads back only the row groups whose min/max overlap the
+    // query box; same once-per-JVM fixture treatment, same flat oracle
+    // (the layout must be invisible to results)
+    "zorder_pruned_scan" -> ((s, d) => {
+      val dir = graft.engine.FixtureDirs("zorder", d)(tmp =>
+        graft.engine.Layout.writeZOrdered(
+          Tables(s, d).events.select("event_id", "user_id", "event_type", "value"),
+          tmp, col("user_id"), floor(col("value")), bits = 11))
+      s.read.parquet(dir)
+        .filter(col("user_id").between(100L, 199L) && col("value").between(100.0, 200.0))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // IN-list + boolean + display projection page (streamlit_app.py:998-1011)
     "filtered_display" -> ((s, d) =>
       Serving.displayPage(
@@ -180,6 +196,12 @@ object ServingCatalog extends Catalog {
     "range_pruned_scan" ->
       """SELECT event_id, value
         |FROM events WHERE value >= 450.0
+        |ORDER BY event_id""".stripMargin,
+
+    "zorder_pruned_scan" ->
+      """SELECT event_id, user_id, value
+        |FROM events
+        |WHERE user_id BETWEEN 100 AND 199 AND value BETWEEN 100.0 AND 200.0
         |ORDER BY event_id""".stripMargin,
 
     "filtered_display" ->

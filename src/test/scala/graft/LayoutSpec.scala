@@ -31,4 +31,38 @@ class LayoutSpec extends SparkSpec {
     assert(q.count() === Tables(spark, sf).lineitem
       .filter(col("l_extendedprice") > 90000.0).count())
   }
+
+  test("zOrderKey interleaves bits (Morton order)") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (0L, 2L),
+        (3L, 5L), (7L, 7L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zOrderKey(col("a"), col("b"), 3).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference Morton codes: a bits at even positions, b bits at odd
+    assert(got((0L, 0L)) === 0L && got((1L, 0L)) === 1L && got((0L, 1L)) === 2L)
+    assert(got((1L, 1L)) === 3L && got((2L, 0L)) === 4L && got((0L, 2L)) === 8L)
+    assert(got((3L, 5L)) === (1L + 2L + 4L + 32L)) // a=011→1,4; b=101→2,32
+    assert(got((7L, 7L)) === 63L)
+  }
+
+  test("z-ordered files push both dimensions' range predicates into the scan") {
+    val dir = Files.createTempDirectory("graft-layout-zorder").toString
+    Layout.writeZOrdered(Tables(spark, sf).events, dir,
+      col("user_id"), floor(col("value")), bits = 11)
+    val q = spark.read.parquet(dir)
+      .filter(col("user_id").between(100L, 199L) && col("value").between(100.0, 200.0))
+    // read the scan's own metadata: the plan's toString truncates the
+    // PushedFilters list at spark.sql.maxMetadataStringLength
+    val pushed = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(user_id,100)") &&
+      pushed.contains("GreaterThanOrEqual(value,100.0)"),
+      s"both range predicates must reach the parquet scan: $pushed")
+    assert(q.count() === Tables(spark, sf).events
+      .filter(col("user_id").between(100L, 199L) && col("value").between(100.0, 200.0))
+      .count())
+  }
 }
