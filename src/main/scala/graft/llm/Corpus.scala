@@ -87,6 +87,39 @@ object Corpus {
       .withColumn("position", row_number().over(w).cast("long"))
   }
 
+  /** Shard manifests (the data-integrity ledger a training job checks
+    * before reading): per (stratum, shard) from [[packShards]]'s
+    * assignment — doc count, exact token total, and an ORDER-SENSITIVE
+    * content checksum (polynomial rolling hash of the docs' content
+    * fingerprints in id order, the shard's read order). Any dropped,
+    * duplicated, reordered, or edited doc changes the checksum; a re-run
+    * on any cluster layout reproduces it bit-for-bit.
+    *
+    * Shape: the fold is expressed as a per-doc `h·B^(n−1−rank)` term
+    * (two lookup tables, no interpreted lambdas — same trick as
+    * [[TextOps.rollingHashAgg]]) summed in exact DECIMAL(38) per shard, so
+    * the checksum is one window pass + one hash aggregate. Valid for
+    * shards under 16384 docs — the token budget bounds docs per shard, so
+    * size the budget accordingly at scale.
+    */
+  def shardManifest(df: DataFrame, idCol: String, strataCol: String,
+                    textCol: String, tokensPerShard: Long): DataFrame = {
+    val packed = packShards(df, idCol, strataCol, textCol, tokensPerShard)
+      .join(df.select(col(idCol),
+        (TextOps.hash60(TextOps.fingerprintMd5(col(textCol))) % TextOps.RollP)
+          .as("h")), Seq(idCol))
+    val w = Window.partitionBy(strataCol, "shard_id")
+    val rank = row_number().over(w.orderBy(idCol)) // 1-based read order
+    val k = count(lit(1)).over(w) - rank           // exponent n - 1 - (rank-1)
+    packed
+      .withColumn("term", col("h") * TextOps.polyPow(k) % TextOps.RollP)
+      .groupBy(col(strataCol), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (sum(col("term").cast("decimal(38,0)")) % TextOps.RollP)
+          .cast("long").as("checksum"))
+  }
+
   /** Per-doc novelty: the fraction of a doc's distinct word n-gram shingles
     * that occur in NO other document — high novelty marks content the corpus
     * has nowhere else (the diversity complement of the dedup tier, which

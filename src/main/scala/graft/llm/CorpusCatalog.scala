@@ -83,6 +83,11 @@ object CorpusCatalog extends Catalog {
     "doc_novelty" -> ((s, d) =>
       Corpus.noveltyScores(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
+
+    "shard_manifest" -> ((s, d) =>
+      Corpus.shardManifest(Tables(s, d).documents, "doc_id", "lang", "text",
+          TokensPerShard)
+        .orderBy("lang", "shard_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -197,6 +202,27 @@ object CorpusCatalog extends Catalog {
          |       THEN CAST(per.n_unique AS DOUBLE) / per.n_shingles END AS novelty
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    len(string_split(${OracleSql.norm}, ' ')) AS n_tokens,
+         |    ${OracleSql.h60(s"md5(${OracleSql.norm})")} % ${TextOps.RollP} AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, n_tokens, h,
+         |    coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+         |  FROM t),
+         |s AS (SELECT lang,
+         |    CAST(floor(run / ${TokensPerShard}.0) AS BIGINT) AS shard_id,
+         |    doc_id, n_tokens, h
+         |  FROM r)
+         |SELECT lang, shard_id, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT), list(h ORDER BY doc_id)),
+         |    (a, b) -> (a * ${TextOps.RollB} + b) % ${TextOps.RollP}) AS checksum
+         |FROM s GROUP BY lang, shard_id
+         |ORDER BY lang, shard_id""".stripMargin,
 
     "benchmark_contamination" ->
       s"""WITH tt AS (SELECT doc_id, source,

@@ -335,6 +335,38 @@ object Dedup {
     labels
   }
 
+  /** Cross-document duplicated passages — the chunk-level approximation of
+    * exact substring dedup (Lee et al.'s suffix-array pass, re-expressed on
+    * the token-window chunks [[TextOps.chunkRows]] already produces): two
+    * docs sharing an identical `size`-token window collide on the chunk
+    * fingerprint even when the docs as wholes are NOT near-dups (quote
+    * farms, boilerplate headers, licence blocks). Returns one row per
+    * occurrence of a duplicated chunk with its occurrence/doc counts and a
+    * canonical primary occurrence (minimum (doc, chunk) — encoded as one
+    * integer key so both engines take the same single min).
+    *
+    * Shape: narrow chunking → hash aggregate on the fingerprint → join
+    * back; duplicate-group volume is bounded by actual duplication, never
+    * all-pairs. `PrimaryMul` caps chunks/doc at 10^6 (= 24M tokens/doc at
+    * the default stride — declared, loud below).
+    */
+  val PrimaryMul = 1000000L
+  def dupPassages(df: DataFrame, id: String, textCol: String,
+                  size: Int, stride: Int): DataFrame = {
+    val keyed = TextOps.chunkRows(df, id, textCol, size, stride)
+      .select(col(id), col("chunk_id"), md5(col("chunk_text")).as("fp"))
+      .withColumn("pkey", col(id) * PrimaryMul + col("chunk_id"))
+    val groups = keyed.groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col(id)).as("n_docs"),
+        min("pkey").as("pk"))
+      .filter(col("n_occ") > 1)
+    keyed.join(groups, Seq("fp"))
+      .select(col(id), col("chunk_id"), col("fp"), col("n_occ"), col("n_docs"),
+        floor(col("pk") / lit(PrimaryMul.toDouble)).as("primary_doc"),
+        pmod(col("pk"), lit(PrimaryMul)).as("primary_chunk"),
+        (col("pkey") === col("pk")).as("is_primary"))
+  }
+
   /** Near-dup dedup, keep-BEST: every doc labelled with its near-dup
     * cluster, cluster size, the caller's quality score, and whether it is
     * the cluster's keeper — the highest-scoring member (ties to the lower

@@ -86,6 +86,20 @@ object TextCatalog extends Catalog {
           ChunkSize, ChunkStride)
         .orderBy("doc_id", "chunk_id")),
 
+    // chunk-level substring dedup: occurrences of token windows repeated
+    // across (or within) docs, with canonical primary attribution
+    "dup_chunks" -> ((s, d) =>
+      Dedup.dupPassages(Tables(s, d).documents, "doc_id", "text",
+          ChunkSize, ChunkStride)
+        .orderBy("doc_id", "chunk_id")),
+
+    "quality_percentiles" -> ((s, d) =>
+      graft.ops.Relational.exactPercentiles(
+          Tables(s, d).documents.select(col("doc_id"), col("lang"),
+            TextOps.qualityScore(col("text")).as("q")),
+          Seq("lang"), "q", "doc_id", Percentiles)
+        .orderBy("lang")),
+
     "exact_dedup" -> ((s, d) =>
       Dedup.exactDedupMap(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
@@ -130,6 +144,23 @@ object TextCatalog extends Catalog {
     """least(CAST(len(w) AS DOUBLE) / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
       |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * CAST(0.4 AS DOUBLE)
       |    + (CAST(1.0 AS DOUBLE) - CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text)) * CAST(0.2 AS DOUBLE)""".stripMargin
+
+  /** CTE chain `t → c → ch` ending in `ch(doc_id, chunk_id, n_tokens,
+    * chunk_text)` (mirror of TextOps.chunkRows) — shared by doc_chunks and
+    * dup_chunks.
+    */
+  private lazy val chunksCtes: String =
+    s"""t AS ($docTokens),
+       |c AS (SELECT doc_id, w, len(w) AS n,
+       |    unnest(range(0, 1 + CAST(floor(
+       |      (greatest(len(w) - $ChunkSize, 0) + ${ChunkStride - 1}) / ${ChunkStride}.0)
+       |      AS BIGINT))) AS k
+       |  FROM t),
+       |ch AS (SELECT doc_id, k AS chunk_id,
+       |  CAST(least($ChunkSize, n - k * $ChunkStride) AS BIGINT) AS n_tokens,
+       |  array_to_string(w[(k * $ChunkStride + 1):(k * $ChunkStride + $ChunkSize)], ' ')
+       |    AS chunk_text
+       |  FROM c)""".stripMargin
 
   /** CTE chain `ex → pairs → kept → k` (exact dedup, near-dup drop,
     * tokenized survivors) shared by both curation oracles.
@@ -300,17 +331,45 @@ object TextCatalog extends Catalog {
          |ORDER BY ra.doc_id""".stripMargin,
 
     "doc_chunks" ->
-      s"""WITH t AS ($docTokens),
-         |c AS (SELECT doc_id, w, len(w) AS n,
-         |    unnest(range(0, 1 + CAST(floor(
-         |      (greatest(len(w) - $ChunkSize, 0) + ${ChunkStride - 1}) / ${ChunkStride}.0)
-         |      AS BIGINT))) AS k
-         |  FROM t)
-         |SELECT doc_id, k AS chunk_id,
-         |  CAST(least($ChunkSize, n - k * $ChunkStride) AS BIGINT) AS n_tokens,
-         |  array_to_string(w[(k * $ChunkStride + 1):(k * $ChunkStride + $ChunkSize)], ' ')
-         |    AS chunk_text
-         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      s"""WITH $chunksCtes
+         |SELECT doc_id, chunk_id, n_tokens, chunk_text
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "dup_chunks" ->
+      s"""WITH $chunksCtes,
+         |kd AS (SELECT doc_id, chunk_id, md5(chunk_text) AS fp,
+         |    doc_id * ${Dedup.PrimaryMul} + chunk_id AS pkey
+         |  FROM ch),
+         |a AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_occ,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    min(pkey) AS pk
+         |  FROM kd GROUP BY fp HAVING count(*) > 1)
+         |SELECT kd.doc_id, kd.chunk_id, kd.fp, a.n_occ, a.n_docs,
+         |  CAST(floor(a.pk / ${Dedup.PrimaryMul}.0) AS BIGINT) AS primary_doc,
+         |  a.pk % ${Dedup.PrimaryMul} AS primary_chunk,
+         |  kd.pkey = a.pk AS is_primary
+         |FROM kd JOIN a USING (fp)
+         |ORDER BY kd.doc_id, kd.chunk_id""".stripMargin,
+
+    "quality_percentiles" -> {
+      val cols = Percentiles.map { p =>
+        val pm = (p * 1000).round
+        s"""max(CASE WHEN rn = CAST(floor(($pm * n + 999) / 1000.0) AS BIGINT)
+           |      THEN q END) AS p$pm""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH tq AS (SELECT doc_id, lang,
+         |    $qualitySql
+         |      AS q
+         |  FROM (SELECT doc_id, lang, text, string_split($norm, ' ') AS w
+         |        FROM documents)),
+         |r AS (SELECT lang, q,
+         |    row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM tq)
+         |SELECT lang,
+         |  $cols
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "vocab_top_terms" ->
       s"""WITH t AS ($docTokens),

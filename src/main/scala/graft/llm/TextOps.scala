@@ -94,20 +94,26 @@ object TextOps {
     * ~100x slower per token — see [[graft.llm.Dedup]]).
     */
   def rollingHashAgg(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val powLo = typedlit((0 until 128).map(k => modpow(RollB, k)))
-    val powHi = typedlit((0 until 128).map(q => modpow(RollB, 128 * q)))
     val rows = df
       .select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .withColumn("h", hash60(col("tok")) % RollP)
     val n = org.apache.spark.sql.expressions.Window.partitionBy(id)
     val k = count(lit(1)).over(n) - 1 - col("pos") // exponent n-1-i
-    val pw = element_at(powHi, (k / 128).cast("int") + 1) *
-      element_at(powLo, pmod(k, lit(128)).cast("int") + 1) % RollP
     rows
-      .withColumn("term", col("h") * pw % RollP)
+      .withColumn("term", col("h") * polyPow(k) % RollP)
       .groupBy(col(id))
       .agg((sum(col("term").cast("decimal(38,0)")) % RollP)
         .cast("long").as("fp_rolling"))
+  }
+
+  /** RollB^k mod RollP as a column (two table lookups: k = 128q + r covers
+    * k < 16384 — callers must bound their sequence length accordingly).
+    */
+  private[llm] def polyPow(k: Column): Column = {
+    val powLo = typedlit((0 until 128).map(i => modpow(RollB, i)))
+    val powHi = typedlit((0 until 128).map(q => modpow(RollB, 128L * q)))
+    element_at(powHi, (k / 128).cast("int") + 1) *
+      element_at(powLo, pmod(k, lit(128)).cast("int") + 1) % RollP
   }
 
   private def modpow(b: Long, e: Long): Long = {

@@ -116,6 +116,27 @@ class CorpusSpec extends SparkSpec {
     assert(again.toSeq === out.sortBy(_._1).toSeq, "permutation must not depend on layout")
   }
 
+  test("shard manifest checksums are layout-invariant and sensitive to edits and drops") {
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Corpus.shardManifest(df, "doc_id", "lang", "text", 500L)
+        .orderBy("lang", "shard_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+    val base = manifest(docs)
+    assert(base === manifest(docs.repartition(13)),
+      "checksums must not depend on cluster layout")
+    // editing one doc's text changes (at least) its shard's checksum but
+    // never the doc/token-independent shape of OTHER strata
+    val someId = docs.select("doc_id").orderBy("doc_id").limit(1)
+      .collect().head.getLong(0)
+    val edited = manifest(docs.withColumn("text",
+      when(col("doc_id") === someId, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text"))))
+    assert(edited !== base, "an edited doc must change a checksum")
+    // dropping a doc changes its shard (packing shifts), detected too
+    assert(manifest(docs.filter(col("doc_id") =!= someId)) !== base)
+  }
+
   test("novelty is 1.0 for unique content, 0.0 for cloned content, NULL below shingle size") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),   // shingles unique to doc 1

@@ -173,6 +173,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // -- dupPassages ----------------------------------------------------------
+
+  test("dupPassages flags shared token windows with canonical primary attribution") {
+    val shared = "alpha beta gamma delta"
+    val df = Seq(
+      (1L, shared),                        // one chunk, duplicated in doc 2
+      (2L, shared),
+      (3L, "totally different words here") // unique chunk → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupPassages(df, "doc_id", "text", size = 4, stride = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getBoolean(7)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1L, 0L), (2L, 0L)),
+      "only the duplicated window's occurrences are returned")
+    got.foreach { case (_, _, nOcc, nDocs, pDoc, pChunk, _) =>
+      assert(nOcc === 2L && nDocs === 2L && pDoc === 1L && pChunk === 0L)
+    }
+    assert(got.map(_._7).toSeq === Seq(true, false),
+      "the minimum (doc, chunk) occurrence is primary")
+  }
+
   // -- keepBestPerCluster ---------------------------------------------------
 
   test("keep-best dedup keeps the highest-quality cluster member, not the first") {
