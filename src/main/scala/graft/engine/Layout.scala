@@ -62,4 +62,18 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
+
+  /** Bucketed write: hash-partition + sort the frame into `numBuckets`
+    * buckets on `bucketCol`, registered as an EXTERNAL session-catalog
+    * table (data under `path`) — the co-located-join layout: two tables
+    * bucketed the same way join with ZERO input shuffles (`BucketingSpec`
+    * asserts the plan). saveAsTable is required because bucket metadata
+    * lives in the catalog, not the files.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, numBuckets: Int = 8): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .option("path", path).mode("overwrite").saveAsTable(table)
+  }
 }

@@ -129,6 +129,33 @@ object OpsCatalog extends Catalog {
         .orderBy("event_type", "quartile")
     }),
 
+    // co-located join through the gate: both sides pre-bucketed on the join
+    // key (once per JVM, the fixture under test like partitioned_scan), so
+    // the repeated-join workload reads bucket partitioning instead of
+    // shuffling — results must equal the plain join (layout invisible);
+    // the zero-input-shuffle plan itself is asserted by BucketingSpec
+    "bucketed_join_agg" -> ((s, d) => {
+      val sfx = java.lang.Integer.toHexString(d.hashCode)
+      val (o, c) = (s"orders_bkt_$sfx", s"customer_bkt_$sfx")
+      graft.engine.FixtureDirs("bucketed", d) { tmp =>
+        val t = Tables(s, d)
+        graft.engine.Layout.writeBucketed(t.orders, o, s"$tmp/$o", "o_custkey")
+        graft.engine.Layout.writeBucketed(t.customer, c, s"$tmp/$c", "c_custkey")
+      }
+      s.table(o).join(s.table(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // robust (outlier-clipped) per-type value stats: winsorize at the
+    // group's own p5/p95 nearest-rank cut points, then decimal-exact means
+    "winsorized_value_stats" -> ((s, d) =>
+      Relational.winsorizedStats(Tables(s, d).events, Seq("event_type"),
+          "value", "event_id", 0.05, 0.95)
+        .orderBy("event_type")),
+
     // left anti join: customers with no urgent order (no count-based
     // emulation — the anti join streams, never materializing the match
     // set; the priority filter pushes into the orders scan)
@@ -254,6 +281,33 @@ object OpsCatalog extends Catalog {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, purchase_idx""".stripMargin,
+
+    "bucketed_join_agg" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${moneySumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "winsorized_value_stats" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |cuts AS (SELECT event_type,
+        |    max(CASE WHEN rn = CAST(floor((50 * n + 999) / 1000.0) AS BIGINT)
+        |        THEN value END) AS lo_cut,
+        |    max(CASE WHEN rn = CAST(floor((950 * n + 999) / 1000.0) AS BIGINT)
+        |        THEN value END) AS hi_cut
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  min(c.lo_cut) AS lo_cut, min(c.hi_cut) AS hi_cut,
+        |  round(CAST(sum(CAST(least(greatest(e.value, c.lo_cut), c.hi_cut)
+        |      AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS winsorized_mean,
+        |  round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*), 4) AS raw_mean
+        |FROM events e JOIN cuts c USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "value_quartiles" ->
       s"""WITH q AS (SELECT event_type, event_id, value,

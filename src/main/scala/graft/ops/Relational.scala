@@ -177,6 +177,35 @@ object Relational {
     ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Winsorized (outlier-clipped) summary per group: values are clamped to
+    * the group's [pLo, pHi] nearest-rank percentiles before aggregating —
+    * the robust mean for heavy-tailed metrics, where a handful of extreme
+    * rows would otherwise own the average. Cut points come from
+    * [[exactPercentiles]]; the clamped mean accumulates in DECIMAL so the
+    * result is partitioning-invariant (clamping preserves the 2-decimal
+    * money grid — both bounds are existing values). Two exchanges total:
+    * the percentile window and the final aggregate; the cut-point frame is
+    * group-cardinality and broadcasts.
+    */
+  def winsorizedStats(df: DataFrame, keys: Seq[String], valueCol: String,
+                      tieBreak: String, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, s"pLo < pHi required: $pLo, $pHi")
+    val lo = s"p${(pLo * 1000).round}"
+    val hi = s"p${(pHi * 1000).round}"
+    val cuts = exactPercentiles(df, keys, valueCol, tieBreak, Seq(pLo, pHi))
+      .withColumnRenamed(lo, "lo_cut").withColumnRenamed(hi, "hi_cut")
+    val clamped = least(greatest(col(valueCol), col("lo_cut")), col("hi_cut"))
+    df.join(broadcast(cuts), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_cut")).as("lo_cut"), // constant within the group
+        min(col("hi_cut")).as("hi_cut"),
+        round((sum(moneyDec(clamped)).cast("double") / count(lit(1))), 4)
+          .as("winsorized_mean"),
+        round((sum(moneyDec(col(valueCol))).cast("double") / count(lit(1))), 4)
+          .as("raw_mean"))
+  }
+
   /** Exact, summation-order-independent sum for 2-decimal money columns:
     * DECIMAL(18,2) accumulation is exact (no float reassociation error), so
     * the result is identical across any partitioning/parallelism AND matches

@@ -143,4 +143,16 @@ class RelationalPropsSpec extends SparkSpec {
     // singleton group: every percentile is the single value
     assert((1 to 5).forall(i => got(1).getLong(i) === 7L))
   }
+
+  test("winsorized stats clip outliers at the group's own percentile cuts") {
+    val df = ((1 to 19).map(i => ("a", i.toLong, i.toDouble)) :+ (("a", 20L, 1000.0)))
+      .toDF("g", "id", "v")
+    val r = Relational.winsorizedStats(df, Seq("g"), "v", "id", 0.05, 0.95)
+      .collect().head
+    // nearest-rank cuts over 20 rows: p50‰ → rank 1 (1.0), p950‰ → rank 19 (19.0)
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 19.0)
+    // winsorized mean clamps the 1000.0 outlier to 19.0: (190 + 19) / 20
+    assert(r.getDouble(4) === 10.45)
+    assert(r.getDouble(5) === 59.5, "raw mean keeps the outlier")
+  }
 }

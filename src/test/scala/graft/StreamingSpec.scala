@@ -266,4 +266,31 @@ class StreamingSpec extends SparkSpec {
       .orderBy("bucket").collect()
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("rows behind the watermark are dropped AND accounted in query progress") {
+    val input = MemoryStream[RawEvent](spark)
+    val q = Streams.hourlyWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("stream_late")
+      .outputMode("update").start()
+    try {
+      // batch 1: event time 10:30 → watermark advances to 09:30 at batch end
+      input.addData(RawEvent(1L, Timestamp.valueOf("2026-01-01 10:30:00"),
+        1L, "view", 10.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: an 08:00 straggler — its window closed before the
+      // watermark, so it must be dropped, not aggregated
+      input.addData(RawEvent(2L, Timestamp.valueOf("2026-01-01 08:00:00"),
+        1L, "view", 5.0, "{}"))
+      q.processAllAvailable()
+
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped === 1L, "the straggler is visible in progress metrics")
+      val buckets = spark.table("stream_late")
+        .select("bucket").collect().map(_.getTimestamp(0)).toSet
+      assert(!buckets.contains(Timestamp.valueOf("2026-01-01 08:00:00")),
+        "the dropped row's window never materializes")
+      assert(buckets.contains(Timestamp.valueOf("2026-01-01 10:00:00")))
+    } finally q.stop()
+  }
 }
