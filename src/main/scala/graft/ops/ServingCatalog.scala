@@ -54,6 +54,11 @@ object ServingCatalog extends Catalog {
     "session_funnel" -> ((s, d) =>
       Sessions.sessionFunnel(Tables(s, d).events, "30 minutes")),
 
+    // daily cohort-retention triangle (first-activity cohorts × offset)
+    "cohort_retention" -> ((s, d) =>
+      Sessions.cohortRetention(Tables(s, d).events, unit = "day")
+        .orderBy("cohort", "offset")),
+
     // write-time layout → read-time pruning, inside the gate: partition the
     // events table by type, read back through a partition filter (scans
     // only the matching directory), verify the rows against the flat oracle.
@@ -187,6 +192,26 @@ object ServingCatalog extends Catalog {
         |  count(*) AS n_sessions,
         |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 4) AS pct_sessions
         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS period
+        |  FROM events),
+        |m AS (SELECT f.cohort,
+        |    CAST(date_diff('day', f.cohort, a.period) AS BIGINT) AS "offset",
+        |    count(DISTINCT a.user_id) AS n_active
+        |  FROM a JOIN f USING (user_id)
+        |  GROUP BY 1, 2),
+        |s AS (SELECT cohort, n_active AS cohort_size FROM m
+        |  WHERE "offset" = 0)
+        |SELECT strftime(m.cohort, '%Y-%m-%d %H:%M:%S') AS cohort,
+        |  m."offset" AS "offset",
+        |  CAST(m.n_active AS BIGINT) AS n_active,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST(m.n_active AS DOUBLE) / s.cohort_size AS retention
+        |FROM m JOIN s USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
 
     "partitioned_scan" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id, value

@@ -79,4 +79,38 @@ object Sessions {
           / sum(col("n_sessions")).over(Window.partitionBy()), 4))
       .orderBy("funnel_stage")
   }
+
+  /** Cohort-retention matrix: users are cohorted by the `unit` ("day" or
+    * "week") of their FIRST event; each cell counts the cohort's users
+    * active `offset` periods later, with the rate against the cohort's own
+    * size. The standard product-analytics retention triangle, fully
+    * relational: a per-user min aggregate, a distinct (user, period)
+    * activity set, one join, one count-distinct matrix — no windows over
+    * the fact table, every shuffle keyed on user or (cohort, offset).
+    * Offsets are exact integers (both sides are unit-truncated timestamps,
+    * so the day difference is a multiple of the unit's days).
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts", unit: String = "day"): DataFrame = {
+    val unitDays = unit match {
+      case "day" => 1; case "week" => 7
+      case u => throw new IllegalArgumentException(s"unit day|week: $u")
+    }
+    val first = events.groupBy(col(userCol))
+      .agg(date_trunc(unit, min(col(tsCol))).as("cohort"))
+    val active = events
+      .select(col(userCol), date_trunc(unit, col(tsCol)).as("period"))
+      .distinct()
+    val matrix = active.join(first, Seq(userCol))
+      .withColumn("offset",
+        (datediff(col("period"), col("cohort")) / unitDays).cast("long"))
+      .groupBy("cohort", "offset")
+      .agg(countDistinct(col(userCol)).as("n_active"))
+    val sizes = matrix.filter(col("offset") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    matrix.join(sizes, Seq("cohort"))
+      .select(Relational.tsStr(col("cohort")).as("cohort"),
+        col("offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size")).as("retention"))
+  }
 }

@@ -112,6 +112,34 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("doc_id")
   }
 
+  /** Stream-static dimension join through the gate: the event replay
+    * stream enriched against the STATIC nation table (a declared
+    * `user_id mod 25` home-nation mapping — the fixture's stand-in for a
+    * user→region dim). Stream-static joins are stateless — the dim
+    * broadcasts into every micro-batch, the standard shape for enriching
+    * an event stream with slowly-changing reference data; at scale the dim
+    * refreshes per batch without restarting the query. Oracled as the same
+    * batch join.
+    */
+  def replayDimJoin(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val base = Files.createTempDirectory("graft-dim-join").toString
+    val dim = broadcast(graft.engine.Tables(s, d).nation
+      .select(col("n_nationkey"), col("n_name").as("home_nation")))
+    val q = replayStream(s, d)
+      .withColumn("n_nationkey", pmod(col("user_id"), lit(25L)).cast("int"))
+      .join(dim, Seq("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("home_nation"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    s.read.parquet(s"$base/sink").orderBy("event_id")
+  }
+
   /** Replay the corpus fingerprints through the stateful streaming
     * near-dup operator ([[Streams.simHashNearDupFlags]]) and return the
     * per-doc verdicts: is each doc within hamming ≤ 3 of any EARLIER doc
@@ -271,6 +299,7 @@ object StreamingCatalog extends Catalog {
     "stream_incremental_view" -> ((s, d) => replayIncrementalView(s, d)),
     "stream_incremental_topk" -> ((s, d) => replayIncrementalTopK(s, d)),
     "stream_doc_quality"      -> ((s, d) => replayDocQuality(s, d)),
+    "stream_dim_join"         -> ((s, d) => replayDimJoin(s, d)),
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
     "stream_range_join"       -> ((s, d) => replayRangeJoin(s, d)),
 
@@ -287,6 +316,13 @@ object StreamingCatalog extends Catalog {
   def oracleSql: Map[String, String] = Map(
     // identical semantics to the batch path — reuse its oracle verbatim
     "stream_enriched_replay" -> EnrichCatalog.oracleSql("enriched_orders"),
+
+    // the stream-static join: same modulo mapping, plain batch join
+    "stream_dim_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, e.value,
+        |  n.n_name AS home_nation
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |ORDER BY e.event_id""".stripMargin,
 
     // the 1h/15min sliding window: each event belongs to the 4 grid-aligned
     // windows starting at floor(ts/15min)*15min - k*15min, k = 0..3
