@@ -15,7 +15,88 @@ import graft.engine.Catalog.{moneyAvgSql, moneySumSql}
   */
 object OpsCatalog extends Catalog {
 
+  import org.apache.spark.sql.Column
+
+  /** Exact revenue term `price · (1 − discount)` in small-precision
+    * decimals (12,2)×(4,2) → (17,4): no precision loss on either engine,
+    * so sums are exact rationals and the final DOUBLE casts agree
+    * bit-for-bit. `charge` extends it with `· (1 + tax)` → scale 6.
+    */
+  private def oneMinus(c: Column): Column =
+    lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") - c.cast("decimal(4,2)")
+  private def onePlus(c: Column): Column =
+    lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") + c.cast("decimal(4,2)")
+  private def revDec(price: Column, discount: Column): Column =
+    price.cast("decimal(12,2)") * oneMinus(discount)
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  private def moneyAvg(c: Column): Column =
+    round(sum(Relational.moneyDec(c)).cast("double") / count(lit(1)), 4)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the TPC-H pricing summary (Q1): one scan, one hash aggregate; every
+    // money expression is exact-decimal so the report is
+    // partitioning-invariant
+    "tpch_q1" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Relational.moneySum(col("l_quantity")).as("sum_qty"),
+          Relational.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(revDec(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(revDec(col("l_extendedprice"), col("l_discount")) *
+              onePlus(col("l_tax")))
+            .cast("double").as("sum_charge"),
+          moneyAvg(col("l_quantity")).as("avg_qty"),
+          moneyAvg(col("l_extendedprice")).as("avg_price"),
+          moneyAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // the TPC-H shipping-priority top-10 (Q3, o_orderpriority standing in
+    // for the reference schema's shippriority): two selective filters push
+    // into the scans, the customer side broadcasts, and the top-10 is a
+    // total order (revenue desc, orderkey) → TakeOrderedAndProject
+    "tpch_q3" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.lineitem.filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .join(t.orders.filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer.filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          Relational.tsStr(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(revDec(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // the TPC-H local-supplier-volume join (Q5): a 6-table star join where
+    // the customer and supplier must share a nation — the orders⋈customer⋈
+    // lineitem⋈supplier chain shuffles on its keys, nation/region broadcast
+    "tpch_q5" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revDec(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "pivot_sum" -> ((s, d) =>
       Relational.pivotSum(
         Tables(s, d).lineitem, "l_returnflag", "l_linestatus",
@@ -206,6 +287,52 @@ object OpsCatalog extends Catalog {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${moneySumSql("l_quantity")} AS sum_qty,
+         |  ${moneySumSql("l_extendedprice")} AS sum_base_price,
+         |  CAST(sum($revSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($revSql
+         |    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+         |    AS DOUBLE) AS sum_charge,
+         |  ${moneyAvgSql("l_quantity")} AS avg_qty,
+         |  ${moneyAvgSql("l_extendedprice")} AS avg_price,
+         |  ${moneyAvgSql("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "tpch_q3" ->
+      s"""SELECT l_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         |  o_orderpriority,
+         |  CAST(sum($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q5" ->
+      s"""SELECT n_name,
+         |  CAST(sum($revSql) AS DOUBLE) AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
     "pivot_sum" ->
       """SELECT l_returnflag,
         |       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS "F",
