@@ -27,6 +27,10 @@ object TextCatalog extends Catalog {
       TextOps.tfIdfTopTerms(Tables(s, d).documents, "doc_id", "text", TfIdfK)
         .orderBy(col("doc_id"), col("tfidf").desc, col("term"))),
 
+    "bm25_top_terms" -> ((s, d) =>
+      TextOps.bm25TopTerms(Tables(s, d).documents, "doc_id", "text", TfIdfK)
+        .orderBy(col("doc_id"), col("bm25").desc, col("term"))),
+
     "text_stats" -> ((s, d) =>
       Tables(s, d).documents.select(
         col("doc_id"),
@@ -370,6 +374,29 @@ object TextCatalog extends Catalog {
          |  $cols
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "bm25_top_terms" ->
+      s"""WITH t AS ($docTokens),
+         |base AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+         |tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+         |        FROM base GROUP BY doc_id, dl, term),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         |st AS (SELECT count(*) AS n_docs,
+         |       CAST(sum(len(w)) AS BIGINT) AS total_dl FROM t),
+         |sc AS (SELECT doc_id, term, tf, df, dl,
+         |    (CAST(n_docs AS DOUBLE) / df) *
+         |      (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+         |      (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+         |          (CAST(dl AS DOUBLE) /
+         |            (CAST(total_dl AS DOUBLE) / n_docs)))) AS bm25
+         |  FROM tfc JOIN dfc USING (term) CROSS JOIN st)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, CAST(dl AS BIGINT) AS dl, bm25
+         |FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY bm25 DESC, term) <= $TfIdfK
+         |ORDER BY doc_id, bm25 DESC, term""".stripMargin,
 
     "vocab_top_terms" ->
       s"""WITH t AS ($docTokens),

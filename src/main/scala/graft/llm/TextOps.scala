@@ -264,6 +264,44 @@ object TextOps {
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Per-document top-k BM25 terms: `(id, term, tf, df, dl, bm25)` with
+    * k1 = 1.2, b = 0.75 — the search-ranking upgrade of [[tfIdfTopTerms]]:
+    * term-frequency saturation (tf·(k1+1)/(tf+…) caps a spammed term) and
+    * document-length normalization (dl/avgdl discounts long docs). The idf
+    * is the same exact rational N/df as the TF-IDF tier (no
+    * transcendentals); every double operation is written in one declared
+    * order and mirrored verbatim in the oracle, so scores are
+    * bit-reproducible (single IEEE expressions per row — no float
+    * accumulation anywhere).
+    *
+    * Scale shape: identical to TF-IDF — explode → (id, term) hash agg →
+    * term-keyed df agg/join → broadcast 1-row corpus stats →
+    * WindowGroupLimit top-k.
+    */
+  def bm25TopTerms(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+                   k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(id), tokenCount(col(textCol)).as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = df.select(count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol)).cast("long")).as("total_dl"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      // declared evaluation order, mirrored in SQL: idf * (tf*(k1+1)) / norm
+      .withColumn("bm25",
+        (col("n_docs").cast("double") / col("df")) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("total_dl").cast("double") / col("n_docs"))))))
+    graft.ops.Relational.topKPerGroup(scored, Seq(id),
+        Seq(col("bm25").desc, col("term").asc), k)
+      .select(col(id), col("term"), col("tf"), col("df"),
+        col("dl").cast("long").as("dl"), col("bm25"))
+  }
+
   /** Corpus vocabulary heavy-hitters: the top-k terms by total occurrence
     * count, with document frequency — the tokenizer-training / stopword-
     * discovery profile of a corpus. Shape: explode → per-(doc, term) count

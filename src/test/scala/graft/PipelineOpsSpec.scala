@@ -173,6 +173,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // -- bm25TopTerms ---------------------------------------------------------
+
+  test("BM25 scores equal the hand-computed formula bit-for-bit") {
+    val df = Seq((1L, "rare common common"), (2L, "common other")).toDF("doc_id", "text")
+    def ref(tf: Long, dfq: Long, dl: Long, nDocs: Long, totalDl: Long): Double =
+      (nDocs.toDouble / dfq) * (tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / (totalDl.toDouble / nDocs))))
+    val rows = TextOps.bm25TopTerms(df, "doc_id", "text", 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.size === 4)
+    rows.foreach { case ((_, _), (tf, dfq, dl, score)) =>
+      assert(score === ref(tf, dfq, dl, nDocs = 2, totalDl = 5))
+    }
+    // saturation: 'common' has tf 2 in doc 1 but scores LESS than 2x its
+    // single-occurrence score in doc 2 (after length normalization)
+    val (_, _, _, c1) = rows((1L, "common"))
+    val (_, _, _, c2) = rows((2L, "common"))
+    assert(c1 < 2 * c2)
+  }
+
   // -- dupPassages ----------------------------------------------------------
 
   test("dupPassages flags shared token windows with canonical primary attribution") {

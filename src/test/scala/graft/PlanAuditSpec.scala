@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
       Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk", "sql_cosine_topk",
         "embedding_contamination",
         "tfidf_top_terms",  // broadcast of the 1-row corpus-count aggregate
+        "bm25_top_terms",   // broadcast of the 1-row (n_docs, total_dl) stats
         "corpus_mixture")   // broadcast of the 1-row total-tokens aggregate
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
