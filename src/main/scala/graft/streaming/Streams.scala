@@ -257,17 +257,23 @@ object Streams {
     * expired rows are evicted.
     */
   def joinWithinWindow(left: DataFrame, right: DataFrame, key: String,
-                       window: String = "1 hour"): DataFrame = {
+                       window: String = "1 hour",
+                       joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", window)
       .select(col(key), col("event_id").as("l_id"), col("ts").as("l_ts"),
         col("event_type").as("l_type"), col("value").as("l_value"))
     val r = right.withWatermark("ts", window)
       .select(col(key).as(s"r_$key"), col("event_id").as("r_id"), col("ts").as("r_ts"),
         col("event_type").as("r_type"), col("value").as("r_value"))
+    // leftOuter is streaming-legal because both sides carry watermarks and
+    // the condition time-bounds the right side: an unmatched left row emits
+    // its null-padded result once the watermark passes its join window —
+    // funnel analyses ("views that never converted") need exactly this
     l.join(r,
       col(key) === col(s"r_$key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"),
+      joinType)
       .drop(s"r_$key")
   }
 

@@ -230,6 +230,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.getAs[Long]("user_id") === 7L)
   }
 
+  test("left-outer interval join emits null-padded rows once the watermark closes the window") {
+    val mk = (id: Long, u: Long, t: String, typ: String) =>
+      RawEvent(id, Timestamp.valueOf(t), u, typ, 5.0, """{"k": 1}""")
+    val views = MemoryStream[RawEvent](spark)
+    val buys = MemoryStream[RawEvent](spark)
+    val q = Streams.joinWithinWindow(views.toDF(), buys.toDF(), "user_id",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("stream_left_joined")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        mk(1, 7, "2024-03-01 10:00:00", "view"),   // converts at 10:30
+        mk(2, 8, "2024-03-01 10:00:00", "view"))   // never converts
+      buys.addData(mk(10, 7, "2024-03-01 10:30:00", "purchase"))
+      q.processAllAvailable()
+      // the global watermark is the MIN across both inputs — drive BOTH
+      // sides forward (distinct users, so the drivers never join) until it
+      // passes user 8's join-window end and the state store evicts the row
+      for (h <- Seq("13", "14")) {
+        views.addData(mk(100 + h.toLong, 98, s"2024-03-01 $h:00:00", "view"))
+        buys.addData(mk(200 + h.toLong, 99, s"2024-03-01 $h:00:00", "purchase"))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("stream_left_joined")
+        .filter(col("user_id").isin(7L, 8L)).collect()
+      val byUser = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+      assert(rows.length === 2)
+      assert(byUser(7L).getAs[Long]("r_id") === 10L, "in-window pair joins")
+      assert(byUser(8L).isNullAt(byUser(8L).fieldIndex("r_id")),
+        "the never-converted view emits exactly one null-padded row")
+    } finally q.stop()
+  }
+
   test("a timed-out replay throws instead of verifying a partial sink") {
     // timeoutMs=1 cannot cover even one micro-batch commit, so the replay
     // must fail loudly rather than hand back whatever reached the sink
