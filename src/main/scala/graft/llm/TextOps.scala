@@ -108,12 +108,17 @@ object TextOps {
 
   /** RollB^k mod RollP as a column (two table lookups: k = 128q + r covers
     * k < 16384 — callers must bound their sequence length accordingly).
+    * Out-of-range exponents FAIL LOUDLY: element_at past the table would
+    * return NULL and silently corrupt a fingerprint/checksum otherwise.
     */
   private[llm] def polyPow(k: Column): Column = {
     val powLo = typedlit((0 until 128).map(i => modpow(RollB, i)))
     val powHi = typedlit((0 until 128).map(q => modpow(RollB, 128L * q)))
-    element_at(powHi, (k / 128).cast("int") + 1) *
-      element_at(powLo, pmod(k, lit(128)).cast("int") + 1) % RollP
+    val checked = when(k >= 16384L || k < 0L,
+      raise_error(concat(lit("polyPow exponent out of [0, 16384): "),
+        k.cast("string")))).otherwise(k)
+    element_at(powHi, (checked / 128).cast("int") + 1) *
+      element_at(powLo, pmod(checked, lit(128)).cast("int") + 1) % RollP
   }
 
   private def modpow(b: Long, e: Long): Long = {

@@ -9,7 +9,12 @@ val picks = Seq(
   "cosine_topk" -> "Broadcast query set against the corpus (the one intended nested-loop); WindowGroupLimit caps per-partition top-k state; dot_q/quantize_q run as native codegen'd expressions.",
   "enriched_orders" -> "All 11 derivations fused into one whole-stage-codegen projection over the scan; the rating JSON parse is hoisted so props is parsed once per row.",
   "anomaly_by_category" -> "Filter on the DERIVED is_anomaly flag collapses to a pushed raw-column OR predicate; ReadSchema pruned to two columns.",
-  "ivf_multiprobe_topk" -> "Fit (sample-seeded k-means) -> assignTop replicates each query to its p nearest cells -> cell equi-join prunes the corpus scan.")
+  "ivf_multiprobe_topk" -> "Fit (sample-seeded k-means) -> assignTop replicates each query to its p nearest cells -> cell equi-join prunes the corpus scan.",
+  "tpch_q5" -> "6-table star join: orders/customer/lineitem/supplier shuffle on their keys, nation/region broadcast; one aggregate on n_name.",
+  "rollup_revenue" -> "ROLLUP as ONE aggregate pass: Expand feeds each row to its grouping sets, partial aggregation still combines map-side.",
+  "shard_manifest" -> "Pack + checksum share one (stratum, shard) window pass; the order-sensitive fold is a per-doc polynomial term summed in exact decimal.",
+  "dup_chunks" -> "Narrow chunking -> fingerprint hash aggregate -> join back; duplicate-group volume bounded by actual duplication.",
+  "zorder_pruned_scan" -> "Both dimensions' range predicates reach the parquet scan as PushedFilters; the Morton-clustered layout keeps row groups narrow in both.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
