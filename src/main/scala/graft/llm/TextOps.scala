@@ -285,14 +285,21 @@ object TextOps {
     */
   def bm25TopTerms(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
                    k: Int): org.apache.spark.sql.DataFrame = {
-    val tf = df.select(col(id), tokenCount(col(textCol)).as("dl"),
-        explode(tokens(col(textCol))).as("term"))
+    // tokenize ONCE: dl rides the token rows into the aggregate key (it is
+    // functionally dependent on the id, so group cardinality is unchanged)
+    // and total_dl is recovered as sum(tf) — no second normalization pass.
+    // The tf frame feeds three branches (df-counts, totals, scoring), so it
+    // is checkpointed like the dedup tier's shingle frame.
+    val tf = df.select(col(id), tokens(col(textCol)).as("w"))
+      .select(col(id), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = df.select(count(lit(1)).as("n_docs"),
-      sum(tokenCount(col(textCol)).cast("long")).as("total_dl"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val totalDl = tf.agg(sum(col("tf")).as("total_dl"))
     val scored = tf.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(totalDl))
       // declared evaluation order, mirrored in SQL: idf * (tf*(k1+1)) / norm
       .withColumn("bm25",
         (col("n_docs").cast("double") / col("df")) *
