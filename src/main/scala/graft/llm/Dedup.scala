@@ -362,7 +362,8 @@ object Dedup {
       .filter(col("n_occ") > 1)
     keyed.join(groups, Seq("fp"))
       .select(col(id), col("chunk_id"), col("fp"), col("n_occ"), col("n_docs"),
-        floor(col("pk") / lit(PrimaryMul.toDouble)).as("primary_doc"),
+        // integer div, not floor(double /): exact for ids beyond 2^53/MUL
+        expr(s"pk div $PrimaryMul").as("primary_doc"),
         pmod(col("pk"), lit(PrimaryMul)).as("primary_chunk"),
         (col("pkey") === col("pk")).as("is_primary"))
   }

@@ -349,7 +349,7 @@ object TextCatalog extends Catalog {
          |    min(pkey) AS pk
          |  FROM kd GROUP BY fp HAVING count(*) > 1)
          |SELECT kd.doc_id, kd.chunk_id, kd.fp, a.n_occ, a.n_docs,
-         |  CAST(floor(a.pk / ${Dedup.PrimaryMul}.0) AS BIGINT) AS primary_doc,
+         |  a.pk // ${Dedup.PrimaryMul} AS primary_doc,
          |  a.pk % ${Dedup.PrimaryMul} AS primary_chunk,
          |  kd.pkey = a.pk AS is_primary
          |FROM kd JOIN a USING (fp)
