@@ -230,6 +230,13 @@ object OpsCatalog extends Catalog {
         .orderBy("c_mktsegment")
     }),
 
+    // robust spread: median absolute deviation per type (two exact
+    // nearest-rank percentile passes)
+    "value_mad" -> ((s, d) =>
+      Relational.madStats(Tables(s, d).events, Seq("event_type"),
+          "value", "event_id")
+        .orderBy("event_type")),
+
     // robust (outlier-clipped) per-type value stats: winsorize at the
     // group's own p5/p95 nearest-rank cut points, then decimal-exact means
     "winsorized_value_stats" -> ((s, d) =>
@@ -414,6 +421,32 @@ object OpsCatalog extends Catalog {
          |  ${moneySumSql("o_totalprice")} AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "value_mad" ->
+      """WITH r1 AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (SELECT event_type,
+        |    max(CASE WHEN rn = CAST(floor((500 * n + 999) / 1000.0) AS BIGINT)
+        |        THEN value END) AS median
+        |  FROM r1 GROUP BY event_type),
+        |d AS (SELECT e.event_type, abs(e.value - m.median) AS dev, e.event_id
+        |  FROM events e JOIN med m USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (SELECT event_type,
+        |    max(CASE WHEN rn = CAST(floor((500 * n + 999) / 1000.0) AS BIGINT)
+        |        THEN dev END) AS mad
+        |  FROM r2 GROUP BY event_type),
+        |cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+        |SELECT cnt.event_type, cnt.n, med.median, mad.mad
+        |FROM cnt JOIN med USING (event_type) JOIN mad USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "winsorized_value_stats" ->
       """WITH r AS (SELECT event_type, value,

@@ -177,6 +177,26 @@ object Relational {
     ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Median absolute deviation per group — the robust spread companion to
+    * [[winsorizedStats]]' robust mean: MAD = median(|v − median(v)|),
+    * immune to the outliers that inflate a standard deviation. Two
+    * [[exactPercentiles]] passes (group-local sorts, no global shuffle);
+    * the deviation is a single IEEE subtraction per row, so the result is
+    * engine-exact like the percentiles themselves.
+    */
+  def madStats(df: DataFrame, keys: Seq[String], valueCol: String,
+               tieBreak: String): DataFrame = {
+    val med = exactPercentiles(df, keys, valueCol, tieBreak, Seq(0.5))
+      .withColumnRenamed("p500", "median")
+    val dev = df.join(broadcast(med), keys)
+      .withColumn("__dev", abs(col(valueCol) - col("median")))
+    val mad = exactPercentiles(dev, keys, "__dev", tieBreak, Seq(0.5))
+      .withColumnRenamed("p500", "mad")
+    val n = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    n.join(med, keys).join(mad, keys)
+      .select((keys.map(col) :+ col("n") :+ col("median") :+ col("mad")): _*)
+  }
+
   /** Winsorized (outlier-clipped) summary per group: values are clamped to
     * the group's [pLo, pHi] nearest-rank percentiles before aggregating —
     * the robust mean for heavy-tailed metrics, where a handful of extreme

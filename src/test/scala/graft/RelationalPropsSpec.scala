@@ -144,6 +144,15 @@ class RelationalPropsSpec extends SparkSpec {
     assert((1 to 5).forall(i => got(1).getLong(i) === 7L))
   }
 
+  test("MAD is outlier-immune: a huge value moves the mean but not the spread") {
+    val df = ((1 to 9).map(i => ("a", i.toLong, i.toDouble)) :+ (("a", 10L, 1000.0)))
+      .toDF("g", "id", "v")
+    val r = Relational.madStats(df, Seq("g"), "v", "id").collect().head
+    // 10 rows: median = rank-5 value = 5.0; |v-5| sorted has rank-5 = 2.0
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 5.0 && r.getDouble(3) === 2.0)
+  }
+
   test("winsorized stats clip outliers at the group's own percentile cuts") {
     val df = ((1 to 19).map(i => ("a", i.toLong, i.toDouble)) :+ (("a", 20L, 1000.0)))
       .toDF("g", "id", "v")
