@@ -127,17 +127,52 @@ object Curation {
     * window three times, the LSH verify chain twice), every upstream job
     * here runs once ([[labeledBase]]).
     */
-  def exitStages(df: DataFrame, id: String, textCol: String,
-                 minTokens: Int = 20, minQuality: Double = 0.5,
-                 nearDupJaccard: Double = 0.8): DataFrame = {
+  /** Exit-stage labels WITH the per-doc features (internal: exitStages
+    * projects the gate contract's two columns; curateObserved keeps the
+    * features so survivors need no re-join).
+    */
+  private def labeledStages(df: DataFrame, id: String, textCol: String,
+                            minTokens: Int, minQuality: Double,
+                            nearDupJaccard: Double): DataFrame = {
     val (base, losers) = labeledBase(df, id, textCol, nearDupJaccard)
     base.join(losers.withColumn("near_loser", lit(true)), Seq(id), "left")
-      .select(col(id),
+      .select(col(id), col("n_tokens"), col("quality_score"),
         when(col("exact_loser"), lit("exact_dup_loser"))
           .when(coalesce(col("near_loser"), lit(false)), lit("near_dup_loser"))
           .when(!(col("n_tokens") >= minTokens &&
             col("quality_score") >= minQuality), lit("quality_fail"))
           .otherwise(lit("survivor")).as("exit_stage"))
+  }
+
+  def exitStages(df: DataFrame, id: String, textCol: String,
+                 minTokens: Int = 20, minQuality: Double = 0.5,
+                 nearDupJaccard: Double = 0.8): DataFrame =
+    labeledStages(df, id, textCol, minTokens, minQuality, nearDupJaccard)
+      .select(col(id), col("exit_stage"))
+
+  /** [[curate]] with free telemetry: the returned frame carries an
+    * `Observation` whose funnel counters (input / exact_dedup / near_dedup
+    * / quality_gate) are recorded ON THE SAME ACTION that materializes the
+    * result — the accumulators ride the job, so a production curation run
+    * gets its stage accounting with ZERO extra jobs (vs [[curateStats]]'
+    * separate aggregate). Read `observation.get` after any full action on
+    * the frame.
+    */
+  def curateObserved(df: DataFrame, id: String, textCol: String,
+                     minTokens: Int = 20, minQuality: Double = 0.5,
+                     nearDupJaccard: Double = 0.8): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val result = labeledStages(df, id, textCol, minTokens, minQuality, nearDupJaccard)
+      .observe(obs,
+        count(lit(1)).as("input"),
+        count(when(col("exit_stage") =!= "exact_dup_loser", lit(1)))
+          .as("exact_dedup"),
+        count(when(!col("exit_stage").isin("exact_dup_loser", "near_dup_loser"),
+          lit(1))).as("near_dedup"),
+        count(when(col("exit_stage") === "survivor", lit(1))).as("quality_gate"))
+      .filter(col("exit_stage") === "survivor")
+      .select(col(id), col("n_tokens"), col("quality_score"))
+    (result, obs)
   }
 
   /** The four funnel counts as ONE aggregate row over the exit-stage

@@ -324,6 +324,21 @@ class LlmSpec extends SparkSpec {
     assert(stats("quality_gate") <= stats("near_dedup") && stats("quality_gate") > 0)
   }
 
+  test("curateObserved records the funnel on the result's own action") {
+    val docs = Tables(spark, sf).documents
+    val (result, obs) = Curation.curateObserved(docs, "doc_id", "text")
+    val survivors = result.collect() // the ONE action; counters ride it
+    val m = obs.get
+    val stats = Curation.curateStats(docs, "doc_id", "text").toMap
+    assert(Seq("input", "exact_dedup", "near_dedup", "quality_gate")
+      .forall(k => m(k) === stats(k)), s"observed $m != counted $stats")
+    assert(survivors.length.toLong === m("quality_gate"))
+    // and the observed pipeline's survivors are exactly curate's output
+    val direct = Curation.curate(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(survivors.map(_.getLong(0)).sorted.toSeq === direct.toSeq)
+  }
+
   test("hamming distance of simhashes is small for near-dups") {
     val pair = Dedup.nearDupPairs(Tables(spark, sf).documents, "doc_id", "text", 0.9)
       .limit(1).collect().headOption
