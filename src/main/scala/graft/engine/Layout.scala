@@ -63,6 +63,21 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
 
+  /** Small-file compaction — the maintenance pass every streaming append
+    * sink eventually needs (each micro-batch commits its own files; a
+    * 15 s trigger writes ~5 760 files/day/partition). Rewrites `srcDir`
+    * into `dstDir` as `numFiles` files, preserving rows exactly: content
+    * is read through the normal scan (so schema/pruning metadata survive)
+    * and round-robin repartitioned — no sort, no shuffle key, minimum
+    * cost. Compact into a NEW directory and swap atomically at the
+    * catalog/manifest level; in-place rewrites lose reader isolation.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+              dstDir: String, numFiles: Int): Unit =
+    spark.read.parquet(srcDir)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(dstDir)
+
   /** Bucketed write: hash-partition + sort the frame into `numBuckets`
     * buckets on `bucketCol`, registered as an EXTERNAL session-catalog
     * table (data under `path`) — the co-located-join layout: two tables

@@ -107,6 +107,21 @@ object ServingCatalog extends Catalog {
         .orderBy("event_id")
     }),
 
+    // small-file compaction through the gate: a 64-file "streaming sink"
+    // layout compacted to 4 files must read back row-identical (the flat
+    // oracle) — the maintenance op is invisible to query results
+    "compacted_scan" -> ((s, d) => {
+      val dir = graft.engine.FixtureDirs("compact", d) { tmp =>
+        Tables(s, d).events.repartition(64)
+          .write.mode("overwrite").parquet(s"$tmp/small")
+        graft.engine.Layout.compact(s, s"$tmp/small", s"$tmp/compacted", 4)
+      }
+      s.read.parquet(s"$dir/compacted")
+        .select(col("event_id"), Relational.tsStr(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // IN-list + boolean + display projection page (streamlit_app.py:998-1011)
     "filtered_display" -> ((s, d) =>
       Serving.displayPage(
@@ -228,6 +243,11 @@ object ServingCatalog extends Catalog {
         |FROM events
         |WHERE user_id BETWEEN 100 AND 199 AND value BETWEEN 100.0 AND 200.0
         |ORDER BY event_id""".stripMargin,
+
+    "compacted_scan" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "filtered_display" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value

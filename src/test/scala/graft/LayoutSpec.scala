@@ -32,6 +32,17 @@ class LayoutSpec extends SparkSpec {
       .filter(col("l_extendedprice") > 90000.0).count())
   }
 
+  test("compaction rewrites many small files into few, row-identical") {
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    Tables(spark, sf).events.repartition(32).write.parquet(s"$tmp/small")
+    Layout.compact(spark, s"$tmp/small", s"$tmp/big", 2)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$tmp/small") === 32 && files(s"$tmp/big") === 2)
+    assert(spark.read.parquet(s"$tmp/big").orderBy("event_id").collect().toSeq ===
+      Tables(spark, sf).events.orderBy("event_id").collect().toSeq)
+  }
+
   test("zOrderKey interleaves bits (Morton order)") {
     import spark.implicits._
     val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (0L, 2L),
