@@ -21,6 +21,7 @@ object SparkEntry {
     graft.ops.OpsCatalog,
     graft.ops.ServingCatalog,
     graft.ops.TemporalCatalog,
+    graft.ops.CdcCatalog,
     graft.shopping.EnrichCatalog,
     graft.llm.TextCatalog,
     graft.llm.DedupCatalog,

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Cdc
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val snapshot = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0),
+  ).toDF("k", "name", "price")
+
+  private lazy val changes = Seq(
+    (2L, "b2", 21.0, false), // update
+    (3L, "c", 30.0, true),   // delete
+    (9L, "i", 90.0, false),  // insert
+  ).toDF("k", "name", "price", "is_delete")
+
+  test("mergeUpsert applies update/delete/insert, leaves the rest intact") {
+    val out = Cdc.mergeUpsert(snapshot, changes, "k")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set(
+      (1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0), (9L, "i", 90.0)))
+  }
+
+  test("mergeUpsert never shuffles the snapshot (broadcast anti join)") {
+    val plan = Cdc.mergeUpsert(snapshot, changes, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti join, got:\n$plan")
+  }
+
+  test("snapshotDiff classifies insert/update/delete and drops unchanged") {
+    val after = Cdc.mergeUpsert(snapshot, changes, "k")
+    val out = Cdc.snapshotDiff(snapshot, after, "k")
+      .select($"k", $"change_type").as[(Long, String)].collect().toSet
+    assert(out === Set((2L, "update"), (3L, "delete"), (9L, "insert")))
+  }
+
+  test("snapshotDiff compare is null-safe (null -> value is an update)") {
+    val before = Seq((1L, Option.empty[String]), (2L, Option("x")))
+      .toDF("k", "name")
+    val after = Seq((1L, Option("y")), (2L, Option("x"))).toDF("k", "name")
+    val out = Cdc.snapshotDiff(before, after, "k")
+      .select($"k", $"change_type").as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "update")))
+  }
+
+  private lazy val log = Seq(
+    (10L, ts("2024-01-01 10:00:00"), 1L, "view"),
+    (10L, ts("2024-01-01 11:00:00"), 2L, "view"),  // repeat: compressed away
+    (10L, ts("2024-01-01 12:00:00"), 3L, "click"),
+    (10L, ts("2024-01-01 13:00:00"), 4L, "view"),  // state can recur
+    (20L, ts("2024-01-01 09:00:00"), 5L, "view"),
+  ).toDF("user_id", "t", "event_id", "state")
+
+  test("scd2 keeps only state changes with a contiguous validity chain") {
+    val out = Cdc.scd2(log, "user_id", "t", "event_id", "state")
+      .select($"user_id", $"state", $"valid_from", $"valid_to", $"is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSet
+    assert(out === Set(
+      (10L, "view",  ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 12:00:00")), false),
+      (10L, "click", ts("2024-01-01 12:00:00"), Some(ts("2024-01-01 13:00:00")), false),
+      (10L, "view",  ts("2024-01-01 13:00:00"), None, true),
+      (20L, "view",  ts("2024-01-01 09:00:00"), None, true)))
+  }
+
+  test("scd2 plans a single exchange (both windows share the partitioning)") {
+    val plan = Cdc.scd2(log, "user_id", "t", "event_id", "state")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "BroadcastExchange".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+}
