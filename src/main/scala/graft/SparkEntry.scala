@@ -24,6 +24,7 @@ object SparkEntry {
     graft.ops.CdcCatalog,
     graft.shopping.EnrichCatalog,
     graft.llm.TextCatalog,
+    graft.llm.PiiCatalog,
     graft.llm.DedupCatalog,
     graft.llm.SimilarityCatalog,
     graft.llm.CorpusCatalog,

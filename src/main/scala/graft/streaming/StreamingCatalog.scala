@@ -112,6 +112,31 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("doc_id")
   }
 
+  /** Streaming PII redaction through the gate: the document replay stream
+    * with the SAME deterministic augmentation and redaction projection as
+    * the batch `pii_redacted` query — redaction is stateless, so the
+    * compliance pass runs in-flight at ingest instead of as a later
+    * corpus rewrite. Oracled by the batch SQL.
+    */
+  def replayPiiRedact(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val base = Files.createTempDirectory("graft-pii-stream").toString
+    val red = graft.llm.Pii.redact(col("text"))
+    val q = graft.llm.PiiCatalog.augmented(
+        s.readStream.schema(docSchema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(d))
+      .select(col("doc_id"), length(red).cast("long").as("red_len"),
+        md5(red).as("red_md5"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    s.read.parquet(s"$base/sink").orderBy("doc_id")
+  }
+
   /** Stream-static dimension join through the gate: the event replay
     * stream enriched against the STATIC nation table (a declared
     * `user_id mod 25` home-nation mapping — the fixture's stand-in for a
@@ -299,6 +324,7 @@ object StreamingCatalog extends Catalog {
     "stream_incremental_view" -> ((s, d) => replayIncrementalView(s, d)),
     "stream_incremental_topk" -> ((s, d) => replayIncrementalTopK(s, d)),
     "stream_doc_quality"      -> ((s, d) => replayDocQuality(s, d)),
+    "stream_pii_redacted"     -> ((s, d) => replayPiiRedact(s, d)),
     "stream_dim_join"         -> ((s, d) => replayDimJoin(s, d)),
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
     "stream_range_join"       -> ((s, d) => replayRangeJoin(s, d)),
@@ -360,6 +386,9 @@ object StreamingCatalog extends Catalog {
          |            AND bit_count(xor(a.fp_simhash, b.fp_simhash)) <= 3)
          |    AS is_near_dup
          |FROM simhash a ORDER BY a.doc_id""".stripMargin,
+
+    // identical semantics to the batch redaction — reuse its oracle
+    "stream_pii_redacted" -> graft.llm.PiiCatalog.oracleSql("pii_redacted"),
 
     // the batch quality formula over the whole documents table — the
     // stream's narrow projection must reproduce it exactly
