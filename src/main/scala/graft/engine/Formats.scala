@@ -1,0 +1,39 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Text-format sources (JSONL, CSV) with scale-safe defaults.
+  *
+  * Parquet is the engine's native layout; these are the interchange
+  * formats a pipeline meets at its edges (crawler output, vendor drops,
+  * exports). Two rules keep them viable at scale:
+  *
+  *  - **Schema is always explicit on read.** Inference scans the whole
+  *    input once before the real job starts — at 100 TB that doubles the
+  *    read. It is also unstable: a batch whose sampled rows miss a field
+  *    silently changes the schema downstream.
+  *  - **FAILFAST on read.** The default PERMISSIVE mode nulls out
+  *    malformed rows; a corrupt shard then surfaces as silently-skewed
+  *    aggregates far downstream. Failing the task names the bad file.
+  *
+  * Both formats stay line-splittable (JSONL by construction; CSV as long
+  * as fields contain no raw newlines — quoted embedded newlines force
+  * single-file parsing, so normalize them upstream), so reads parallelize
+  * per HDFS-block exactly like parquet.
+  */
+object Formats {
+
+  def writeJsonl(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").json(dir)
+
+  def readJsonl(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(dir)
+
+  def writeCsv(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+
+  def readCsv(spark: SparkSession, dir: String, ddl: String): DataFrame =
+    spark.read.schema(StructType.fromDDL(ddl))
+      .option("header", "true").option("mode", "FAILFAST").csv(dir)
+}

@@ -122,6 +122,36 @@ object ServingCatalog extends Catalog {
         .orderBy("event_id")
     }),
 
+    // JSONL source parity: documents written as JSON lines and read back
+    // through the schema-explicit FAILFAST source must equal the parquet
+    // truth (text content proven by hash — JSON escaping round-trips
+    // newlines and unicode exactly)
+    "jsonl_source_scan" -> ((s, d) => {
+      val dir = graft.engine.FixtureDirs("jsonl", d) { tmp =>
+        graft.engine.Formats.writeJsonl(Tables(s, d).documents, s"$tmp/docs")
+      }
+      graft.engine.Formats.readJsonl(s, s"$dir/docs", Tables(s, d).documents.schema)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // CSV source parity: events exported with headers and read back with
+    // an explicit DDL schema — doubles round-trip exactly (Java
+    // Double.toString is parse-exact), timestamps travel as strings
+    "csv_source_scan" -> ((s, d) => {
+      val dir = graft.engine.FixtureDirs("csv", d) { tmp =>
+        graft.engine.Formats.writeCsv(
+          Tables(s, d).events.select(col("event_id"),
+            Relational.tsStr(col("ts")).as("ts"), col("user_id"),
+            col("event_type"), col("value")),
+          s"$tmp/events")
+      }
+      graft.engine.Formats.readCsv(s, s"$dir/events",
+          "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE")
+        .orderBy("event_id")
+    }),
+
     // IN-list + boolean + display projection page (streamlit_app.py:998-1011)
     "filtered_display" -> ((s, d) =>
       Serving.displayPage(
@@ -245,6 +275,15 @@ object ServingCatalog extends Catalog {
         |ORDER BY event_id""".stripMargin,
 
     "compacted_scan" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "jsonl_source_scan" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "csv_source_scan" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
