@@ -71,6 +71,17 @@ object TextCatalog extends Catalog {
       TextOps.fluencyAgg(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
 
+    // per-language score calibration: micro-quantized quality → exact
+    // decimal moments → bit-reproducible z + percentile rank
+    "quality_normalized" -> ((s, d) => {
+      val q = Tables(s, d).documents.select(col("doc_id"), col("lang"),
+        round(TextOps.qualityScore(col("text")) * 1000000).cast("long")
+          .as("q_micro"))
+      graft.ops.Relational.zscoreByGroup(q, "lang", "q_micro", "doc_id")
+        .select(col("doc_id"), col("lang"), col("q_micro"), col("z"), col("pr"))
+        .orderBy("doc_id")
+    }),
+
     // corpus-level vocabulary profile (already deterministically ordered:
     // TakeOrderedAndProject on tf desc, term asc)
     "vocab_top_terms" -> ((s, d) =>
@@ -297,6 +308,28 @@ object TextCatalog extends Catalog {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // mirror of Relational.zscoreByGroup: DECIMAL(38,0) moment sums →
+    // final scalars in IEEE doubles with the EXACT same operation order
+    "quality_normalized" ->
+      s"""WITH t AS ($docTokens),
+         |q0 AS (SELECT doc_id,
+         |    CAST(round(($qualitySql) * 1000000) AS BIGINT) AS q_micro
+         |  FROM t),
+         |q AS (SELECT q0.doc_id, d.lang, q0.q_micro
+         |  FROM q0 JOIN documents d USING (doc_id)),
+         |st AS (SELECT lang, count(*) AS n,
+         |    CAST(sum(CAST(q_micro AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(q_micro * q_micro AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+         |  FROM q GROUP BY lang)
+         |SELECT q.doc_id, q.lang, q.q_micro,
+         |  CASE WHEN sxx / n - (sx / n) * (sx / n) <= 0 THEN 0.0
+         |       ELSE (q_micro - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))
+         |  END AS z,
+         |  percent_rank() OVER
+         |    (PARTITION BY q.lang ORDER BY q.q_micro, q.doc_id) AS pr
+         |FROM q JOIN st USING (lang)
+         |ORDER BY q.doc_id""".stripMargin,
 
     "doc_repetition" ->
       s"""WITH t AS ($docTokens),

@@ -226,6 +226,35 @@ object Relational {
           .as("raw_mean"))
   }
 
+  /** Per-group z-score and percentile rank over an INTEGER-quantized
+    * value: the engine-exact normalization pass (score calibration before
+    * corpus mixing). Moments accumulate as DECIMAL(38,0) sums of the
+    * integer values — partial aggregation stays exact in any partitioning
+    * and any corpus size — and only the final per-group scalars drop to
+    * IEEE doubles, so z is bit-reproducible (the caller quantizes, e.g.
+    * micro-units; per-row squares must stay inside long: |x| ≤ ~3e9).
+    * Zero-variance groups get z = 0 (not NaN — NaN would poison every
+    * downstream comparison). percent_rank breaks value ties by `tieBreak`
+    * for a total order. Cost: one aggregate + one window, both keyed on
+    * `group` (one exchange, reused), and a broadcast of the group stats.
+    */
+  def zscoreByGroup(df: DataFrame, group: String, x: String,
+                    tieBreak: String): DataFrame = {
+    val stats = df.groupBy(group).agg(
+      count(lit(1)).as("__n"),
+      sum(col(x).cast("decimal(38,0)")).cast("double").as("__sx"),
+      sum((col(x) * col(x)).cast("decimal(38,0)")).cast("double").as("__sxx"))
+    val mean = col("__sx") / col("__n")
+    val variance = col("__sxx") / col("__n") - mean * mean
+    df.join(broadcast(stats), Seq(group))
+      .withColumn("z",
+        when(variance <= 0, 0.0).otherwise((col(x) - mean) / sqrt(variance)))
+      .withColumn("pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(group).orderBy(col(x), col(tieBreak))))
+      .drop("__n", "__sx", "__sxx")
+  }
+
   /** Exact, summation-order-independent sum for 2-decimal money columns:
     * DECIMAL(18,2) accumulation is exact (no float reassociation error), so
     * the result is identical across any partitioning/parallelism AND matches

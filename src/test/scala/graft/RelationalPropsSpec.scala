@@ -164,4 +164,21 @@ class RelationalPropsSpec extends SparkSpec {
     assert(r.getDouble(4) === 10.45)
     assert(r.getDouble(5) === 59.5, "raw mean keeps the outlier")
   }
+
+  test("zscoreByGroup: exact moments, zero-variance guard, rank ties") {
+    val df = Seq(
+      ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 4L), ("a", 4L, 10L),
+      ("b", 5L, 7L), ("b", 6L, 7L),
+    ).toDF("g", "id", "x")
+    val out = Relational.zscoreByGroup(df, "g", "x", "id")
+      .select($"id", $"z", $"pr").as[(Long, Double, Double)]
+      .collect().map { case (id, z, p) => id -> ((z, p)) }.toMap
+    // group a: sx=20 sxx=136 n=4 -> mean 5, var 136/4-25=9, sd 3
+    assert(out(1L) === ((-1.0, 0.0)))
+    assert(math.abs(out(2L)._1 - (-1.0 / 3.0)) < 1e-12 && out(2L)._2 === 1.0 / 3.0)
+    assert(out(3L)._2 === 2.0 / 3.0, "tie on x=4 broken by id")
+    assert(math.abs(out(4L)._1 - 5.0 / 3.0) < 1e-12 && out(4L)._2 === 1.0)
+    // zero-variance group: z = 0, not NaN
+    assert(out(5L)._1 === 0.0 && out(6L)._1 === 0.0)
+  }
 }
