@@ -42,6 +42,34 @@ object Cdc {
       .unionByName(changes.filter(!col(isDeleteCol)).drop(isDeleteCol))
   }
 
+  /** Upsert-if-newer: a change row replaces its snapshot match only when
+    * it is strictly newer by the (`ts`, `tieBreak`) total order (new keys
+    * always insert). This is the idempotent, order-tolerant MERGE an
+    * at-least-once ingest needs: replayed or out-of-order batches
+    * converge to the same snapshot — the per-key (ts, tieBreak) maximum —
+    * regardless of batch boundaries. `changes` must be pre-deduplicated
+    * to one row per key.
+    *
+    * The snapshot is never shuffled: the touched keys broadcast INTO a
+    * semi join to look up the incumbents (output ≤ one row per change
+    * key), losers are filtered with that small frame broadcast back, and
+    * survivors anti-join out of the snapshot. The only exchange in the
+    * plan is the change batch's own dedup.
+    */
+  def mergeNewest(snapshot: DataFrame, changes: DataFrame, key: String,
+                  ts: String, tieBreak: String): DataFrame = {
+    val incumbents = snapshot
+      .join(broadcast(changes.select(key).distinct()), Seq(key), "left_semi")
+      .select(col(key), col(ts).as("__inc_ts"), col(tieBreak).as("__inc_tb"))
+    val winners = changes
+      .join(broadcast(incumbents), Seq(key), "left_outer")
+      .filter(col("__inc_ts").isNull ||
+        struct(col(ts), col(tieBreak)) > struct(col("__inc_ts"), col("__inc_tb")))
+      .drop("__inc_ts", "__inc_tb")
+    snapshot.join(broadcast(winners.select(key)), Seq(key), "left_anti")
+      .unionByName(winners)
+  }
+
   /** Classify every key whose row changed between two snapshot versions:
     * `insert` (key only in `after`), `delete` (key only in `before`),
     * `update` (present in both, any non-key column differs — null-safe

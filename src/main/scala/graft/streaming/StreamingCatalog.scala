@@ -112,6 +112,54 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("doc_id")
   }
 
+  /** A keyed snapshot MAINTAINED by the stream: each micro-batch is
+    * reduced to its newest row per user and merged into a versioned
+    * parquet snapshot with [[graft.ops.Cdc.mergeNewest]] inside
+    * foreachBatch — the streaming CDC shape (Delta/Iceberg MERGE per
+    * batch) on plain directories, with each version written fresh and
+    * "current" swapped only after the write lands (readers keep
+    * isolation). The replay is forced through EIGHT micro-batches
+    * (events pre-split into 8 files, maxFilesPerTrigger=1), and because
+    * mergeNewest is order-tolerant the final snapshot is the per-user
+    * (ts, event_id) maximum regardless of how rows landed in batches —
+    * which is exactly the batch QUALIFY row_number()=1 oracle.
+    */
+  def replayUpsertSnapshot(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val base = Files.createTempDirectory("graft-upsert-snap").toString
+    val src = graft.engine.FixtureDirs("events-split8", d) { tmp =>
+      graft.engine.Tables(s, d).events.repartition(8)
+        .write.mode("overwrite").parquet(s"$tmp/ev")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    @volatile var current: Option[String] = None
+    val q = s.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/ev")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val newest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val merged = current match {
+          case None      => newest
+          case Some(dir) => graft.ops.Cdc.mergeNewest(
+            s.read.parquet(dir), newest, "user_id", "ts", "event_id")
+        }
+        merged.write.mode("overwrite").parquet(s"$base/v$id")
+        current = Some(s"$base/v$id")
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    s.read.parquet(current.getOrElse(sys.error("no batch ran")))
+      .select(col("user_id"), col("event_id"),
+        graft.ops.Relational.tsStr(col("ts")).as("ts"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
   /** Streaming PII redaction through the gate: the document replay stream
     * with the SAME deterministic augmentation and redaction projection as
     * the batch `pii_redacted` query — redaction is stateless, so the
@@ -325,6 +373,7 @@ object StreamingCatalog extends Catalog {
     "stream_incremental_topk" -> ((s, d) => replayIncrementalTopK(s, d)),
     "stream_doc_quality"      -> ((s, d) => replayDocQuality(s, d)),
     "stream_pii_redacted"     -> ((s, d) => replayPiiRedact(s, d)),
+    "stream_upsert_snapshot"  -> ((s, d) => replayUpsertSnapshot(s, d)),
     "stream_dim_join"         -> ((s, d) => replayDimJoin(s, d)),
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
     "stream_range_join"       -> ((s, d) => replayRangeJoin(s, d)),
@@ -389,6 +438,16 @@ object StreamingCatalog extends Catalog {
 
     // identical semantics to the batch redaction — reuse its oracle
     "stream_pii_redacted" -> graft.llm.PiiCatalog.oracleSql("pii_redacted"),
+
+    // the maintained snapshot must converge to the per-user newest event
+    // no matter how the replay was batched
+    "stream_upsert_snapshot" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
 
     // the batch quality formula over the whole documents table — the
     // stream's narrow projection must reproduce it exactly

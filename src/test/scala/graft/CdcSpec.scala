@@ -35,6 +35,60 @@ class CdcSpec extends SparkSpec {
       s"expected a broadcast anti join, got:\n$plan")
   }
 
+  private lazy val verSnapshot = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L, "old"),
+    (2L, ts("2024-01-01 10:00:00"), 101L, "old"),
+    (3L, ts("2024-01-01 10:00:00"), 102L, "old"),
+  ).toDF("k", "t", "seq", "v")
+
+  test("mergeNewest: strictly-newer wins, stale loses, new key inserts") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 90L, "new"),  // newer ts: wins
+      (2L, ts("2024-01-01 09:00:00"), 999L, "stale"), // older ts: loses
+      (9L, ts("2024-01-01 08:00:00"), 1L, "ins"),   // new key: inserts
+    ).toDF("k", "t", "seq", "v")
+    val out = Cdc.mergeNewest(verSnapshot, changes, "k", "t", "seq")
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "new"), (2L, "old"), (3L, "old"), (9L, "ins")))
+  }
+
+  test("mergeNewest breaks timestamp ties by the tiebreak (strict order)") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 200L, "hi-seq"), // same ts, higher seq: wins
+      (2L, ts("2024-01-01 10:00:00"), 101L, "same"),   // identical: NOT newer, loses
+    ).toDF("k", "t", "seq", "v")
+    val out = Cdc.mergeNewest(verSnapshot, changes, "k", "t", "seq")
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(out === Set((1L, "hi-seq"), (2L, "old"), (3L, "old")))
+  }
+
+  test("mergeNewest is order-tolerant: any batch split converges") {
+    val all = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 1L, "b"),
+      (1L, ts("2024-01-01 13:00:00"), 2L, "c"),
+      (1L, ts("2024-01-01 11:00:00"), 3L, "a"),
+    )
+    def toDf(rows: Seq[(Long, java.sql.Timestamp, Long, String)]) =
+      rows.toDF("k", "t", "seq", "v")
+    // apply the three singleton batches in both directions
+    val fwd = all.map(r => toDf(Seq(r)))
+      .foldLeft(verSnapshot)((snap, b) => Cdc.mergeNewest(snap, b, "k", "t", "seq"))
+    val rev = all.reverse.map(r => toDf(Seq(r)))
+      .foldLeft(verSnapshot)((snap, b) => Cdc.mergeNewest(snap, b, "k", "t", "seq"))
+    val expect = Set((1L, "c"), (2L, "old"), (3L, "old"))
+    assert(fwd.select($"k", $"v").as[(Long, String)].collect().toSet === expect)
+    assert(rev.select($"k", $"v").as[(Long, String)].collect().toSet === expect)
+  }
+
+  test("mergeNewest never shuffles the snapshot (broadcast joins only)") {
+    val changes = Seq((1L, ts("2024-01-01 11:00:00"), 90L, "new"))
+      .toDF("k", "t", "seq", "v")
+    val plan = Cdc.mergeNewest(verSnapshot, changes, "k", "t", "seq")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"snapshot side must not shuffle:\n$plan")
+  }
+
   test("snapshotDiff classifies insert/update/delete and drops unchanged") {
     val after = Cdc.mergeUpsert(snapshot, changes, "k")
     val out = Cdc.snapshotDiff(snapshot, after, "k")
