@@ -16,6 +16,16 @@ import graft.engine.{Catalog, Tables}
 object TextCatalog extends Catalog {
 
   val TfIdfK = 5
+
+  /** Retrieval gate inputs: lowercase single-space queries so the oracle's
+    * hand-tokenization is trivially identical to TextOps.tokens.
+    */
+  val RetrievalK = 10
+  val RetrievalQueries: Seq[(String, String)] = Seq(
+    "q_stream" -> "stream window batch",
+    "q_join"   -> "join hash key merge",
+    "q_scan"   -> "scan filter column table",
+    "q_vector" -> "vector quantize")
   val ChunkSize = 32
   val ChunkStride = 24 // overlap 8
   val VocabK = 50
@@ -30,6 +40,13 @@ object TextCatalog extends Catalog {
     "bm25_top_terms" -> ((s, d) =>
       TextOps.bm25TopTerms(Tables(s, d).documents, "doc_id", "text", TfIdfK)
         .orderBy(col("doc_id"), col("bm25").desc, col("term"))),
+
+    // full-text retrieval: top-10 docs per query by integer-exact BM25
+    // (one query term — 'quantize' — is deliberately out-of-vocabulary)
+    "bm25_retrieval" -> ((s, d) =>
+      TextOps.bm25Retrieve(Tables(s, d).documents, "doc_id", "text",
+          RetrievalQueries, RetrievalK)
+        .orderBy(col("qid"), col("score_nano").desc, col("doc_id"))),
 
     "text_stats" -> ((s, d) =>
       Tables(s, d).documents.select(
@@ -430,6 +447,41 @@ object TextCatalog extends Catalog {
          |QUALIFY row_number() OVER (PARTITION BY doc_id
          |  ORDER BY bm25 DESC, term) <= $TfIdfK
          |ORDER BY doc_id, bm25 DESC, term""".stripMargin,
+
+    // same sc CTE as bm25_top_terms; per-term nano-quantized scores sum
+    // exactly, mirroring TextOps.bm25Retrieve
+    "bm25_retrieval" -> {
+      val values = TextCatalog.RetrievalQueries.flatMap { case (qid, q) =>
+        q.split(" ").distinct.map(t => s"('$qid', '$t')")
+      }.mkString(",\n    ")
+      s"""WITH t AS ($docTokens),
+         |base AS (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM t),
+         |tfc AS (SELECT doc_id, dl, term, count(*) AS tf
+         |        FROM base GROUP BY doc_id, dl, term),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+         |st AS (SELECT count(*) AS n_docs,
+         |       CAST(sum(len(w)) AS BIGINT) AS total_dl FROM t),
+         |sc AS (SELECT doc_id, term, tf, df, dl,
+         |    (CAST(n_docs AS DOUBLE) / df) *
+         |      (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+         |      (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+         |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+         |          (CAST(dl AS DOUBLE) /
+         |            (CAST(total_dl AS DOUBLE) / n_docs)))) AS bm25
+         |  FROM tfc JOIN dfc USING (term) CROSS JOIN st),
+         |qt(qid, term) AS (VALUES
+         |    $values),
+         |hits AS (SELECT qid, doc_id,
+         |    CAST(sum(CAST(round(bm25 * 1000000000) AS DECIMAL(38,0))) AS BIGINT)
+         |      AS score_nano,
+         |    count(*) AS n_terms
+         |  FROM sc JOIN qt USING (term) GROUP BY qid, doc_id)
+         |SELECT qid, doc_id, score_nano, CAST(n_terms AS BIGINT) AS n_terms
+         |FROM hits
+         |QUALIFY row_number() OVER (PARTITION BY qid
+         |  ORDER BY score_nano DESC, doc_id) <= $RetrievalK
+         |ORDER BY qid, score_nano DESC, doc_id""".stripMargin
+    },
 
     "vocab_top_terms" ->
       s"""WITH t AS ($docTokens),

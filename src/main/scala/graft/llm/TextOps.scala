@@ -285,11 +285,23 @@ object TextOps {
     */
   def bm25TopTerms(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
                    k: Int): org.apache.spark.sql.DataFrame = {
-    // tokenize ONCE: dl rides the token rows into the aggregate key (it is
-    // functionally dependent on the id, so group cardinality is unchanged)
-    // and total_dl is recovered as sum(tf) — no second normalization pass.
-    // The tf frame feeds three branches (df-counts, totals, scoring), so it
-    // is checkpointed like the dedup tier's shingle frame.
+    val scored = bm25Scored(df, id, textCol)
+    graft.ops.Relational.topKPerGroup(scored, Seq(id),
+        Seq(col("bm25").desc, col("term").asc), k)
+      .select(col(id), col("term"), col("tf"), col("df"),
+        col("dl").cast("long").as("dl"), col("bm25"))
+  }
+
+  /** The shared BM25 term-scoring pipeline: `(id, term, tf, df, dl, bm25)`.
+    *
+    * Tokenize ONCE: dl rides the token rows into the aggregate key (it is
+    * functionally dependent on the id, so group cardinality is unchanged)
+    * and total_dl is recovered as sum(tf) — no second normalization pass.
+    * The tf frame feeds three branches (df-counts, totals, scoring), so it
+    * is checkpointed like the dedup tier's shingle frame.
+    */
+  private def bm25Scored(df: org.apache.spark.sql.DataFrame, id: String,
+                         textCol: String): org.apache.spark.sql.DataFrame = {
     val tf = df.select(col(id), tokens(col(textCol)).as("w"))
       .select(col(id), size(col("w")).as("dl"), explode(col("w")).as("term"))
       .groupBy(col(id), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
@@ -297,7 +309,7 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     val totalDl = tf.agg(sum(col("tf")).as("total_dl"))
-    val scored = tf.join(dfreq, Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .crossJoin(broadcast(totalDl))
       // declared evaluation order, mirrored in SQL: idf * (tf*(k1+1)) / norm
@@ -308,10 +320,35 @@ object TextOps {
             (lit(0.25) + lit(0.75) *
               (col("dl").cast("double") /
                 (col("total_dl").cast("double") / col("n_docs"))))))
-    graft.ops.Relational.topKPerGroup(scored, Seq(id),
-        Seq(col("bm25").desc, col("term").asc), k)
-      .select(col(id), col("term"), col("tf"), col("df"),
-        col("dl").cast("long").as("dl"), col("bm25"))
+  }
+
+  /** BM25 retrieval: rank documents for a (small, driver-side) query set.
+    * Each query is tokenized with the corpus tokenizer, deduplicated, and
+    * its terms broadcast into the per-doc term-score frame — only docs
+    * sharing a term survive the join, so the aggregate is
+    * matching-postings-sized, never corpus-sized. Per-term scores are
+    * quantized to nano-units and summed as DECIMAL, making the ranking
+    * sum order-independent (bit-exact in any partitioning); query terms
+    * absent from the corpus simply contribute nothing. Returns
+    * `(qid, id, score_nano, n_terms)`, top `k` docs per query by
+    * (score desc, id) — WindowGroupLimit, no global sort.
+    */
+  def bm25Retrieve(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+                   queries: Seq[(String, String)], k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("qid", "qtext")
+      .select(col("qid"), explode(array_distinct(tokens(col("qtext")))).as("term"))
+    val hits = bm25Scored(df, id, textCol)
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("qid"), col(id))
+      .agg(
+        sum(round(col("bm25") * lit(1e9)).cast("decimal(38,0)"))
+          .cast("long").as("score_nano"),
+        count(lit(1)).as("n_terms"))
+    graft.ops.Relational.topKPerGroup(hits, Seq("qid"),
+        Seq(col("score_nano").desc, col(id).asc), k)
+      .select(col("qid"), col(id), col("score_nano"), col("n_terms"))
   }
 
   /** Corpus vocabulary heavy-hitters: the top-k terms by total occurrence

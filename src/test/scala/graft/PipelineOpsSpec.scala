@@ -195,6 +195,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c1 < 2 * c2)
   }
 
+  test("bm25Retrieve ranks by summed matching-term scores, drops OOV terms") {
+    val df = Seq(
+      (1L, "spark spark stream"), (2L, "stream table"), (3L, "table sort"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25Retrieve(df, "doc_id", "text",
+        Seq("qa" -> "spark stream", "qb" -> "missingword"), 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // qb's only term is out-of-vocabulary: no rows at all
+    assert(!out.keys.exists(_._1 == "qb"))
+    // qa matches docs 1 (both terms) and 2 (one term); doc 3 not at all
+    assert(out.keys.map(_._2).toSet === Set(1L, 2L))
+    assert(out(("qa", 1L))._2 === 2L && out(("qa", 2L))._2 === 1L)
+    assert(out(("qa", 1L))._1 > out(("qa", 2L))._1,
+      "two matching terms outrank one")
+  }
+
   // -- dupPassages ----------------------------------------------------------
 
   test("dupPassages flags shared token windows with canonical primary attribution") {
