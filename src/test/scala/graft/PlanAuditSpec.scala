@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
         "embedding_contamination",
         "tfidf_top_terms",  // broadcast of the 1-row corpus-count aggregate
         "bm25_top_terms",   // broadcast of the 1-row (n_docs, total_dl) stats
+        "bm25_retrieval",   // same 1-row stats broadcast as bm25_top_terms
         "corpus_mixture")   // broadcast of the 1-row total-tokens aggregate
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
