@@ -283,6 +283,32 @@ object OpsCatalog extends Catalog {
         Relational.countIf(col("value") > 100).as("n_high_value"),
         countDistinct(col("user_id")).as("n_users"))),
 
+    // governance tier: one-pass per-column profile of the orders table
+    "table_profile" -> ((s, d) =>
+      Profile.profile(Tables(s, d).orders,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+        .orderBy("column")),
+
+    // constraint checks: pk uniqueness, referential integrity, domain and
+    // range assertions — the events value-cap check genuinely FAILS, so
+    // both verdict branches ship through the gate
+    "quality_checks" -> ((s, d) => {
+      val t = Tables(s, d)
+      Profile.runChecks(Seq(
+        "orders_pk_unique" -> t.orders.groupBy("o_orderkey")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1),
+        "orders_fk_customer" -> t.orders.join(t.customer,
+          col("o_custkey") === col("c_custkey"), "left_anti"),
+        "lineitem_price_nonneg" -> t.lineitem
+          .filter(col("l_extendedprice") < 0),
+        "orders_date_in_range" -> t.orders.filter(
+          col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+            col("o_orderdate") >= lit("1999-01-01").cast("timestamp")),
+        "events_value_within_300" -> t.events.filter(col("value") > 300),
+      )).orderBy("check_name")
+    }),
+
     // sketch tier: HLL distinct + quantile sketches — approximate by design,
     // so no DuckDB oracle (driver records the rows-only check); accuracy is
     // property-tested against exact results in RelationalPropsSpec
@@ -294,6 +320,51 @@ object OpsCatalog extends Catalog {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "table_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+           |  CAST(NULL AS VARCHAR) AS min_ts, CAST(NULL AS VARCHAR) AS max_ts
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', count(*), count(*) - count($c), count(DISTINCT $c),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  CAST(min(length($c)) AS BIGINT), CAST(max(length($c)) AS BIGINT),
+           |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+           |FROM orders""".stripMargin
+      def tsc(c: String) =
+        s"""SELECT '$c', count(*), count(*) - count($c), count(DISTINCT $c),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           |  strftime(min($c), '%Y-%m-%d %H:%M:%S'),
+           |  strftime(max($c), '%Y-%m-%d %H:%M:%S')
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+        num("o_totalprice"), tsc("o_orderdate"), str("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    "quality_checks" -> {
+      def check(name: String, violationsSql: String) =
+        s"""SELECT '$name' AS check_name,
+           |  CAST(($violationsSql) AS BIGINT) AS violations,
+           |  ($violationsSql) = 0 AS passed""".stripMargin
+      Seq(
+        check("orders_pk_unique",
+          "SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)"),
+        check("orders_fk_customer",
+          "SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)"),
+        check("lineitem_price_nonneg",
+          "SELECT count(*) FROM lineitem WHERE l_extendedprice < 0"),
+        check("orders_date_in_range",
+          "SELECT count(*) FROM orders WHERE o_orderdate < TIMESTAMP '1992-01-01' OR o_orderdate >= TIMESTAMP '1999-01-01'"),
+        check("events_value_within_300",
+          "SELECT count(*) FROM events WHERE value > 300"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY check_name")
+    },
+
     "tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${moneySumSql("l_quantity")} AS sum_qty,
