@@ -58,18 +58,46 @@ object Corpus {
   def assignSplits(df: DataFrame, idCol: String,
                    fractions: Seq[(String, Double)],
                    salt: String = "split"): DataFrame = {
+    val (bucket, splitCol) = splitExpr(col(idCol), fractions, salt)
+    df.withColumn("bucket", bucket).withColumn("split", splitCol)
+  }
+
+  /** The split assignment as pure (bucket, split) COLUMN expressions over
+    * an id — usable anywhere an id column exists without joining back to
+    * the corpus (the property [[splitLeakage]] exploits).
+    */
+  def splitExpr(idc: Column, fractions: Seq[(String, Double)],
+                salt: String = "split"): (Column, Column) = {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1: $fractions")
     val bounds = fractions.scanLeft(0L) { case (acc, (_, f)) =>
       acc + (f * 1000).round
     }.tail
-    val bucket = sampleHash(col(idCol), salt)
+    val bucket = sampleHash(idc, salt)
     val splitCol = fractions.init.zip(bounds.init)
       .foldRight(lit(fractions.last._1)) { case (((name, _), hi), acc) =>
         when(bucket < hi, lit(name)).otherwise(acc)
       }
-    df.withColumn("bucket", bucket).withColumn("split", splitCol)
+    (bucket, splitCol)
   }
+
+  /** Train/val/test LEAKAGE audit: near-duplicate pairs that cross a split
+    * boundary — an eval doc with a near-dup in train is contamination the
+    * per-benchmark decontamination pass cannot see. Because the split is a
+    * pure function of the id, both sides' splits are computed directly ON
+    * the pair rows ([[splitExpr]]): zero joins and zero shuffles beyond
+    * the near-dup pipeline itself, whose pair volume is bounded by actual
+    * duplication.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, fractions: Seq[(String, Double)],
+                   salt: String = "split"): DataFrame =
+    Dedup.nearDupPairs(df, idCol, textCol, threshold)
+      .withColumn("split_a", splitExpr(col("id_a"), fractions, salt)._2)
+      .withColumn("split_b", splitExpr(col("id_b"), fractions, salt)._2)
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("split_a"), col("id_b"), col("split_b"),
+        col("jaccard"))
 
   /** Deterministic training-order shuffle as (shard, position) — the
     * scale-safe spelling of "globally shuffle the corpus": shard = hash mod

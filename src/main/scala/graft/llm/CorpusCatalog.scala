@@ -28,6 +28,20 @@ object CorpusCatalog extends Catalog {
   val SourceCap = 12
   /** Train/val/test cut points (hash-bucket boundaries at 800/900). */
   val SplitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** The split CASE as SQL over an arbitrary id expression — the oracle
+    * mirror of Corpus.splitExpr.
+    */
+  private def splitCaseSql(idExpr: String): String = {
+    val bounds = SplitFractions.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + (f * 1000).round
+    }.tail
+    val b = s"(${OracleSql.h60(s"'split:' || CAST($idExpr AS VARCHAR)")} % 1000)"
+    val cases = SplitFractions.init.zip(bounds.init)
+      .map { case ((name, _), hi) => s"WHEN $b < $hi THEN '$name'" }
+      .mkString(" ")
+    s"(CASE $cases ELSE '${SplitFractions.last._1}' END)"
+  }
   val NumShards = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -74,6 +88,14 @@ object CorpusCatalog extends Catalog {
       Corpus.assignSplits(Tables(s, d).documents, "doc_id", SplitFractions)
         .select("doc_id", "lang", "bucket", "split")
         .orderBy("doc_id")),
+
+    // eval-contamination audit INSIDE the corpus: near-dup pairs whose
+    // members fall in different splits (splits computed directly on the
+    // pair rows — no join back to the corpus)
+    "split_leakage" -> ((s, d) =>
+      Corpus.splitLeakage(Tables(s, d).documents, "doc_id", "text",
+          graft.llm.DedupCatalog.JaccardThreshold, SplitFractions)
+        .orderBy("id_a", "id_b")),
 
     "shuffle_shards" -> ((s, d) =>
       Corpus.shuffleShards(Tables(s, d).documents, "doc_id", NumShards)
@@ -157,6 +179,17 @@ object CorpusCatalog extends Catalog {
          |  FROM documents)
          |WHERE keep_rank <= $SourceCap
          |ORDER BY doc_id""".stripMargin,
+
+    "split_leakage" -> {
+      val t = graft.llm.DedupCatalog.JaccardThreshold
+      s"""WITH ${OracleSql.jaccardPairsCtes}
+         |SELECT id_a, ${splitCaseSql("id_a")} AS split_a,
+         |  id_b, ${splitCaseSql("id_b")} AS split_b, jaccard
+         |FROM pairs
+         |WHERE jaccard >= $t
+         |  AND ${splitCaseSql("id_a")} <> ${splitCaseSql("id_b")}
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "dataset_split" -> {
       // same cumulative cut points as Corpus.assignSplits

@@ -137,6 +137,28 @@ class CorpusSpec extends SparkSpec {
     assert(manifest(docs.filter(col("doc_id") =!= someId)) !== base)
   }
 
+  test("splitLeakage (expression path) matches the join-back formulation") {
+    val fr = graft.llm.CorpusCatalog.SplitFractions
+    // synthetic near-dup pairs with ids spread over the split buckets: the
+    // shared 30-token body makes every pair jaccard ≈ 1
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until 40L).map(i => (i, s"$body extra$i"))
+      .toDF("doc_id", "text")
+    val viaExpr = Corpus.splitLeakage(docs, "doc_id", "text", 0.8, fr)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val splits = Corpus.assignSplits(docs.select("doc_id"), "doc_id", fr)
+      .select($"doc_id", $"split")
+    val viaJoin = graft.llm.Dedup.nearDupPairs(docs, "doc_id", "text", 0.8)
+      .join(splits.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(splits.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter($"sa" =!= $"sb")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(viaExpr === viaJoin && viaExpr.nonEmpty,
+      s"expr path $viaExpr must equal join path $viaJoin, non-trivially")
+  }
+
   test("novelty is 1.0 for unique content, 0.0 for cloned content, NULL below shingle size") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),   // shingles unique to doc 1
