@@ -283,6 +283,16 @@ object OpsCatalog extends Catalog {
         Relational.countIf(col("value") > 100).as("n_high_value"),
         countDistinct(col("user_id")).as("n_users"))),
 
+    // engine-exact correlation/regression of quantity vs price (cents)
+    // per return flag: one hash aggregate, DECIMAL moments, IEEE finals
+    "value_regression" -> ((s, d) =>
+      Relational.regressionByGroup(
+          Tables(s, d).lineitem.select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents")),
+          Seq("l_returnflag"), "qty", "cents")
+        .orderBy("l_returnflag")),
+
     // governance tier: one-pass per-column profile of the orders table
     "table_profile" -> ((s, d) =>
       Profile.profile(Tables(s, d).orders,
@@ -320,6 +330,32 @@ object OpsCatalog extends Catalog {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "value_regression" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM q GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN 0.0
+        |       ELSE (n * sxy - sx * sy) /
+        |            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        |  (sy - (CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx)
+        |    / n AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
     "table_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", count(*) AS n,

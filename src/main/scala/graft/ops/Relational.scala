@@ -255,6 +255,34 @@ object Relational {
       .drop("__n", "__sx", "__sxx")
   }
 
+  /** Per-group Pearson correlation and least-squares fit over two
+    * INTEGER-quantized columns, engine-exact: the five moment sums
+    * accumulate as DECIMAL(38,0) (exact in any partitioning); the final
+    * r / slope / intercept are IEEE doubles derived from those scalars in
+    * a declared operation order, so results are bit-reproducible. The
+    * caller quantizes (e.g. cents); per-row products must stay inside
+    * long. Degenerate groups (zero variance in either column) get r = 0
+    * and slope = 0 rather than NaN. Cost: ONE hash aggregate.
+    */
+  def regressionByGroup(df: DataFrame, keys: Seq[String], x: String,
+                        y: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col(x))).cast("double").as("__sx"),
+      sum(dec(col(y))).cast("double").as("__sy"),
+      sum(dec(col(x) * col(x))).cast("double").as("__sxx"),
+      sum(dec(col(y) * col(y))).cast("double").as("__syy"),
+      sum(dec(col(x) * col(y))).cast("double").as("__sxy"))
+    val dx = col("n") * col("__sxx") - col("__sx") * col("__sx")
+    val dy = col("n") * col("__syy") - col("__sy") * col("__sy")
+    val cv = col("n") * col("__sxy") - col("__sx") * col("__sy")
+    g.withColumn("r", when(dx * dy <= 0, 0.0).otherwise(cv / sqrt(dx * dy)))
+      .withColumn("slope", when(dx === 0, 0.0).otherwise(cv / dx))
+      .withColumn("intercept", (col("__sy") - col("slope") * col("__sx")) / col("n"))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
   /** Exact, summation-order-independent sum for 2-decimal money columns:
     * DECIMAL(18,2) accumulation is exact (no float reassociation error), so
     * the result is identical across any partitioning/parallelism AND matches

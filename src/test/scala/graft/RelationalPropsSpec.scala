@@ -165,6 +165,22 @@ class RelationalPropsSpec extends SparkSpec {
     assert(r.getDouble(5) === 59.5, "raw mean keeps the outlier")
   }
 
+  test("regressionByGroup: exact fit on linear data, degenerate guards") {
+    val df = Seq(
+      ("a", 1L, 12L), ("a", 2L, 14L), ("a", 3L, 16L), ("a", 4L, 18L),
+      ("b", 5L, 7L), ("b", 6L, 7L),   // y constant: r = 0, slope 0
+      ("c", 9L, 1L), ("c", 9L, 5L),   // x constant: r = 0, slope 0
+    ).toDF("g", "x", "y")
+    val m = Relational.regressionByGroup(df, Seq("g"), "x", "y")
+      .select($"g", $"n", $"r", $"slope", $"intercept")
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(m("a") === ((4L, 1.0, 2.0, 10.0)), "y = 2x + 10 exactly")
+    assert(m("b") === ((2L, 0.0, 0.0, 7.0)))
+    assert(m("c")._2 === 0.0 && m("c")._3 === 0.0)
+    assert(m("c")._4 === 3.0, "slope-0 intercept degrades to mean(y)")
+  }
+
   test("zscoreByGroup: exact moments, zero-variance guard, rank ties") {
     val df = Seq(
       ("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 4L), ("a", 4L, 10L),
