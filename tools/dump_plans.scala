@@ -14,7 +14,12 @@ val picks = Seq(
   "rollup_revenue" -> "ROLLUP as ONE aggregate pass: Expand feeds each row to its grouping sets, partial aggregation still combines map-side.",
   "shard_manifest" -> "Pack + checksum share one (stratum, shard) window pass; the order-sensitive fold is a per-doc polynomial term summed in exact decimal.",
   "dup_chunks" -> "Narrow chunking -> fingerprint hash aggregate -> join back; duplicate-group volume bounded by actual duplication.",
-  "zorder_pruned_scan" -> "Both dimensions' range predicates reach the parquet scan as PushedFilters; the Morton-clustered layout keeps row groups narrow in both.")
+  "zorder_pruned_scan" -> "Both dimensions' range predicates reach the parquet scan as PushedFilters; the Morton-clustered layout keeps row groups narrow in both.",
+  "merge_upsert" -> "MERGE without shuffling the snapshot: the change batch's key set broadcasts into a LeftAnti hash join; survivors union under it. The only exchange belongs to the batch's own dedup.",
+  "scd2_history" -> "Change-detection lag and validity lead share ONE exchange on the key: both windows declare the same partitioning.",
+  "bm25_retrieval" -> "Query terms broadcast into the postings (term hash join); the 1-row corpus stats are the intended nested-loop; nano-quantized DECIMAL sums then WindowGroupLimit top-k.",
+  "table_profile" -> "Every per-column statistic is a column of ONE aggregate - one scan regardless of how many columns are profiled; explode melts the single row.",
+  "value_regression" -> "Five DECIMAL moment sums in one hash aggregate; r/slope/intercept are scalar projections over the group row.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
