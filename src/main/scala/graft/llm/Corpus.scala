@@ -81,6 +81,20 @@ object Corpus {
     (bucket, splitCol)
   }
 
+  /** Deterministic weighted sampling: each row survives with probability
+    * `weight` (clamped to [0,1] by construction when the weight is a score
+    * in that range), decided by comparing the salted id-hash bucket
+    * against the weight quantized to 1/1000 — no RNG, so the sample is
+    * reproducible across runs and layouts, and a row's fate never changes
+    * as the corpus grows. The quality-weighted corpus sample (keep good
+    * docs preferentially, keep SOME low-quality mass for robustness) is
+    * this with weight = quality score. A narrow filter: zero shuffles.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     salt: String = "wsample"): DataFrame =
+    df.filter(sampleHash(col(idCol), salt) <
+      round(weight * 1000).cast("long"))
+
   /** Train/val/test LEAKAGE audit: near-duplicate pairs that cross a split
     * boundary — an eval doc with a near-dup in train is contamination the
     * per-benchmark decontamination pass cannot see. Because the split is a

@@ -88,6 +88,14 @@ object TextCatalog extends Catalog {
       TextOps.fluencyAgg(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
 
+    // quality-weighted sampling: keep probability = quality score, decided
+    // by the salted id hash — deterministic, zero-shuffle
+    "quality_weighted_sample" -> ((s, d) =>
+      Corpus.weightedSample(Tables(s, d).documents, "doc_id",
+          TextOps.qualityScore(col("text")))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // per-language score calibration: micro-quantized quality → exact
     // decimal moments → bit-reproducible z + percentile rank
     "quality_normalized" -> ((s, d) => {
@@ -325,6 +333,15 @@ object TextCatalog extends Catalog {
          |FROM documents d LEFT JOIN agg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "quality_weighted_sample" ->
+      s"""WITH t AS ($docTokens)
+         |SELECT doc_id, d.lang, d.source
+         |FROM t JOIN (SELECT doc_id, lang, source FROM documents) d
+         |  USING (doc_id)
+         |WHERE ${OracleSql.h60("'wsample:' || CAST(doc_id AS VARCHAR)")} % 1000
+         |  < CAST(round(($qualitySql) * 1000) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
 
     // mirror of Relational.zscoreByGroup: DECIMAL(38,0) moment sums →
     // final scalars in IEEE doubles with the EXACT same operation order

@@ -97,6 +97,25 @@ object OpsCatalog extends Catalog {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // the TPC-H returned-item report (Q10, minus the address/phone/comment
+    // columns the synthetic schema lacks): one quarter of orders joined to
+    // returned lineitems, top-20 customers by exact-decimal lost revenue
+    "tpch_q10" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(revDec(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "pivot_sum" -> ((s, d) =>
       Relational.pivotSum(
         Tables(s, d).lineitem, "l_returnflag", "l_linestatus",
@@ -431,6 +450,20 @@ object OpsCatalog extends Catalog {
          |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(sum($revSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
 
     "tpch_q5" ->
       s"""SELECT n_name,

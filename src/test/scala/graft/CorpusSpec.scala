@@ -137,6 +137,19 @@ class CorpusSpec extends SparkSpec {
     assert(manifest(docs.filter(col("doc_id") =!= someId)) !== base)
   }
 
+  test("weightedSample: weight 0 drops all, 1 keeps all, deterministic") {
+    val df = (0L until 200L).map(i => (i, i)).toDF("doc_id", "v")
+    assert(Corpus.weightedSample(df, "doc_id", lit(0.0)).count() === 0)
+    assert(Corpus.weightedSample(df, "doc_id", lit(1.0)).count() === 200)
+    val half = Corpus.weightedSample(df, "doc_id", lit(0.5))
+      .select("doc_id").as[Long].collect().toSet
+    // deterministic: same set under a different layout; roughly half kept
+    val rep = Corpus.weightedSample(df.repartition(7), "doc_id", lit(0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(half === rep)
+    assert(half.size > 60 && half.size < 140, s"got ${half.size}")
+  }
+
   test("splitLeakage (expression path) matches the join-back formulation") {
     val fr = graft.llm.CorpusCatalog.SplitFractions
     // synthetic near-dup pairs with ids spread over the split buckets: the
