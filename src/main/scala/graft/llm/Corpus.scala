@@ -211,14 +211,42 @@ object Corpus {
     * Exact while per-stratum token totals stay under 2^53 (~36 PB of text).
     */
   def packShards(df: DataFrame, idCol: String, strataCol: String,
-                 textCol: String, tokensPerShard: Long): DataFrame = {
+                 textCol: String, tokensPerShard: Long,
+                 carry: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(strataCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(strataCol),
-        TextOps.tokenCount(col(textCol)).as("n_tokens"))
+    df.select(Seq(col(idCol), col(strataCol)) ++ carry.map(col) :+
+        TextOps.tokenCount(col(textCol)).as("n_tokens"): _*)
       .withColumn("shard_id",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / lit(tokensPerShard)))
   }
+
+  /** Sequence packing: assemble each [[packShards]] shard into ONE training
+    * row — the ordered concatenation of its documents with a separator —
+    * plus the doc count and exact token total. The per-shard assembly is
+    * an id-ordered array aggregate (sort_array over collected (id, text)
+    * structs, deterministic regardless of partitioning); groups are
+    * shard-sized (~tokensPerShard tokens) by construction, so the
+    * interpreted transform at the group boundary touches a bounded number
+    * of elements per row, never the corpus. The text rides THROUGH the
+    * packing window (the `carry` hook) — no join back to the corpus; the
+    * plan is the packing shuffle plus the (stratum, shard) aggregate.
+    */
+  def packSequences(df: DataFrame, idCol: String, strataCol: String,
+                    textCol: String, tokensPerShard: Long,
+                    sep: String = "\n\n"): DataFrame =
+    packShards(df, idCol, strataCol, textCol, tokensPerShard,
+        carry = Seq(textCol))
+      .groupBy(col(strataCol), col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col(idCol).as("i"),
+              col(textCol).as("t")))),
+            x => x.getField("t")),
+          sep).as("packed_text"))
 
   /** Training-mixture plan: per stratum, the achieved token share vs a
     * declared target share, the upsample factor that would hit the target,

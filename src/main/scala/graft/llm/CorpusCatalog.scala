@@ -56,6 +56,13 @@ object CorpusCatalog extends Catalog {
           TokensPerShard)
         .orderBy("doc_id")),
 
+    // shard assembly: each shard becomes ONE training row (ordered concat
+    // with separator) — content proven exactly, not just counts
+    "packed_sequences" -> ((s, d) =>
+      Corpus.packSequences(Tables(s, d).documents, "doc_id", "lang", "text",
+          TokensPerShard)
+        .orderBy("lang", "shard_id")),
+
     "corpus_mixture" -> ((s, d) =>
       Corpus.mixtureWeights(Tables(s, d).documents, "lang", "text",
           TargetShares, DefaultTargetShare)
@@ -135,6 +142,22 @@ object CorpusCatalog extends Catalog {
          |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(floor(run / ${TokensPerShard}.0) AS BIGINT) AS shard_id
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "packed_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang, text,
+         |    len(string_split(${OracleSql.norm}, ' ')) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, text, n_tokens,
+         |    coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+         |  FROM t)
+         |SELECT lang, CAST(floor(run / ${TokensPerShard}.0) AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text
+         |FROM r
+         |GROUP BY lang, CAST(floor(run / ${TokensPerShard}.0) AS BIGINT)
+         |ORDER BY lang, shard_id""".stripMargin,
 
     "corpus_mixture" -> {
       val targetCase = TargetShares.toSeq.sortBy(_._1).reverse

@@ -137,6 +137,30 @@ class CorpusSpec extends SparkSpec {
     assert(manifest(docs.filter(col("doc_id") =!= someId)) !== base)
   }
 
+  test("packSequences assembles shards in id order and reconstructs exactly") {
+    val docs = Seq(
+      (1L, "a", "one two three"), (2L, "a", "four five"),
+      (3L, "a", "six seven eight"), (10L, "b", "only doc"),
+    ).toDF("doc_id", "lang", "text")
+    // 4 tokens/shard: doc1 (3 tok, run 0) → shard 0; doc2 (run 3) → 0;
+    // doc3 (run 5) → shard 1
+    val out = Corpus.packSequences(docs, "doc_id", "lang", "text", 4L)
+      .orderBy("lang", "shard_id")
+      .select($"lang", $"shard_id", $"n_docs", $"n_tokens", $"packed_text")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      ("a", 0L, 2L, 5L, "one two three\n\nfour five"),
+      ("a", 1L, 1L, 3L, "six seven eight"),
+      ("b", 0L, 1L, 2L, "only doc")))
+    // layout-invariance: repartitioned input packs identically
+    val rep = Corpus.packSequences(docs.repartition(5), "doc_id", "lang",
+        "text", 4L)
+      .orderBy("lang", "shard_id")
+      .select($"lang", $"shard_id", $"n_docs", $"n_tokens", $"packed_text")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    assert(rep === out)
+  }
+
   test("weightedSample: weight 0 drops all, 1 keeps all, deterministic") {
     val df = (0L until 200L).map(i => (i, i)).toDF("doc_id", "v")
     assert(Corpus.weightedSample(df, "doc_id", lit(0.0)).count() === 0)
