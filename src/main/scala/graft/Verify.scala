@@ -21,7 +21,11 @@ object Verify {
     // group; on timeout its jobs are cancelled and the gate moves on,
     // recording the miss like any other per-query failure
     val timeoutMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MS", "600000").toLong
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev-only subset filter (comma-separated names); unset = the full gate
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       val t = new Thread(() => {
         spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)

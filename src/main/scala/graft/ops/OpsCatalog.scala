@@ -116,6 +116,78 @@ object OpsCatalog extends Catalog {
         .limit(20)
     }),
 
+    // the TPC-H forecasting-revenue-change scan (Q6): the canonical
+    // pushdown showcase — all three predicates reach the parquet scan,
+    // no join, no shuffle beyond the single-row final aggregate; revenue
+    // is exact-decimal price·discount
+    "tpch_q6" -> ((s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            col("l_discount").cast("decimal(4,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // the TPC-H customer-distribution report (Q13): LEFT OUTER join so
+    // zero-order customers survive with count 0, then a second aggregate
+    // over the per-customer counts (two shuffles by construction; the
+    // priority exclusion stands in for the comment NOT LIKE filter the
+    // synthetic schema lacks)
+    "tpch_q13" -> ((s, d) => {
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // the TPC-H promotion-effect ratio (Q14): one month of lineitems
+    // joined to part (the part side broadcasts at test SF via AQE, and
+    // shuffles on l_partkey at cluster scale); both the conditional and
+    // total revenue accumulate exact-decimal, the percentage divides once
+    // in double at the end so both engines agree bit-for-bit
+    "tpch_q14" -> ((s, d) => {
+      val t = Tables(s, d)
+      val rev = revDec(col("l_extendedprice"), col("l_discount"))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(t.part, col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(17,4)")))
+              .cast("double") /
+            sum(rev).cast("double")).as("promo_revenue_pct"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // the TPC-H large-volume-customer report (Q18): the HAVING subquery is
+    // a first aggregate over lineitem whose survivors (sum qty > 300, the
+    // top ~1% of orders) semi-join back — expressed as aggregate → filter
+    // → join so the heavy lineitem scan happens ONCE and the tiny survivor
+    // set drives broadcast joins against orders and customer
+    "tpch_q18" -> ((s, d) => {
+      val t = Tables(s, d)
+      val big = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(Relational.moneySum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          Relational.tsStr(col("o_orderdate")).as("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     "pivot_sum" -> ((s, d) =>
       Relational.pivotSum(
         Tables(s, d).lineitem, "l_returnflag", "l_linestatus",
@@ -479,6 +551,53 @@ object OpsCatalog extends Catalog {
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "tpch_q6" ->
+      s"""SELECT
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q13" ->
+      s"""SELECT c_count, count(*) AS custdist
+         |FROM (
+         |  SELECT c_custkey, count(o_orderkey) AS c_count
+         |  FROM customer
+         |  LEFT OUTER JOIN orders
+         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         |  GROUP BY c_custkey)
+         |GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q14" ->
+      s"""SELECT
+         |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+         |      THEN $revSql
+         |      ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+         |    / CAST(sum($revSql) AS DOUBLE) AS promo_revenue_pct,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+         |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+
+    "tpch_q18" ->
+      s"""SELECT c_name, c_custkey, o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         |  o_totalprice, total_qty
+         |FROM (
+         |  SELECT l_orderkey, ${moneySumSql("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey) big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE total_qty > 300
+         |ORDER BY o_totalprice DESC, o_orderkey
+         |LIMIT 100""".stripMargin,
 
     "pivot_sum" ->
       """SELECT l_returnflag,
