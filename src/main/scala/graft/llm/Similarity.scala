@@ -358,6 +358,64 @@ object Similarity {
     KMeansModel(centroids, id, vec)
   }
 
+  /** Cluster-quality evaluation: per-cluster size, label diversity, and
+    * purity (fraction of the cluster carried by its plurality label) —
+    * the standard external check that a fitted quantizer's cells track a
+    * known labeling. One hash aggregate on (cluster, label) does the heavy
+    * pass; everything after runs on the tiny per-(cluster,label) frame
+    * (≤ k·|labels| rows), so the op scales with the corpus scan, not with
+    * cluster count. Plurality ties break on the lower label.
+    */
+  def labelPurity(assigned: DataFrame, labels: DataFrame, id: String,
+                  label: String): DataFrame = {
+    val counts = assigned.join(labels, Seq(id))
+      .groupBy(col("cluster"), col(label))
+      .agg(count(lit(1)).as("n_label"))
+    val top = Relational.topKPerGroup(counts, Seq("cluster"),
+        Seq(col("n_label").desc, col(label).asc), 1)
+      .select(col("cluster"), col(label).as("top_label"), col("n_label").as("top_n"))
+    val totals = counts.groupBy(col("cluster"))
+      .agg(sum(col("n_label")).as("n_vecs"), count(lit(1)).as("n_labels"))
+    totals.join(top, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"), col("n_labels"),
+        col("top_label"), col("top_n"),
+        (col("top_n").cast("double") / col("n_vecs")).as("purity"))
+  }
+
+  /** Exact upper-triangle covariance of the embedding components — the
+    * one-pass moment computation a whitening / PCA step consumes. The d²
+    * blowup happens via two chained generators (posexplode × posexplode:
+    * narrow, NO self-join, no shuffle before the aggregate), cross-moments
+    * accumulate as exact DECIMAL over the quantized integers, and the
+    * per-dimension sums (d tiny rows) broadcast back on. cov is derived
+    * from the exact scalars in one declared double order:
+    * `(sxy/n − (si/n)·(sj/n)) / QScale²`. Rows out: d(d+1)/2 — driver-safe
+    * for any corpus size; the corpus-side cost is one narrow pass of
+    * n·d(d+1)/2 product rows into a partial-aggregating hash agg.
+    */
+  def covariance(df: DataFrame, id: String, vec: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val p = prepare(df, id, vec).select(col(id), col("q"))
+    val ex = p
+      .select(col(id), col("q"), posexplode(col("q")).as(Seq("i", "xi")))
+      .select(col(id), col("i"), col("xi"), posexplode(col("q")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+    val moments = ex.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(dec(col("xi") * col("xj"))).cast("double").as("sxy"))
+    val dims = p.select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum(dec(col("x"))).cast("double").as("s"))
+    val scale2 = QScale.toDouble * QScale.toDouble
+    moments
+      .join(broadcast(dims.select(col("dim").as("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(dims.select(col("dim").as("j"), col("s").as("sj"))), Seq("j"))
+      .select(col("i"), col("j"), col("n_vecs"),
+        ((col("sxy") / col("n_vecs") -
+          (col("si") / col("n_vecs")) * (col("sj") / col("n_vecs"))) / scale2)
+          .as("cov"))
+  }
+
   /** Embedding near-duplicate pairs, blocked by a coarse cell id: the pair
     * search runs only inside cells (shuffle on the cell key, AQE handles
     * skewed cells), then exact quantized cosine filters at the threshold.

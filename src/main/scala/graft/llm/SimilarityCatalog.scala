@@ -91,6 +91,27 @@ object SimilarityCatalog extends Catalog {
            |ORDER BY query_id, nn_id""".stripMargin)
     }),
 
+    // cluster evaluation: the deterministic fit's cells scored against the
+    // known label column (size / diversity / plurality purity per cell).
+    // Same capture mechanism as ivf_kmeans_assign: the fitted centroids
+    // republish to the oracle, which re-derives the assignment in SQL and
+    // aggregates the same purity report
+    "kmeans_label_purity" -> ((s, d) => {
+      val t = Tables(s, d)
+      val model = Similarity.kmeansFit(t.embeddings, "vec_id", "embedding",
+        k = 8, iters = 3)
+      purityCentroids = Some(model.centroids)
+      Similarity.labelPurity(model.assign(t.embeddings),
+          t.embeddings.select(col("vec_id"), col("label")), "vec_id", "label")
+        .orderBy("cluster")
+    }),
+
+    // whitening/PCA prep: exact one-pass covariance moments of the
+    // embedding matrix (upper triangle, d(d+1)/2 rows out)
+    "embedding_covariance" -> ((s, d) =>
+      Similarity.covariance(Tables(s, d).embeddings, "vec_id", "embedding")
+        .orderBy("i", "j")),
+
     // the training-free LSH alternative to the IVF scale path: SRP sketch →
     // band-bucket join → exact re-rank; the oracle replicates the whole
     // pipeline (declared projection table included), so this is hash-exact,
@@ -118,6 +139,61 @@ object SimilarityCatalog extends Catalog {
     */
   @volatile private var fittedCentroids: Option[Seq[(Int, Seq[Long])]] = None
 
+  /** Centroids of the last `kmeans_label_purity` fit (captured separately so
+    * either query oracles independently under a subset run).
+    */
+  @volatile private var purityCentroids: Option[Seq[(Int, Seq[Long])]] = None
+
+  /** Assignment CTE chain over a captured centroid set, ending in
+    * `a(vec_id, cluster)` — shared by the kmeans-assign and purity oracles.
+    */
+  private def assignCtes(cs: Seq[(Int, Seq[Long])]): String = {
+    val values = cs.map { case (cid, cq) =>
+      s"($cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+    }.mkString(",\n    ")
+    s"""$prepSql,
+       |c(cid, cq) AS (VALUES
+       |    $values),
+       |cn AS (SELECT cid, cq,
+       |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+       |  FROM c),
+       |scored AS (
+       |  SELECT pn.vec_id, cn.cid,
+       |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+       |                 FROM (SELECT unnest(pn.q) AS x, unnest(cn.cq) AS y))
+       |      + cn.cn2 AS dist
+       |  FROM pn CROSS JOIN cn),
+       |a AS (
+       |  SELECT vec_id, cid AS cluster FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist ASC, cid ASC) = 1)""".stripMargin
+  }
+
+  /** Purity oracle over the captured purity-fit centroids: re-derive the
+    * assignment, then the same (cluster, label) count → plurality-top →
+    * totals report with identical tie-breaks and division order.
+    */
+  private def purityOracle: Option[(String, String)] = purityCentroids.map { cs =>
+    "kmeans_label_purity" ->
+      s"""WITH ${assignCtes(cs)},
+         |counts AS (
+         |  SELECT a.cluster, e.label, count(*) AS n_label
+         |  FROM a JOIN embeddings e USING (vec_id)
+         |  GROUP BY a.cluster, e.label),
+         |top AS (
+         |  SELECT cluster, label AS top_label, n_label AS top_n FROM counts
+         |  QUALIFY row_number() OVER (PARTITION BY cluster
+         |    ORDER BY n_label DESC, label ASC) = 1),
+         |tot AS (
+         |  SELECT cluster, CAST(sum(n_label) AS BIGINT) AS n_vecs,
+         |    count(*) AS n_labels
+         |  FROM counts GROUP BY cluster)
+         |SELECT cluster, n_vecs, n_labels, top_label, top_n,
+         |  CAST(top_n AS DOUBLE) / n_vecs AS purity
+         |FROM tot JOIN top USING (cluster)
+         |ORDER BY cluster""".stripMargin
+  }
+
   /** Nearest-centroid assignment oracle over the captured centroid table:
     * same exact-integer distance (n2 - 2·dot + cn2), same lower-cid
     * tie-break as [[Similarity.KMeansModel.assign]]. Present only once the
@@ -125,25 +201,9 @@ object SimilarityCatalog extends Catalog {
     * exactly the pre-capture behavior).
     */
   private def kmeansOracle: Option[(String, String)] = fittedCentroids.map { cs =>
-    val values = cs.map { case (cid, cq) =>
-      s"($cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
-    }.mkString(",\n    ")
     "ivf_kmeans_assign" ->
-      s"""WITH $prepSql,
-         |c(cid, cq) AS (VALUES
-         |    $values),
-         |cn AS (SELECT cid, cq,
-         |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
-         |  FROM c),
-         |scored AS (
-         |  SELECT pn.vec_id, cn.cid,
-         |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
-         |                 FROM (SELECT unnest(pn.q) AS x, unnest(cn.cq) AS y))
-         |      + cn.cn2 AS dist
-         |  FROM pn CROSS JOIN cn)
-         |SELECT vec_id, cid AS cluster FROM scored
-         |QUALIFY row_number() OVER (PARTITION BY vec_id
-         |  ORDER BY dist ASC, cid ASC) = 1
+      s"""WITH ${assignCtes(cs)}
+         |SELECT vec_id, cluster FROM a
          |ORDER BY vec_id""".stripMargin
   }
 
@@ -198,7 +258,26 @@ object SimilarityCatalog extends Catalog {
        |  JOIN pn cv ON cv.vec_id = cand.nn_id)""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = kmeansOracle.toMap ++ Map(
+  def oracleSql: Map[String, String] =
+    kmeansOracle.toMap ++ purityOracle.toMap ++ Map(
+    // covariance: same exact integer cross-moments (DuckDB sums in HUGEINT,
+    // Spark in DECIMAL(38,0) — both exact), same double derivation order
+    "embedding_covariance" ->
+      s"""WITH $prepSql,
+         |ex AS (SELECT vec_id, unnest(q) AS x,
+         |    CAST(unnest(range(0, len(q))) AS INTEGER) AS dim FROM p),
+         |m AS (
+         |  SELECT a.dim AS i, b.dim AS j, count(*) AS n_vecs,
+         |    CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS DOUBLE) AS sxy
+         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+         |  GROUP BY a.dim, b.dim),
+         |ds AS (SELECT dim, CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS s
+         |  FROM ex GROUP BY dim)
+         |SELECT m.i, m.j, m.n_vecs,
+         |  (m.sxy / m.n_vecs - (si.s / m.n_vecs) * (sj.s / m.n_vecs))
+         |    / (${Similarity.QScale}.0 * ${Similarity.QScale}.0) AS cov
+         |FROM m JOIN ds si ON si.dim = m.i JOIN ds sj ON sj.dim = m.j
+         |ORDER BY m.i, m.j""".stripMargin,
     "srp_ann_topk" ->
       s"""WITH $prepSql,
          |$srpOracle

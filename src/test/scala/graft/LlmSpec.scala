@@ -339,6 +339,47 @@ class LlmSpec extends SparkSpec {
     assert(survivors.map(_.getLong(0)).sorted.toSeq === direct.toSeq)
   }
 
+  test("labelPurity reports exact plurality shares with lower-label ties") {
+    // cluster 0: labels 1,1,2 → top 1 (2/3); cluster 1: 3,4 tie → lower
+    // label 3 wins (1/2)
+    val assigned = Seq((0L, 0), (1L, 0), (2L, 0), (3L, 1), (4L, 1))
+      .toDF("vec_id", "cluster")
+    val labels = Seq((0L, 1), (1L, 1), (2L, 2), (3L, 4), (4L, 3))
+      .toDF("vec_id", "label")
+    val rows = Similarity.labelPurity(assigned, labels, "vec_id", "label")
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq === Seq(
+      (0, 3L, 2L, 1, 2L, 2.0 / 3.0),
+      (1, 2L, 2L, 3, 1L, 0.5)))
+  }
+
+  test("covariance matches the hand-computed moments on a tiny matrix") {
+    // 2-dim vectors (1,2),(3,4),(5,12): exact population covariance
+    // cov(0,0)=8/3·… computed from the same quantized integers
+    val df = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)), (2L, Seq(5.0f, 12.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.covariance(df, "vec_id", "embedding")
+      .orderBy("i", "j").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2).toInt -> r.getDouble(3)))
+      .toMap
+    val s = Similarity.QScale.toDouble
+    def q(x: Double) = math.floor(x * s)
+    val xs = Seq(q(1), q(3), q(5)); val ys = Seq(q(2), q(4), q(12))
+    def cov(a: Seq[Double], b: Seq[Double]) = {
+      val n = 3.0
+      (a.zip(b).map { case (x, y) => x * y }.sum / n -
+        (a.sum / n) * (b.sum / n)) / (s * s)
+    }
+    def close(a: Double, b: Double) = math.abs(a - b) <= 1e-9
+    assert(close(got((0, 0))._2, cov(xs, xs)))
+    assert(close(got((0, 1))._2, cov(xs, ys)))
+    assert(close(got((1, 1))._2, cov(ys, ys)))
+    assert(got.keySet === Set((0, 0), (0, 1), (1, 1)), "upper triangle only")
+    assert(got((0, 1))._1 === 3, "n_vecs carried per pair")
+  }
+
   test("hamming distance of simhashes is small for near-dups") {
     val pair = Dedup.nearDupPairs(Tables(spark, sf).documents, "doc_id", "text", 0.9)
       .limit(1).collect().headOption

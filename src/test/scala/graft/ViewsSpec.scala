@@ -61,8 +61,9 @@ class ViewsSpec extends SparkSpec {
 
   test("every query has an oracle except the declared rows-only set") {
     val rowsOnly = Set(
-      "approx_stats",      // sketches are approximate by design
-      "ivf_kmeans_assign") // iterative build has no single-statement oracle
+      "approx_stats",        // sketches are approximate by design
+      "ivf_kmeans_assign",   // oracle appears only after the fit captures
+      "kmeans_label_purity") // its centroids (same capture mechanism)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing === rowsOnly,
       s"un-oracled queries beyond the declared set: ${missing -- rowsOnly}")
