@@ -19,6 +19,7 @@ object SparkEntry {
   private val catalogs: Seq[Catalog] = Seq(
     ViewsCatalog,
     graft.ops.OpsCatalog,
+    graft.ops.TpchCatalog,
     graft.ops.ServingCatalog,
     graft.ops.TemporalCatalog,
     graft.ops.CdcCatalog,
