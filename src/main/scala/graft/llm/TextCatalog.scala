@@ -112,6 +112,11 @@ object TextCatalog extends Catalog {
     "vocab_top_terms" -> ((s, d) =>
       TextOps.vocabulary(Tables(s, d).documents, "doc_id", "text", VocabK)),
 
+    // one BPE merge round's candidate table: corpus-wide adjacent-pair
+    // frequencies (argmax = the next merge)
+    "bpe_pair_counts" -> ((s, d) =>
+      TextOps.pairCounts(Tables(s, d).documents, "doc_id", "text", VocabK)),
+
     "length_percentiles" -> ((s, d) =>
       graft.ops.Relational.exactPercentiles(Tables(s, d).documents,
           Seq("lang"), "n_chars", "doc_id", Percentiles)
@@ -499,6 +504,17 @@ object TextCatalog extends Catalog {
          |  ORDER BY score_nano DESC, doc_id) <= $RetrievalK
          |ORDER BY qid, score_nano DESC, doc_id""".stripMargin
     },
+
+    // adjacent pairs via 1-based list indexing over the token array —
+    // same pair set as the engine's posexplode + lead chain
+    "bpe_pair_counts" ->
+      s"""WITH t AS ($docTokens),
+         |i AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t),
+         |p AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b FROM i)
+         |SELECT a, b, count(*) AS n_pairs,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM p GROUP BY a, b
+         |ORDER BY n_pairs DESC, a, b LIMIT $VocabK""".stripMargin,
 
     "vocab_top_terms" ->
       s"""WITH t AS ($docTokens),

@@ -369,6 +369,28 @@ object TextOps {
       .limit(k)
   }
 
+  /** Corpus-wide adjacent-token pair frequencies — the merge-candidate
+    * table of one BPE vocabulary-induction round (the argmax pair is the
+    * next merge). `(a, b, n_pairs, n_docs)`, top-k by pair count with a
+    * total-order tie-break.
+    *
+    * Shape: posexplode → lead window per doc (one exchange on the doc id,
+    * same chain as [[repetitionAgg]]) → global hash aggregate with map-side
+    * partials → TakeOrderedAndProject for the top-k. Pair volume is
+    * Σ(n_tokens−1) — linear in the corpus, never quadratic.
+    */
+  def pairCounts(df: org.apache.spark.sql.DataFrame, id: String,
+                 textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy("pos")
+    df.select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col(id)).as("n_docs"))
+      .orderBy(col("n_pairs").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Repetition quality signals (the Gopher-style "repetitive content"
     * tier): `(id, n_tokens, n_bigrams, top_bigram_frac, dup_bigram_frac,
     * max_run)` where

@@ -284,6 +284,46 @@ object OpsCatalog extends Catalog {
         .orderBy("user_id", "purchase_idx")
     }),
 
+    // per-user ML feature projection: event index, previous event type,
+    // seconds since the previous event (lag), and a 3-row moving average
+    // of value (bounded ROWS frame) — ONE window chain per user, one
+    // exchange on user_id; the moving sum accumulates exact-decimal so
+    // every frame average is partitioning-invariant
+    "user_event_features" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val f = w.rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, d).events
+        .select(col("user_id"), col("event_id"),
+          Relational.tsStr(col("ts")).as("ts"),
+          col("event_type"), col("value"),
+          row_number().over(w).cast("long").as("event_idx"),
+          coalesce(lag(col("event_type"), 1).over(w), lit("NONE")).as("prev_type"),
+          (col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w))
+            .as("secs_since_prev"),
+          round(sum(Relational.moneyDec(col("value"))).over(f).cast("double") /
+            count(lit(1)).over(f), 4).as("avg_value_3"))
+        .orderBy("user_id", "event_idx")
+    }),
+
+    // period-over-period growth: hourly totals + lag percent change. The
+    // unpartitioned lag window runs over the ALREADY-AGGREGATED hourly
+    // frame (rows bounded by the time range, not the corpus), and both
+    // operands of the one double division are exact decimals
+    "hourly_growth" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      val prev = lag(col("total_dec"), 1).over(w)
+      Relational.timeBucketAgg(Tables(s, d).events, col("ts"), "hour",
+          Seq(sum(Relational.moneyDec(col("value"))).as("total_dec")))
+        .select(Relational.tsStr(col("bucket")).as("bucket"),
+          col("total_dec").cast("double").as("total_value"),
+          prev.cast("double").as("prev_value"),
+          when(prev.isNotNull && prev =!= 0,
+            round((col("total_dec") - prev).cast("double") /
+              prev.cast("double") * 100, 4)).as("pct_change"))
+        .orderBy("bucket")
+    }),
+
     // ntile quartiles per event type (ordered by value with an id
     // tie-break so the bucketing is total-order deterministic), rolled up
     // to per-quartile count/bounds/total
@@ -663,6 +703,38 @@ object OpsCatalog extends Catalog {
          |  ${moneySumSql("value")} AS total_value
          |FROM e GROUP BY CUBE(event_type, hr)
          |ORDER BY gid, event_type, hr""".stripMargin,
+
+    "user_event_features" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  event_type, value,
+        |  row_number() OVER w AS event_idx,
+        |  coalesce(lag(event_type) OVER w, 'NONE') AS prev_type,
+        |  date_diff('second', lag(ts) OVER w, ts) AS secs_since_prev,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+        |    / count(*) OVER f, 4) AS avg_value_3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  f AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_idx""".stripMargin,
+
+    "hourly_growth" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS bucket,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS total_dec
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  CAST(total_dec AS DOUBLE) AS total_value,
+        |  CAST(lag(total_dec) OVER w AS DOUBLE) AS prev_value,
+        |  CASE WHEN lag(total_dec) OVER w IS NOT NULL
+        |        AND lag(total_dec) OVER w <> 0
+        |       THEN round(CAST(total_dec - lag(total_dec) OVER w AS DOUBLE)
+        |         / CAST(lag(total_dec) OVER w AS DOUBLE) * 100, 4) END
+        |    AS pct_change
+        |FROM h
+        |WINDOW w AS (ORDER BY bucket)
+        |ORDER BY bucket""".stripMargin,
 
     "user_running_spend" ->
       """SELECT user_id, event_id,

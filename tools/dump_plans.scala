@@ -19,7 +19,11 @@ val picks = Seq(
   "scd2_history" -> "Change-detection lag and validity lead share ONE exchange on the key: both windows declare the same partitioning.",
   "bm25_retrieval" -> "Query terms broadcast into the postings (term hash join); the 1-row corpus stats are the intended nested-loop; nano-quantized DECIMAL sums then WindowGroupLimit top-k.",
   "table_profile" -> "Every per-column statistic is a column of ONE aggregate - one scan regardless of how many columns are profiled; explode melts the single row.",
-  "value_regression" -> "Five DECIMAL moment sums in one hash aggregate; r/slope/intercept are scalar projections over the group row.")
+  "value_regression" -> "Five DECIMAL moment sums in one hash aggregate; r/slope/intercept are scalar projections over the group row.",
+  "tpch_q2" -> "Correlated scalar-min as a min-window over the aggregated ps stand-in: lineitem scanned ONCE; the window reuses the aggregate's partitioning; dims broadcast.",
+  "tpch_q21" -> "EXISTS/NOT-EXISTS pair collapsed into one per-order aggregate (distinct suppliers vs distinct problem suppliers); lineitem scanned once, not three times.",
+  "user_event_features" -> "lag/lead/moving-frame features share ONE window exchange on user_id; the 3-row moving average accumulates exact decimal.",
+  "bpe_pair_counts" -> "posexplode -> lead window per doc -> global pair aggregate with map-side partials -> TakeOrderedAndProject top-k.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
