@@ -117,6 +117,12 @@ object TextCatalog extends Catalog {
     "bpe_pair_counts" -> ((s, d) =>
       TextOps.pairCounts(Tables(s, d).documents, "doc_id", "text", VocabK)),
 
+    // ...and the merge APPLIED: greedy left-to-right accounting of the
+    // argmax pair per doc (overlap-exact in the a=b run case)
+    "bpe_merge_round" -> ((s, d) =>
+      TextOps.mergeRound(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id")),
+
     "length_percentiles" -> ((s, d) =>
       graft.ops.Relational.exactPercentiles(Tables(s, d).documents,
           Seq("lang"), "n_chars", "doc_id", Percentiles)
@@ -515,6 +521,39 @@ object TextCatalog extends Catalog {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM p GROUP BY a, b
          |ORDER BY n_pairs DESC, a, b LIMIT $VocabK""".stripMargin,
+
+    // same argmax pair; candidates per doc for a<>b, floor(run/2) summed
+    // over gaps-and-islands runs of `a` for the self-overlapping a=b case
+    "bpe_merge_round" ->
+      s"""WITH t AS ($docTokens),
+         |i AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t),
+         |pr AS (SELECT doc_id, w[i] AS a, w[i + 1] AS b FROM i),
+         |top AS (SELECT a, b FROM pr GROUP BY a, b
+         |  ORDER BY count(*) DESC, a, b LIMIT 1),
+         |tv AS (SELECT doc_id, pos, w[pos] AS tok
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM t)),
+         |r AS (SELECT doc_id, tok,
+         |    pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+         |  FROM tv),
+         |runs AS (SELECT doc_id, count(*) AS cnt FROM r
+         |  WHERE tok = (SELECT a FROM top) GROUP BY doc_id, grp),
+         |runm AS (SELECT doc_id,
+         |    CAST(sum(CAST(floor(cnt / 2.0) AS BIGINT)) AS BIGINT) AS run_merges
+         |  FROM runs GROUP BY doc_id),
+         |cand AS (SELECT pr.doc_id, count(*) AS n_cand
+         |  FROM pr JOIN top USING (a, b) GROUP BY pr.doc_id),
+         |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t),
+         |res AS (
+         |  SELECT n.doc_id, top.a, top.b, n.n_tokens,
+         |    CAST(CASE WHEN top.a = top.b THEN coalesce(runm.run_merges, 0)
+         |              ELSE coalesce(cand.n_cand, 0) END AS BIGINT) AS n_merges
+         |  FROM n CROSS JOIN top
+         |  LEFT JOIN runm USING (doc_id)
+         |  LEFT JOIN cand USING (doc_id))
+         |SELECT doc_id, a, b, n_tokens, n_merges,
+         |  n_tokens - n_merges AS n_tokens_after
+         |FROM res WHERE n_merges > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "vocab_top_terms" ->
       s"""WITH t AS ($docTokens),

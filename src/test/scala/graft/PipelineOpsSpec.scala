@@ -15,6 +15,35 @@ class PipelineOpsSpec extends SparkSpec {
   private lazy val docs = Tables(spark, sf).documents
   private lazy val emb = Tables(spark, sf).embeddings
 
+  // -- BPE merge round ------------------------------------------------------
+
+  test("mergeRound merges every non-overlapping candidate (a != b)") {
+    // argmax pair is (a,b) ×3; doc 1 has 2 disjoint merges, doc 2 has 1,
+    // doc 3 has none and is filtered out
+    val df = Seq((1L, "a b c a b"), (2L, "x a b y"), (3L, "c c q"))
+      .toDF("doc_id", "text")
+    val rows = TextOps.mergeRound(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq === Seq(
+      (1L, "a", "b", 5L, 2L, 3L),
+      (2L, "a", "b", 4L, 1L, 3L)))
+  }
+
+  test("mergeRound is greedy-exact on self-overlapping runs (a == b)") {
+    // argmax pair is (z,z) ×5; greedy left-to-right merges floor(L/2) per
+    // run: L=4 → 2, L=3 → 1 (NOT the 3 and 2 overlapping candidates)
+    val df = Seq((1L, "z z z z q"), (2L, "z z z"), (3L, "q")).toDF("doc_id", "text")
+    val rows = TextOps.mergeRound(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq === Seq(
+      (1L, "z", "z", 5L, 2L, 3L),
+      (2L, "z", "z", 3L, 1L, 2L)))
+  }
+
   // -- repetitionAgg --------------------------------------------------------
 
   test("repetitionAgg scores a hand-built repetitive vs clean doc") {

@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
         "bm25_top_terms",   // broadcast of the 1-row (n_docs, total_dl) stats
         "bm25_retrieval",   // same 1-row stats broadcast as bm25_top_terms
         "corpus_mixture",   // broadcast of the 1-row total-tokens aggregate
-        "tpch_q22")         // broadcast of the 1-row avg-balance aggregate
+        "tpch_q22",         // broadcast of the 1-row avg-balance aggregate
+        "bpe_merge_round")  // broadcast of the 1-row argmax-pair frame
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }
