@@ -211,6 +211,19 @@ object OpsCatalog extends Catalog {
             sum(col("ps")).cast("double").as("total_value")))
         .orderBy("event_type")),
 
+    // skew-safe salted JOIN in the gate: fact spread over 16 sub-keys,
+    // dim replicated — the oracle is the PLAIN join (salting must be
+    // invisible to results, exactly like salted_segment_counts)
+    "salted_user_join" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.saltedJoin(t.events, t.customer, "user_id", "c_custkey",
+          col("event_id"), 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          Relational.moneySum(col("value")).as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // the canonical star-schema rollup: fact joins the LARGE dim on its
     // key (shuffle join at scale — AQE is free to broadcast at test SF, the
     // code does not pin it) and the tiny dims broadcast explicitly; revenue
@@ -655,6 +668,12 @@ object OpsCatalog extends Catalog {
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type ASC""".stripMargin,
+
+    // the oracle is the DIRECT join: salting must be invisible
+    "salted_user_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n, ${moneySumSql("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the oracle is the DIRECT aggregate: salting must be invisible
     "salted_segment_counts" ->

@@ -135,6 +135,25 @@ object Relational {
     partial.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
   }
 
+  /** Skew-safe equi-join, the join-side complement of [[saltedAgg]]: the
+    * fact side's rows spread over `saltBuckets` sub-keys (deterministic
+    * hash of `spreadBy`, a high-cardinality disambiguator) and the
+    * dimension side replicates once per bucket, so a hot join key lands on
+    * `saltBuckets` reducers instead of one. Results ≡ the plain inner
+    * join under any partitioning — salting must be invisible, which is
+    * what the oracle asserts. Use when a shuffled join's key histogram is
+    * too skewed for AQE's split threshold (replication factor is the
+    * price: dim side × saltBuckets).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, spreadBy: Column, saltBuckets: Int): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(hash(spreadBy), lit(saltBuckets)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
+      .drop("__salt")
+  }
+
   /** Sketch-based distinct count (HyperLogLog++): the 100 TB substitute for
     * exact countDistinct — fixed-size state, partial-aggregated map-side,
     * no distinct shuffle. `rsd` is the target relative standard deviation.

@@ -48,4 +48,25 @@ class SkewSpec extends SparkSpec {
         s"expected a skew-split AQEShuffleRead in:\n${plan.take(4000)}")
     }
   }
+
+  test("saltedJoin equals the plain join on a pathologically hot key") {
+    // 5000 of 5060 fact rows share ONE key; results must be identical to
+    // the plain join, and the hot key's rows must actually spread over
+    // multiple salt buckets (the whole point)
+    val fact = ((0 until 5000).map(i => (1L, i.toLong)) ++
+      (0 until 60).map(i => (2L + i % 3, 10000L + i))).toDF("k", "row_id")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"), (9L, "unmatched"))
+      .toDF("dk", "label")
+    val salted = graft.ops.Relational
+      .saltedJoin(fact, dim, "k", "dk", col("row_id"), 8)
+      .select("k", "row_id", "dk", "label")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "row_id", "dk", "label")
+    assert(salted.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      plain.collect().sortBy(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val spread = fact.filter(col("k") === 1L)
+      .select(pmod(hash(col("row_id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread > 4, s"hot key spread over only $spread of 8 salt buckets")
+  }
 }
