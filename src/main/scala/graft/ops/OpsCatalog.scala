@@ -211,6 +211,40 @@ object OpsCatalog extends Catalog {
             sum(col("ps")).cast("double").as("total_value")))
         .orderBy("event_type")),
 
+    // trailing 7-day distinct users per day via CALENDAR REPLICATION:
+    // each event contributes to the 7 window-days it falls in (bounded
+    // explode, cost ×7 — linear in the corpus), then ONE (day, user)
+    // distinct aggregate. The scalable substitute for a sliding
+    // count-distinct window, which is not decomposable into partials
+    "rolling_active_users" -> ((s, d) =>
+      Tables(s, d).events
+        .select(to_date(col("ts")).as("event_day"), col("user_id"))
+        .select(explode(sequence(col("event_day"),
+            date_add(col("event_day"), 6))).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_active"))
+        .orderBy("day")),
+
+    // new-vs-returning daily split: per-user first-activity day (one
+    // aggregate at user cardinality) joined back onto the distinct
+    // (day, user) activity set — both shuffles are at entity/day
+    // granularity, never the raw event volume
+    "new_vs_returning" -> ((s, d) => {
+      val t = Tables(s, d)
+      val daily = t.events
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val first = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      daily.join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(Relational.countIf(col("day") === col("first_day")).as("new_users"),
+          Relational.countIf(col("day") =!= col("first_day")).as("returning_users"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("returning_users"))
+        .orderBy("day")
+    }),
+
     // skew-safe salted JOIN in the gate: fact spread over 16 sub-keys,
     // dim replicated — the oracle is the PLAIN join (salting must be
     // invisible to results, exactly like salted_segment_counts)
@@ -668,6 +702,23 @@ object OpsCatalog extends Catalog {
       """SELECT event_type, count(*) AS n
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type ASC""".stripMargin,
+
+    "rolling_active_users" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS event_day, user_id FROM events),
+        |x AS (SELECT event_day, user_id, unnest(range(0, 7)) AS i FROM e)
+        |SELECT strftime(event_day + CAST(i AS INTEGER), '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "new_vs_returning" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM daily GROUP BY user_id)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE day = first_day) AS new_users,
+        |  count(*) FILTER (WHERE day <> first_day) AS returning_users
+        |FROM daily JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     // the oracle is the DIRECT join: salting must be invisible
     "salted_user_join" ->
