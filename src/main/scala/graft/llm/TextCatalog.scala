@@ -123,6 +123,23 @@ object TextCatalog extends Catalog {
       TextOps.mergeRound(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
 
+    // tokenizer sizing metric: what share of all token OCCURRENCES the
+    // top-k vocabulary covers (and the OOV remainder) — the vocab frame
+    // (k rows) broadcasts into one narrow pass over the exploded corpus
+    "vocab_coverage" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      val vocab = TextOps.vocabulary(docs, "doc_id", "text", VocabK)
+        .select(col("term"), lit(true).as("in_vocab"))
+      docs.select(explode(TextOps.tokens(col("text"))).as("term"))
+        .join(broadcast(vocab), Seq("term"), "left")
+        .agg(count(lit(1)).as("n_tokens"),
+          graft.ops.Relational.countIf(col("in_vocab").isNotNull).as("n_covered"))
+        .select(col("n_tokens"), col("n_covered"),
+          (col("n_covered").cast("double") / col("n_tokens")).as("coverage"),
+          (lit(1.0) - col("n_covered").cast("double") / col("n_tokens"))
+            .as("oov_rate"))
+    }),
+
     "length_percentiles" -> ((s, d) =>
       graft.ops.Relational.exactPercentiles(Tables(s, d).documents,
           Seq("lang"), "n_chars", "doc_id", Percentiles)
@@ -521,6 +538,22 @@ object TextCatalog extends Catalog {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM p GROUP BY a, b
          |ORDER BY n_pairs DESC, a, b LIMIT $VocabK""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH t AS ($docTokens),
+         |tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |pd AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS tf,
+         |        CAST(count(*) AS BIGINT) AS df
+         |      FROM pd GROUP BY term
+         |      ORDER BY CAST(sum(tf) AS BIGINT) DESC, term LIMIT $VocabK)
+         |SELECT count(*) AS n_tokens,
+         |  count(*) FILTER (WHERE term IN (SELECT term FROM v)) AS n_covered,
+         |  CAST(count(*) FILTER (WHERE term IN (SELECT term FROM v)) AS DOUBLE)
+         |    / count(*) AS coverage,
+         |  1.0 - CAST(count(*) FILTER (WHERE term IN (SELECT term FROM v)) AS DOUBLE)
+         |    / count(*) AS oov_rate
+         |FROM tok""".stripMargin,
 
     // same argmax pair; candidates per doc for a<>b, floor(run/2) summed
     // over gaps-and-islands runs of `a` for the self-overlapping a=b case

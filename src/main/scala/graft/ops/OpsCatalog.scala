@@ -226,6 +226,23 @@ object OpsCatalog extends Catalog {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_active"))
         .orderBy("day")),
 
+    // stickiness (7-day ÷ 30-day rolling actives) in ONE pass: the same
+    // calendar replication at the larger window, with the smaller window's
+    // distinct count carved out by a conditional countDistinct — no second
+    // scan, no join between the two window sizes
+    "user_stickiness" -> ((s, d) =>
+      Tables(s, d).events
+        .select(to_date(col("ts")).as("event_day"), col("user_id"))
+        .select(col("event_day"), col("user_id"),
+          explode(sequence(lit(0), lit(29))).as("i"))
+        .groupBy(date_format(date_add(col("event_day"), col("i")), "yyyy-MM-dd")
+          .as("day"))
+        .agg(countDistinct(when(col("i") < 7, col("user_id"))).as("wau"),
+          countDistinct(col("user_id")).as("mau"))
+        .select(col("day"), col("wau"), col("mau"),
+          (col("wau").cast("double") / col("mau")).as("stickiness"))
+        .orderBy("day")),
+
     // new-vs-returning daily split: per-user first-activity day (one
     // aggregate at user cardinality) joined back onto the distinct
     // (day, user) activity set — both shuffles are at entity/day
@@ -708,6 +725,16 @@ object OpsCatalog extends Catalog {
         |x AS (SELECT event_day, user_id, unnest(range(0, 7)) AS i FROM e)
         |SELECT strftime(event_day + CAST(i AS INTEGER), '%Y-%m-%d') AS day,
         |  count(DISTINCT user_id) AS n_active
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "user_stickiness" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS event_day, user_id FROM events),
+        |x AS (SELECT event_day, user_id, unnest(range(0, 30)) AS i FROM e)
+        |SELECT strftime(event_day + CAST(i AS INTEGER), '%Y-%m-%d') AS day,
+        |  count(DISTINCT CASE WHEN i < 7 THEN user_id END) AS wau,
+        |  count(DISTINCT user_id) AS mau,
+        |  CAST(count(DISTINCT CASE WHEN i < 7 THEN user_id END) AS DOUBLE)
+        |    / count(DISTINCT user_id) AS stickiness
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "new_vs_returning" ->

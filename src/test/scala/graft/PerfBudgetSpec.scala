@@ -4,8 +4,11 @@ package graft
   * exchange snapshot for costs a plan shape can't show (an O(n²) explode, a
   * driver loop, a fixture rebuilt per call). Every registered query runs at
   * the test SF after a full warmup pass and must stay within 3× its
-  * committed budget (with a 2 s floor absorbing JIT/GC jitter) — so a
-  * 15 s-class regression fails a test instead of waiting for a bench round.
+  * committed budget, with a 5 s floor — budgets regenerate on an otherwise
+  * idle JVM, but the guard also runs inside the full suite where GC and
+  * sibling-suite load add seconds of jitter to sub-second queries; the
+  * floor absorbs that while still failing the 10 s-class regressions this
+  * guard exists to catch (the round-3 incident was 15 s).
   *
   * Deliberate changes: GRAFT_REGEN_BUDGETS=1 sbt "testOnly graft.PerfBudgetSpec"
   * and commit the regenerated file.
@@ -41,8 +44,8 @@ class PerfBudgetSpec extends SparkSpec {
       val over = actual.toSeq.sortBy(_._1).flatMap { case (n, a) =>
         budgets.get(n) match {
           case None => Some(s"$n: no budget row (new query) — regenerate")
-          case Some(b) if a > math.max(3.0 * b, 2.0) =>
-            Some(f"$n: $a%.2f s vs budget $b%.2f s (limit ${math.max(3.0 * b, 2.0)}%.2f s) — investigate or regenerate")
+          case Some(b) if a > math.max(3.0 * b, 5.0) =>
+            Some(f"$n: $a%.2f s vs budget $b%.2f s (limit ${math.max(3.0 * b, 5.0)}%.2f s) — investigate or regenerate")
           case _ => None
         }
       } ++ (budgets.keySet -- names).toSeq.sorted
