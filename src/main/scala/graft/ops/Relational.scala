@@ -129,6 +129,8 @@ object Relational {
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], spreadBy: Column, saltBuckets: Int,
                 partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column — rename it before saltedAgg")
     val salted = df.withColumn("__salt", pmod(hash(spreadBy), lit(saltBuckets)))
     val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head, partials.tail: _*)
@@ -147,6 +149,8 @@ object Relational {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, spreadBy: Column, saltBuckets: Int): DataFrame = {
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already has a __salt column — rename it before saltedJoin")
     val f = fact.withColumn("__salt", pmod(hash(spreadBy), lit(saltBuckets)))
     val d = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))

@@ -69,4 +69,16 @@ class SkewSpec extends SparkSpec {
       .distinct().count()
     assert(spread > 4, s"hot key spread over only $spread of 8 salt buckets")
   }
+
+  test("salted ops refuse inputs that already carry the reserved __salt column") {
+    val tainted = Seq((1L, 0)).toDF("k", "__salt")
+    val clean = Seq((1L, "x")).toDF("dk", "label")
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.saltedJoin(tainted, clean, "k", "dk", col("k"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Relational.saltedAgg(tainted, Seq("k"), col("k"), 4,
+        Seq(count(lit(1)).as("pc")), Seq(sum(col("pc")).as("n")))
+    }
+  }
 }
