@@ -44,7 +44,30 @@ object Multimodal {
       MediaFeatures(a.asset_id, a.modality, n, md5hex,
         width = n % 640 + 1, height = n % 480 + 1, est_frames = n % 8 + 1)
     }
+
+    /** Stub resize: keep the byte prefix proportional to the pixel ratio
+      * (target ÷ fake-decoded dims), clamped to [1, n] — output size tracks
+      * target resolution the way a real rescale's would, deterministically.
+      * The double math runs in one declared order (n · t / wh) so the
+      * column path and the oracle floor the same value.
+      */
+    def resize(a: MediaAsset, tw: Long, th: Long): ResizedAsset = {
+      val f = decode(a)
+      val n0 = math.floor(f.n_bytes.toDouble * (tw * th).toDouble /
+        (f.width * f.height).toDouble).toLong
+      val newN = math.min(f.n_bytes, math.max(1L, n0))
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(a.payload.take(newN.toInt)).map("%02x".format(_)).mkString
+      ResizedAsset(a.asset_id, a.modality, f.width, f.height, tw, th,
+        f.n_bytes, newN, md5hex)
+    }
   }
+
+  /** Resized-asset record crossing the typed boundary. */
+  case class ResizedAsset(asset_id: Long, modality: String,
+                          width: Long, height: Long,
+                          new_width: Long, new_height: Long,
+                          n_bytes: Long, new_n_bytes: Long, resized_md5: String)
 
   /** Synthesize a multimodal asset table from `documents` (the container
     * has no media testdata): payload = utf-8 bytes of the text, modality
@@ -71,6 +94,38 @@ object Multimodal {
   def featuresBatch(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map(FakeCodec.decode))
+  }
+
+  /** Resize as column expressions (mirrors [[FakeCodec.resize]]): the
+    * prefix slice runs as a binary substring in codegen, no boundary
+    * crossing. Byte-prefix md5 equals the oracle's char-prefix md5 because
+    * the synthetic payloads are ASCII (same declared equivalence the
+    * content_md5 oracle already uses).
+    */
+  def resizeSql(assets: DataFrame, tw: Long, th: Long): DataFrame = {
+    val n = length(col("payload")).cast("long")
+    val w = n % 640 + 1
+    val h = n % 480 + 1
+    assets
+      .select(col("asset_id"), col("modality"), col("payload"),
+        w.as("width"), h.as("height"), n.as("n_bytes"))
+      .withColumn("new_n_bytes",
+        least(col("n_bytes"), greatest(lit(1L),
+          floor(col("n_bytes").cast("double") * lit((tw * th).toDouble) /
+            (col("width") * col("height")).cast("double")).cast("long"))))
+      .select(col("asset_id"), col("modality"), col("width"), col("height"),
+        lit(tw).as("new_width"), lit(th).as("new_height"),
+        col("n_bytes"), col("new_n_bytes"),
+        md5(expr("substring(payload, 1, CAST(new_n_bytes AS INT))"))
+          .as("resized_md5"))
+  }
+
+  /** Resize across the typed batch boundary (real pipelines put the codec
+    * call here; the plumbing is identical).
+    */
+  def resizeBatch(assets: Dataset[MediaAsset], tw: Long, th: Long): Dataset[ResizedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(FakeCodec.resize(_, tw, th)))
   }
 
   /** Uniform frame/sample offsets per asset: est_frames offsets at integer

@@ -25,6 +25,22 @@ class MultimodalSpec extends SparkSpec {
     assert(viaSql === viaBatch)
   }
 
+  test("resize: typed boundary equals the column path, and sizes track the pixel ratio") {
+    val cols = Seq("asset_id", "modality", "width", "height", "new_width",
+      "new_height", "n_bytes", "new_n_bytes", "resized_md5")
+    val viaSql = Multimodal.resizeSql(assets, 96, 96)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val viaBatch = Multimodal.resizeBatch(assets.as[MediaAsset], 96, 96).toDF()
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(viaSql === viaBatch)
+    viaSql.foreach { r =>
+      val (w, h, n, newN) = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+        r(6).asInstanceOf[Long], r(7).asInstanceOf[Long])
+      assert(newN >= 1 && newN <= n)
+      assert(newN <= math.max(1L, math.ceil(n.toDouble * 9216.0 / (w * h)).toLong))
+    }
+  }
+
   test("binary payloads survive a parquet round-trip") {
     val dir = Files.createTempDirectory("graft-mm").toString
     assets.write.mode("overwrite").parquet(dir)
