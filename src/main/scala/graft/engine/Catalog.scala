@@ -25,4 +25,14 @@ object Catalog {
 
   def moneyAvgSql(c: String): String =
     s"round(${moneySumSql(c)} / count(*), 4)"
+
+  /** The TPC-H revenue term `price · (1 − discount)` in small-precision
+    * decimals ((12,2)×(4,2)→(17,4): no precision loss on either engine, so
+    * sums are exact rationals and final DOUBLE casts agree bit-for-bit).
+    * ONE definition shared by every catalog — mirror of
+    * [[graft.ops.Relational.revenueDec]]; changing either side desyncs the
+    * oracle contract, so they live next to the other money helpers.
+    */
+  val revenueSql: String =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
@@ -36,30 +36,39 @@ object Multimodal {
     * pipeline would replace this object with JNI/codec calls — the Spark
     * plumbing does not change.
     */
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   object FakeCodec {
+    /** The stub's fake decoded dimensions, from the payload size — ONE
+      * definition for the JVM paths (the column paths mirror it via
+      * [[widthCol]]/[[heightCol]]).
+      */
+    def dims(nBytes: Long): (Long, Long) = (nBytes % 640 + 1, nBytes % 480 + 1)
+
     def decode(a: MediaAsset): MediaFeatures = {
       val n = a.payload.length.toLong
-      val md5hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(a.payload).map("%02x".format(_)).mkString
-      MediaFeatures(a.asset_id, a.modality, n, md5hex,
-        width = n % 640 + 1, height = n % 480 + 1, est_frames = n % 8 + 1)
+      val (w, h) = dims(n)
+      MediaFeatures(a.asset_id, a.modality, n, md5Hex(a.payload),
+        width = w, height = h, est_frames = n % 8 + 1)
     }
 
     /** Stub resize: keep the byte prefix proportional to the pixel ratio
-      * (target ÷ fake-decoded dims), clamped to [1, n] — output size tracks
-      * target resolution the way a real rescale's would, deterministically.
-      * The double math runs in one declared order (n · t / wh) so the
-      * column path and the oracle floor the same value.
+      * (target ÷ fake-decoded dims), clamped into [min(1, n), n] — output
+      * size tracks target resolution the way a real rescale's would, and an
+      * empty payload stays empty. The double math runs in one declared
+      * order (n · t / wh) so the column path and the oracle floor the same
+      * value. Only the dims are derived here — no full-payload hash on the
+      * resize path.
       */
     def resize(a: MediaAsset, tw: Long, th: Long): ResizedAsset = {
-      val f = decode(a)
-      val n0 = math.floor(f.n_bytes.toDouble * (tw * th).toDouble /
-        (f.width * f.height).toDouble).toLong
-      val newN = math.min(f.n_bytes, math.max(1L, n0))
-      val md5hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(a.payload.take(newN.toInt)).map("%02x".format(_)).mkString
-      ResizedAsset(a.asset_id, a.modality, f.width, f.height, tw, th,
-        f.n_bytes, newN, md5hex)
+      val n = a.payload.length.toLong
+      val (w, h) = dims(n)
+      val n0 = math.floor(n.toDouble * (tw * th).toDouble / (w * h).toDouble).toLong
+      val newN = math.min(n, math.max(1L, n0))
+      ResizedAsset(a.asset_id, a.modality, w, h, tw, th,
+        n, newN, md5Hex(a.payload.take(newN.toInt)))
     }
   }
 
@@ -80,15 +89,21 @@ object Multimodal {
         (col("doc_id") % 3 + 1).cast("int")).as("modality"),
       encode(col("text"), "utf-8").as("payload"))
 
+  /** Column mirrors of [[FakeCodec.dims]]. */
+  private def widthCol(n: Column): Column = (n % 640 + 1).cast("long")
+  private def heightCol(n: Column): Column = (n % 480 + 1).cast("long")
+
   /** Feature extraction as column expressions (mirrors [[FakeCodec]]). */
-  def featuresSql(assets: DataFrame): DataFrame =
+  def featuresSql(assets: DataFrame): DataFrame = {
+    val n = length(col("payload"))
     assets.select(
       col("asset_id"), col("modality"),
-      length(col("payload")).cast("long").as("n_bytes"),
+      n.cast("long").as("n_bytes"),
       md5(col("payload")).as("content_md5"),
-      (length(col("payload")) % 640 + 1).cast("long").as("width"),
-      (length(col("payload")) % 480 + 1).cast("long").as("height"),
-      (length(col("payload")) % 8 + 1).cast("long").as("est_frames"))
+      widthCol(n).as("width"),
+      heightCol(n).as("height"),
+      (n % 8 + 1).cast("long").as("est_frames"))
+  }
 
   /** Feature extraction across the typed batch-decode boundary. */
   def featuresBatch(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
@@ -104,11 +119,9 @@ object Multimodal {
     */
   def resizeSql(assets: DataFrame, tw: Long, th: Long): DataFrame = {
     val n = length(col("payload")).cast("long")
-    val w = n % 640 + 1
-    val h = n % 480 + 1
     assets
       .select(col("asset_id"), col("modality"), col("payload"),
-        w.as("width"), h.as("height"), n.as("n_bytes"))
+        widthCol(n).as("width"), heightCol(n).as("height"), n.as("n_bytes"))
       .withColumn("new_n_bytes",
         least(col("n_bytes"), greatest(lit(1L),
           floor(col("n_bytes").cast("double") * lit((tw * th).toDouble) /

@@ -17,19 +17,12 @@ object OpsCatalog extends Catalog {
 
   import org.apache.spark.sql.Column
 
-  /** Exact revenue term `price · (1 − discount)` in small-precision
-    * decimals (12,2)×(4,2) → (17,4): no precision loss on either engine,
-    * so sums are exact rationals and the final DOUBLE casts agree
-    * bit-for-bit. `charge` extends it with `· (1 + tax)` → scale 6.
-    */
-  private def oneMinus(c: Column): Column =
-    lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") - c.cast("decimal(4,2)")
-  private def onePlus(c: Column): Column =
-    lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") + c.cast("decimal(4,2)")
+  // the shared exact revenue term (Relational.revenueDec ↔
+  // Catalog.revenueSql); `charge` extends it with `· (1 + tax)` → scale 6
+  private def onePlus(c: Column): Column = Relational.onePlusDec(c)
   private def revDec(price: Column, discount: Column): Column =
-    price.cast("decimal(12,2)") * oneMinus(discount)
-  private val revSql =
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    Relational.revenueDec(price, discount)
+  private val revSql = Catalog.revenueSql
 
   private def moneyAvg(c: Column): Column =
     round(sum(Relational.moneyDec(c)).cast("double") / count(lit(1)), 4)

@@ -324,6 +324,19 @@ object Relational {
   /** Deterministic average of a money column (see moneySum). */
   def moneyAvg(c: Column): Column = round(moneySum(c) / count(lit(1)), 4)
 
+  /** `1 ± x` as exact DECIMAL(4,2) factors (discount/tax multipliers). */
+  def oneMinusDec(c: Column): Column =
+    lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") - c.cast("decimal(4,2)")
+  def onePlusDec(c: Column): Column =
+    lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") + c.cast("decimal(4,2)")
+
+  /** The TPC-H revenue term `price · (1 − discount)`, exact decimal
+    * ((12,2)×(4,2)→(17,4)) — Column mirror of
+    * [[graft.engine.Catalog.revenueSql]].
+    */
+  def revenueDec(price: Column, discount: Column): Column =
+    price.cast("decimal(12,2)") * oneMinusDec(discount)
+
   /** Timestamps leave the engine as formatted strings at the oracle
     * boundary: Spark writes tz-adjusted parquet timestamps while DuckDB
     * yields naive ones — strings sidestep the dtype mismatch.

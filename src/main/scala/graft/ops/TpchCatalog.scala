@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Tables}
-import graft.engine.Catalog.moneySumSql
+import graft.engine.Catalog.{moneySumSql, revenueSql}
 
 /** The remaining 14 TPC-H query shapes (Q1/Q3/Q5/Q6/Q10/Q13/Q14/Q18 live in
   * [[OpsCatalog]]), completing the classic 22-query OLAP surface over the
@@ -32,12 +32,11 @@ import graft.engine.Catalog.moneySumSql
   */
 object TpchCatalog extends Catalog {
 
-  private def oneMinus(c: Column): Column =
-    lit(java.math.BigDecimal.ONE).cast("decimal(4,2)") - c.cast("decimal(4,2)")
+  // one shared definition of the revenue term on both sides of the
+  // contract (Relational.revenueDec ↔ Catalog.revenueSql)
   private def revDec(price: Column, discount: Column): Column =
-    price.cast("decimal(12,2)") * oneMinus(discount)
-  private val revSql =
-    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    Relational.revenueDec(price, discount)
+  private val revSql = revenueSql
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q2 minimum-cost supplier: the correlated scalar-min subquery as a
@@ -48,7 +47,15 @@ object TpchCatalog extends Catalog {
     "tpch_q2" -> ((s, d) => {
       val t = Tables(s, d)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
-      val ps = t.lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+      val wantedParts = t.part
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+      // the part filter is per-part, so semi-joining it in FRONT of the
+      // heavy (partkey, suppkey) aggregate prunes the lineitem shuffle to
+      // the wanted parts without changing any min or window result
+      val ps = t.lineitem
+        .join(wantedParts.select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(min(col("l_extendedprice").cast("decimal(12,2)")).as("supplycost"))
       val eur = ps
         .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
@@ -58,8 +65,7 @@ object TpchCatalog extends Catalog {
       eur
         .withColumn("min_cost", min(col("supplycost")).over(w))
         .filter(col("supplycost") === col("min_cost"))
-        .join(t.part.filter(col("p_size").between(10, 20) && col("p_type") === "LARGE"),
-          col("l_partkey") === col("p_partkey"))
+        .join(wantedParts, col("l_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"),
           col("supplycost").cast("double").as("supplycost"))
@@ -83,15 +89,19 @@ object TpchCatalog extends Catalog {
     }),
 
     // Q7 volume shipping between two nations, both directions: the big
-    // lineitem⋈orders⋈customer⋈supplier chain shuffles on its keys, both
-    // nation dims broadcast, and the pair predicate prunes early (it sits
-    // on the two broadcast joins, not after the fact)
+    // lineitem⋈orders⋈customer⋈supplier chain shuffles on its keys. Each
+    // nation dim is pre-filtered to the two wanted nations, so the inner
+    // broadcast joins THEMSELVES discard every irrelevant row early; the
+    // residual disjunction only rules out the two same-nation pairings
     "tpch_q7" -> ((s, d) => {
       val t = Tables(s, d)
-      val sn = t.nation.select(col("n_nationkey").as("sn_key"),
-        col("n_name").as("supp_nation"))
-      val cn = t.nation.select(col("n_nationkey").as("cn_key"),
-        col("n_name").as("cust_nation"))
+      val pair = Seq("NATION_1", "NATION_2")
+      val sn = t.nation.filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))
+      val cn = t.nation.filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))
       t.lineitem
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -297,7 +307,7 @@ object TpchCatalog extends Catalog {
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
         .filter(col("qty") > 40)
-        .select(col("l_suppkey")).distinct()
+        .select(col("l_suppkey")) // no distinct: the semi join below dedups
       t.supplier
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
@@ -311,7 +321,9 @@ object TpchCatalog extends Catalog {
     // collapses into ONE per-order aggregate (distinct suppliers vs
     // distinct problem suppliers), keeping multi-supplier orders whose
     // problem set is exactly one supplier — lineitem is scanned once
-    // instead of three times
+    // instead of three times. The count groups by s_name AFTER the
+    // supplier join (the oracle's grouping), so same-named suppliers can
+    // never make the two engines disagree
     "tpch_q21" -> ((s, d) => {
       val t = Tables(s, d)
       val perOrder = t.lineitem
@@ -326,10 +338,9 @@ object TpchCatalog extends Catalog {
             .as("problem_supp"))
         .filter(col("n_supp") > 1 && col("n_problem") === 1)
       perOrder
-        .groupBy(col("problem_supp"))
-        .agg(count(lit(1)).as("numwait"))
         .join(t.supplier, col("problem_supp") === col("s_suppkey"))
-        .select(col("s_name"), col("numwait"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(100)
     }),

@@ -36,7 +36,7 @@ class MultimodalSpec extends SparkSpec {
     viaSql.foreach { r =>
       val (w, h, n, newN) = (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
         r(6).asInstanceOf[Long], r(7).asInstanceOf[Long])
-      assert(newN >= 1 && newN <= n)
+      assert(newN >= math.min(1L, n) && newN <= n, "clamped into [min(1,n), n]")
       assert(newN <= math.max(1L, math.ceil(n.toDouble * 9216.0 / (w * h)).toLong))
     }
   }
