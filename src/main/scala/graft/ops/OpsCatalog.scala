@@ -481,6 +481,17 @@ object OpsCatalog extends Catalog {
           Seq("l_returnflag"), "qty", "cents")
         .orderBy("l_returnflag")),
 
+    // statistical testing tier: chi-square independence of event type vs
+    // market segment (counts exact, per-cell terms nano-quantized before
+    // the sum so the statistic is partitioning-invariant)
+    "segment_type_chi2" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.chiSquare(
+        t.events.join(t.customer, col("user_id") === col("c_custkey"))
+          .select(col("event_type"), col("c_mktsegment")),
+        "event_type", "c_mktsegment")
+    }),
+
     // governance tier: one-pass per-column profile of the orders table
     "table_profile" -> ((s, d) =>
       Profile.profile(Tables(s, d).orders,
@@ -543,6 +554,44 @@ object OpsCatalog extends Catalog {
         |              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx)
         |    / n AS intercept
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "segment_type_chi2" ->
+      """WITH j AS (
+        |  SELECT event_type, c_mktsegment
+        |  FROM events JOIN customer ON user_id = c_custkey),
+        |cells AS (SELECT event_type, c_mktsegment, count(*) AS n
+        |  FROM j GROUP BY event_type, c_mktsegment),
+        |la AS (SELECT DISTINCT event_type FROM j),
+        |lb AS (SELECT DISTINCT c_mktsegment FROM j),
+        |grid AS (
+        |  SELECT la.event_type, lb.c_mktsegment, coalesce(cells.n, 0) AS n
+        |  FROM la CROSS JOIN lb
+        |  LEFT JOIN cells USING (event_type, c_mktsegment)),
+        |ra AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ra FROM grid GROUP BY event_type),
+        |cb AS (SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS cb FROM grid GROUP BY c_mktsegment),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot,
+        |  count(DISTINCT event_type) AS na, count(DISTINCT c_mktsegment) AS nb
+        |  FROM grid),
+        |terms AS (
+        |  SELECT grid.n, ra.ra, cb.cb, tot.tot, tot.na, tot.nb,
+        |    CAST(floor(
+        |      (CAST(grid.n AS DOUBLE) - CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+        |      * (CAST(grid.n AS DOUBLE) - CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+        |      / (CAST(ra.ra AS DOUBLE) * CAST(cb.cb AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+        |      * 1e9) AS BIGINT) AS term_nano
+        |  FROM grid
+        |  JOIN ra USING (event_type) JOIN cb USING (c_mktsegment)
+        |  CROSS JOIN tot),
+        |agg AS (
+        |  SELECT max(tot) AS n, count(*) AS n_cells,
+        |    CAST(max(na) AS BIGINT) AS n_levels_a, CAST(max(nb) AS BIGINT) AS n_levels_b,
+        |    CAST(max((na - 1) * (nb - 1)) AS BIGINT) AS dof,
+        |    CAST(sum(term_nano) AS DOUBLE) / 1e9 AS chi2
+        |  FROM terms)
+        |SELECT n, n_cells, n_levels_a, n_levels_b, dof, chi2,
+        |  sqrt(chi2 / (CAST(n AS DOUBLE)
+        |    * CAST(least(n_levels_a - 1, n_levels_b - 1) AS DOUBLE))) AS cramers_v
+        |FROM agg""".stripMargin,
 
     "table_profile" -> {
       def num(c: String) =

@@ -278,6 +278,46 @@ object Relational {
       .drop("__n", "__sx", "__sxx")
   }
 
+  /** Chi-square test of independence over two categorical columns,
+    * engine-exact: observed counts come from one hash aggregate; the full
+    * level grid (including observed-zero cells, which still contribute to
+    * the statistic) is the broadcast cross of the two tiny level sets;
+    * expected counts and each cell's (o−e)²/e term are IEEE doubles in a
+    * declared order, then every term is floor-quantized to nanos and
+    * summed EXACTLY as longs — the sum is partitioning-invariant, unlike a
+    * raw double sum over the cells. Output: one row with n, cell/level
+    * counts, dof, chi2, and Cramér's V.
+    */
+  def chiSquare(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("n"))
+    val la = df.select(col(a)).distinct()
+    val lb = df.select(col(b)).distinct()
+    val grid = la.join(broadcast(lb)) // tiny level-set cross, by design
+      .join(cells, Seq(a, b), "left")
+      .select(col(a), col(b), coalesce(col("n"), lit(0L)).as("n"))
+    val ra = grid.groupBy(col(a)).agg(sum(col("n")).as("ra"))
+    val cb = grid.groupBy(col(b)).agg(sum(col("n")).as("cb"))
+    val tot = grid.agg(sum(col("n")).as("tot"),
+      countDistinct(col(a)).as("na"), countDistinct(col(b)).as("nb"))
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("tot").cast("double")
+    val term = (col("n").cast("double") - col("e")) *
+      (col("n").cast("double") - col("e")) / col("e")
+    grid
+      .join(broadcast(ra), Seq(a)).join(broadcast(cb), Seq(b))
+      .join(broadcast(tot))
+      .withColumn("e", e)
+      .withColumn("term_nano", floor(term * 1e9).cast("long"))
+      .agg(max(col("tot")).as("n"),
+        count(lit(1)).as("n_cells"),
+        max(col("na")).as("n_levels_a"), max(col("nb")).as("n_levels_b"),
+        max((col("na") - 1) * (col("nb") - 1)).as("dof"),
+        (sum(col("term_nano")).cast("double") / 1e9).as("chi2"))
+      .withColumn("cramers_v",
+        sqrt(col("chi2") / (col("n").cast("double") *
+          least(col("n_levels_a") - 1, col("n_levels_b") - 1).cast("double"))))
+  }
+
   /** Per-group Pearson correlation and least-squares fit over two
     * INTEGER-quantized columns, engine-exact: the five moment sums
     * accumulate as DECIMAL(38,0) (exact in any partitioning); the final

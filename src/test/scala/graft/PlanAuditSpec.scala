@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
         "bm25_retrieval",   // same 1-row stats broadcast as bm25_top_terms
         "corpus_mixture",   // broadcast of the 1-row total-tokens aggregate
         "tpch_q22",         // broadcast of the 1-row avg-balance aggregate
-        "bpe_merge_round")  // broadcast of the 1-row argmax-pair frame
+        "bpe_merge_round",  // broadcast of the 1-row argmax-pair frame
+        "segment_type_chi2") // level-grid cross + 1-row totals broadcast
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }

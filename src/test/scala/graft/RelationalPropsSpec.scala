@@ -65,6 +65,25 @@ class RelationalPropsSpec extends SparkSpec {
     h.foreach(r => assert(r.getDouble(2) === r.getLong(0) * 5000.0))
   }
 
+  test("chiSquare matches the hand-computed statistic, zero cells included") {
+    import graft.ops.Relational
+    // balanced 2x2 with e=15 everywhere: chi2 = 4 * 25/15 = 20/3, dof 1
+    val rows = Seq.fill(10)(("A", "X")) ++ Seq.fill(20)(("A", "Y")) ++
+      Seq.fill(20)(("B", "X")) ++ Seq.fill(10)(("B", "Y"))
+    val r = Relational.chiSquare(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getAs[Long]("n") === 60 && r.getAs[Long]("n_cells") === 4)
+    assert(r.getAs[Long]("dof") === 1)
+    assert(math.abs(r.getAs[Double]("chi2") - 20.0 / 3) < 1e-7)
+    assert(math.abs(r.getAs[Double]("cramers_v") - math.sqrt(20.0 / 3 / 60)) < 1e-7)
+    // perfect association with two OBSERVED-ZERO cells: they must still
+    // contribute (chi2 = n, V = 1)
+    val diag = (Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("B", "Y"))).toDF("a", "b")
+    val d = Relational.chiSquare(diag, "a", "b").collect().head
+    assert(d.getAs[Long]("n_cells") === 4, "zero cells in the grid")
+    assert(math.abs(d.getAs[Double]("chi2") - 20.0) < 1e-6)
+    assert(math.abs(d.getAs[Double]("cramers_v") - 1.0) < 1e-7)
+  }
+
   test("countIf equals filter().count") {
     val df = graft.engine.Tables(spark, sf).events
     val a = df.agg(Relational.countIf(col("value") > 100)).head.getLong(0)
