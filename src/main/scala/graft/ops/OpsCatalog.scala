@@ -492,6 +492,14 @@ object OpsCatalog extends Catalog {
         "event_type", "c_mktsegment")
     }),
 
+    // statistical testing tier: Welch's t-test of order value (cents)
+    // between VIP (user_id % 10 = 0) and non-VIP users
+    "vip_amount_ttest" -> ((s, d) =>
+      Relational.welchTTest(
+        Tables(s, d).events.withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")),
+        col("user_id") % 10 === 0, col("cents"))),
+
     // governance tier: one-pass per-column profile of the orders table
     "table_profile" -> ((s, d) =>
       Profile.profile(Tables(s, d).orders,
@@ -592,6 +600,31 @@ object OpsCatalog extends Catalog {
         |  sqrt(chi2 / (CAST(n AS DOUBLE)
         |    * CAST(least(n_levels_a - 1, n_levels_b - 1) AS DOUBLE))) AS cramers_v
         |FROM agg""".stripMargin,
+
+    "vip_amount_ttest" ->
+      """WITH v AS (
+        |  SELECT (user_id % 10 = 0) AS f,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT
+        |  count(CASE WHEN f THEN 1 END) AS n_a,
+        |  count(CASE WHEN NOT f THEN 1 END) AS n_b,
+        |  CAST(sum(CASE WHEN f THEN CAST(cents AS DECIMAL(38,0)) END) AS DOUBLE) AS sxa,
+        |  CAST(sum(CASE WHEN f THEN CAST(cents * cents AS DECIMAL(38,0)) END) AS DOUBLE) AS sxxa,
+        |  CAST(sum(CASE WHEN NOT f THEN CAST(cents AS DECIMAL(38,0)) END) AS DOUBLE) AS sxb,
+        |  CAST(sum(CASE WHEN NOT f THEN CAST(cents * cents AS DECIMAL(38,0)) END) AS DOUBLE) AS sxxb
+        |  FROM v),
+        |s AS (SELECT n_a, n_b,
+        |  sxa / n_a AS mean_a, sxb / n_b AS mean_b,
+        |  (sxxa - sxa * sxa / n_a) / (n_a - 1) AS var_a,
+        |  (sxxb - sxb * sxb / n_b) / (n_b - 1) AS var_b
+        |  FROM m)
+        |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+        |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+        |  (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+        |    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+        |     + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS dof
+        |FROM s""".stripMargin,
 
     "table_profile" -> {
       def num(c: String) =

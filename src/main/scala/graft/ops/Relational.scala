@@ -318,6 +318,44 @@ object Relational {
           least(col("n_levels_a") - 1, col("n_levels_b") - 1).cast("double"))))
   }
 
+  /** Welch's unequal-variance t-test between the two halves of a boolean
+    * split, engine-exact: per-side counts and first/second moments of the
+    * INTEGER-quantized value accumulate in ONE conditional hash aggregate
+    * as DECIMAL(38,0) (exact in any partitioning); the means, unbiased
+    * variances, t statistic, and Welch–Satterthwaite degrees of freedom
+    * are IEEE doubles derived from those exact scalars in a declared
+    * operation order, so the result is bit-reproducible. Degenerate
+    * inputs (a side with < 2 rows, zero pooled standard error) get
+    * t = 0 / dof = 0 rather than NaN. Cost: ONE aggregate, no join.
+    * The caller quantizes (e.g. cents); per-row squares must fit a long.
+    */
+  def welchTTest(df: DataFrame, flag: Column, x: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def mom(p: Column, s: String) = Seq(
+      count(when(p, lit(1))).as(s"n_$s"),
+      sum(when(p, dec(x))).cast("double").as(s"__sx_$s"),
+      sum(when(p, dec(x * x))).cast("double").as(s"__sxx_$s"))
+    val m = mom(flag, "a") ++ mom(!flag, "b")
+    def mean(s: String) = col(s"__sx_$s") / col(s"n_$s")
+    def variance(s: String) =
+      (col(s"__sxx_$s") - col(s"__sx_$s") * col(s"__sx_$s") / col(s"n_$s")) /
+        (col(s"n_$s") - 1)
+    val va = col("var_a") / col("n_a")
+    val vb = col("var_b") / col("n_b")
+    val se2 = va + vb
+    val degenerate = col("n_a") < 2 || col("n_b") < 2
+    df.agg(m.head, m.tail: _*)
+      .withColumn("mean_a", mean("a")).withColumn("mean_b", mean("b"))
+      .withColumn("var_a", when(col("n_a") < 2, 0.0).otherwise(variance("a")))
+      .withColumn("var_b", when(col("n_b") < 2, 0.0).otherwise(variance("b")))
+      .withColumn("t_stat", when(degenerate || se2 <= 0, 0.0)
+        .otherwise((col("mean_a") - col("mean_b")) / sqrt(se2)))
+      .withColumn("dof", when(degenerate || se2 <= 0, 0.0)
+        .otherwise(se2 * se2 /
+          (va * va / (col("n_a") - 1) + vb * vb / (col("n_b") - 1))))
+      .drop("__sx_a", "__sxx_a", "__sx_b", "__sxx_b")
+  }
+
   /** Per-group Pearson correlation and least-squares fit over two
     * INTEGER-quantized columns, engine-exact: the five moment sums
     * accumulate as DECIMAL(38,0) (exact in any partitioning); the final

@@ -59,6 +59,12 @@ object ServingCatalog extends Catalog {
       Sessions.cohortRetention(Tables(s, d).events, unit = "day")
         .orderBy("cohort", "offset")),
 
+    // first-order Markov transition matrix between consecutive event
+    // types in each user's event order, with per-source probabilities
+    "event_transitions" -> ((s, d) =>
+      Sessions.transitions(Tables(s, d).events)
+        .orderBy("prev_type", "event_type")),
+
     // write-time layout → read-time pruning, inside the gate: partition the
     // events table by type, read back through a partition filter (scans
     // only the matching directory), verify the rows against the flat oracle.
@@ -197,6 +203,18 @@ object ServingCatalog extends Catalog {
          |  ${Catalog.moneySumSql("value")} AS session_value
          |FROM s GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type,
+        |         event_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type, count(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
 
     // same gaps-and-islands sessionization as user_sessions, then the
     // ordered funnel: a click counts only after a view in-session, a

@@ -113,4 +113,24 @@ object Sessions {
         col("offset"), col("n_active"), col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size")).as("retention"))
   }
+
+  /** Per-user event-type transition matrix (first-order Markov estimate):
+    * every consecutive (prev → next) event-type pair in each user's
+    * (ts, event_id) event order, counted globally, with the conditional
+    * transition probability out of each source type. One shuffle (hash on
+    * `user_id`) feeds the lag window; the aggregate and the per-source
+    * normalizing window both run over the ~|types|² pair space — bounded
+    * by the type vocabulary, not the corpus. The probability divides two
+    * exact longs, so it is bit-reproducible.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+    pairs.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double")
+        / sum(col("n")).over(Window.partitionBy("prev_type")).cast("double"))
+  }
 }

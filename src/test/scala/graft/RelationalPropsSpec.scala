@@ -84,6 +84,27 @@ class RelationalPropsSpec extends SparkSpec {
     assert(math.abs(d.getAs[Double]("cramers_v") - 1.0) < 1e-7)
   }
 
+  test("welchTTest matches the hand-computed statistic") {
+    import graft.ops.Relational
+    // a = {1,2,3,4,5} (mean 3, var 2.5), b = {2,4,6,8} (mean 5, var 20/3)
+    val rows = Seq(1L, 2L, 3L, 4L, 5L).map((true, _)) ++
+      Seq(2L, 4L, 6L, 8L).map((false, _))
+    val r = Relational.welchTTest(rows.toDF("f", "x"), col("f"), col("x"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 5 && r.getAs[Long]("n_b") === 4)
+    assert(math.abs(r.getAs[Double]("mean_a") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var_b") - 20.0 / 3) < 1e-12)
+    val se2 = 2.5 / 5 + 20.0 / 3 / 4
+    assert(math.abs(r.getAs[Double]("t_stat") - (3.0 - 5.0) / math.sqrt(se2)) < 1e-12)
+    val dof = se2 * se2 / (math.pow(2.5 / 5, 2) / 4 + math.pow(20.0 / 3 / 4, 2) / 3)
+    assert(math.abs(r.getAs[Double]("dof") - dof) < 1e-9)
+    // a degenerate side (n=1) must yield t = 0 / dof = 0, not NaN
+    val d = Relational.welchTTest(
+      Seq((true, 7L), (false, 1L), (false, 2L)).toDF("f", "x"),
+      col("f"), col("x")).collect().head
+    assert(d.getAs[Double]("t_stat") === 0.0 && d.getAs[Double]("dof") === 0.0)
+  }
+
   test("countIf equals filter().count") {
     val df = graft.engine.Tables(spark, sf).events
     val a = df.agg(Relational.countIf(col("value") > 100)).head.getLong(0)

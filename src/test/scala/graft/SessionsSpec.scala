@@ -60,6 +60,24 @@ class SessionsSpec extends SparkSpec {
       "within-session order is (ts, event_id), not strict ts")
   }
 
+  test("transitions counts consecutive pairs per user with row probabilities") {
+    val out = Sessions.transitions(events)
+      .select("prev_type", "event_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSet
+    // user 1: view→click, click→purchase, purchase→click, click→view
+    // user 2: (single event, no pair)
+    // user 3: view→click, click→purchase
+    assert(out === Set(
+      ("view", "click", 2L, 1.0),
+      ("click", "purchase", 2L, 2.0 / 3),
+      ("click", "view", 1L, 1.0 / 3),
+      ("purchase", "click", 1L, 1.0)))
+    // probabilities out of each source type sum to 1
+    val sums = Sessions.transitions(events).groupBy("prev_type")
+      .agg(sum("p")).as[(String, Double)].collect()
+    sums.foreach { case (t, s) => assert(math.abs(s - 1.0) < 1e-12, t) }
+  }
+
   test("gaps-and-islands sessions agree with session_window on real data") {
     val ev = Tables(spark, sf).events
     val funnelTotal = Sessions.sessionFunnel(ev)
