@@ -500,6 +500,25 @@ object OpsCatalog extends Catalog {
           (col("value").cast("decimal(18,2)") * 100).cast("long")),
         col("user_id") % 10 === 0, col("cents"))),
 
+    // statistical testing tier: revenue concentration across users
+    // (Gini over per-user spend totals, distinct-value tie blocks)
+    "spend_gini" -> ((s, d) =>
+      Relational.giniIndex(
+        Tables(s, d).events.withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")),
+        "user_id", col("cents"))),
+
+    // statistical testing tier: Spearman rank correlation between order
+    // price and the customer's account balance (doubled average-tie ranks)
+    "spearman_price_balance" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.spearman(
+        t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+          .select(round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents")),
+        "price_cents", "bal_cents")
+    }),
+
     // governance tier: one-pass per-column profile of the orders table
     "table_profile" -> ((s, d) =>
       Profile.profile(Tables(s, d).orders,
@@ -625,6 +644,49 @@ object OpsCatalog extends Catalog {
         |    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
         |     + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS dof
         |FROM s""".stripMargin,
+
+    "spend_gini" ->
+      """WITH spend AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT s, count(*) AS cnt FROM spend GROUP BY s),
+        |r AS (SELECT s, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_less
+        |  FROM b),
+        |a AS (SELECT
+        |    CAST(sum(cnt) AS BIGINT) AS n,
+        |    sum(CAST(s AS DECIMAL(38,0)) * cnt) AS sx,
+        |    sum(CAST(s AS DECIMAL(18,0)) *
+        |        CAST(cnt * cnt_less + cnt * (cnt + 1) // 2 AS DECIMAL(20,0))) AS swx
+        |  FROM r)
+        |SELECT n, CAST(sx AS BIGINT) AS total,
+        |  2.0 * CAST(swx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
+
+    "spearman_price_balance" ->
+      """WITH j AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |rk AS (SELECT
+        |    2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS rx,
+        |    2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS ry
+        |  FROM j),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM rk)
+        |SELECT n,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN 0.0
+        |       ELSE (n * sxy - sx * sy) /
+        |            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS spearman_rho
+        |FROM m""".stripMargin,
 
     "table_profile" -> {
       def num(c: String) =

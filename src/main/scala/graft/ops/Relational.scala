@@ -356,6 +356,63 @@ object Relational {
       .drop("__sx_a", "__sxx_a", "__sx_b", "__sxx_b")
   }
 
+  /** Gini concentration index over per-key totals of an INTEGER-quantized
+    * value (e.g. how concentrated revenue is across users), engine-exact
+    * and transcendental-free: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the
+    * ascending spend order. The rank sum is computed WITHOUT a full-row
+    * global sort: per-key totals collapse into distinct-value tie blocks
+    * (cnt, running cnt_less), so the one unkeyed window runs over the
+    * distinct-VALUE frame — bounded by the value domain, not the key
+    * count — and each block contributes its arithmetic-series rank sum
+    * exactly in longs (block math fits long for n < ~2e9 keys). The two
+    * grand totals accumulate as DECIMAL(38,0); the final division is a
+    * declared-order IEEE expression, so the index is bit-reproducible.
+    */
+  def giniIndex(df: DataFrame, key: String, x: Column): DataFrame = {
+    val spend = df.groupBy(col(key))
+      .agg(sum(x.cast("decimal(38,0)")).cast("long").as("s"))
+    val blocks = spend.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+    val below = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rankSum = (col("cnt") * col("cnt_less") +
+      expr("cnt * (cnt + 1) div 2")).cast("decimal(20,0)")
+    val a = blocks
+      .withColumn("cnt_less", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("s").cast("decimal(38,0)") * col("cnt")).as("__sx"),
+        sum(col("s").cast("decimal(18,0)") * rankSum).as("__swx"))
+    a.select(col("n"), col("__sx").cast("long").as("total"),
+        (lit(2.0) * col("__swx").cast("double") /
+          (col("n").cast("double") * col("__sx").cast("double")) -
+          (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
+          .as("gini"))
+  }
+
+  /** Spearman rank correlation between two INTEGER-quantized columns,
+    * engine-exact and transcendental-free: each column's average-tie rank
+    * is carried DOUBLED (2·avgrank = 2·cnt_less + cnt + 1 — an exact
+    * integer even on ties), computed from distinct-value tie blocks so the
+    * unkeyed running-count window is value-domain-bounded, never
+    * row-bounded; Pearson on the doubled ranks (scale-invariant, so it IS
+    * Spearman's ρ) reuses [[regressionByGroup]]'s exact DECIMAL moments.
+    * Cost: two tiny block frames joined back (hash joins on the value),
+    * one aggregate. Output: one row `(n, spearman_rho)`.
+    */
+  def spearman(df: DataFrame, x: String, y: String): DataFrame = {
+    def doubledRanks(c: String) = {
+      val blocks = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val below = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      blocks
+        .withColumn("cnt_less", coalesce(sum(col("cnt")).over(below), lit(0L)))
+        .select(col(c), (col("cnt_less") * 2 + col("cnt") + 1).as(s"__r2_$c"))
+    }
+    val ranked = df.select(col(x), col(y))
+      .join(doubledRanks(x), Seq(x)).join(doubledRanks(y), Seq(y))
+    regressionByGroup(ranked, Seq.empty, s"__r2_$x", s"__r2_$y")
+      .select(col("n"), col("r").as("spearman_rho"))
+  }
+
   /** Per-group Pearson correlation and least-squares fit over two
     * INTEGER-quantized columns, engine-exact: the five moment sums
     * accumulate as DECIMAL(38,0) (exact in any partitioning); the final

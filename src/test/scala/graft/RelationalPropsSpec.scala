@@ -105,6 +105,37 @@ class RelationalPropsSpec extends SparkSpec {
     assert(d.getAs[Double]("t_stat") === 0.0 && d.getAs[Double]("dof") === 0.0)
   }
 
+  test("giniIndex matches hand-computed concentration, ties exact") {
+    import graft.ops.Relational
+    // x = {1,2,3,4}: G = 2*30/(4*10) - 5/4 = 0.25
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("k", "v")
+    val r = Relational.giniIndex(df, "k", col("v")).collect().head
+    assert(r.getAs[Long]("n") === 4 && r.getAs[Long]("total") === 10)
+    assert(math.abs(r.getAs[Double]("gini") - 0.25) < 1e-12)
+    // perfectly equal totals (ties collapse into one block) → G = 0
+    val eq = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("k", "v")
+    val g0 = Relational.giniIndex(eq, "k", col("v")).collect().head
+    assert(g0.getAs[Double]("gini") === 0.0)
+    // multi-row keys aggregate before ranking: {1:1+2, 2:3} = {3,3} → G = 0
+    val agg = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("k", "v")
+    assert(Relational.giniIndex(agg, "k", col("v"))
+      .collect().head.getAs[Double]("gini") === 0.0)
+  }
+
+  test("spearman is ±1 on monotone data and handles ties") {
+    import graft.ops.Relational
+    val up = Seq((1L, 10L), (2L, 40L), (3L, 90L)).toDF("x", "y")
+    assert(math.abs(Relational.spearman(up, "x", "y")
+      .collect().head.getAs[Double]("spearman_rho") - 1.0) < 1e-12)
+    val down = Seq((1L, 90L), (2L, 40L), (3L, 10L)).toDF("x", "y")
+    assert(math.abs(Relational.spearman(down, "x", "y")
+      .collect().head.getAs[Double]("spearman_rho") + 1.0) < 1e-12)
+    // tie in x: avg ranks (1.5, 1.5, 3) vs (1, 2, 3) → rho = sqrt(3)/2
+    val tied = Seq((5L, 10L), (5L, 20L), (9L, 30L)).toDF("x", "y")
+    assert(math.abs(Relational.spearman(tied, "x", "y")
+      .collect().head.getAs[Double]("spearman_rho") - math.sqrt(3.0) / 2) < 1e-12)
+  }
+
   test("countIf equals filter().count") {
     val df = graft.engine.Tables(spark, sf).events
     val a = df.agg(Relational.countIf(col("value") > 100)).head.getLong(0)
