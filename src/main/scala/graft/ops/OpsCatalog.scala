@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Tables}
@@ -26,6 +27,16 @@ object OpsCatalog extends Catalog {
 
   private def moneyAvg(c: Column): Column =
     round(sum(Relational.moneyDec(c)).cast("double") / count(lit(1)), 4)
+
+  // Benford first-digit probabilities log10(1 + 1/d), d = 1..9, embedded as
+  // 17-significant-digit literals (the shortest round-trip form of the
+  // double) and mirrored verbatim in the oracle SQL — both engines parse
+  // the same decimal string to the same IEEE double, so no transcendental
+  // function is evaluated on either side
+  private val benfordP: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the TPC-H pricing summary (Q1): one scan, one hash aggregate; every
@@ -500,6 +511,90 @@ object OpsCatalog extends Catalog {
           (col("value").cast("decimal(18,2)") * 100).cast("long")),
         col("user_id") % 10 === 0, col("cents"))),
 
+    // statistical testing tier: Mann–Whitney U rank-sum of order value
+    // (cents) between VIP and non-VIP users — the nonparametric complement
+    // to vip_amount_ttest; doubled tie-block ranks, DECIMAL-exact
+    "vip_amount_mannwhitney" -> ((s, d) =>
+      Relational.mannWhitney(
+        Tables(s, d).events.withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")),
+        col("user_id") % 10 === 0, col("cents"))),
+
+    // statistical testing tier: two-sample Kolmogorov–Smirnov distance
+    // between the VIP and non-VIP order-value distributions (the ECDF-gap
+    // numerator max is exact long arithmetic; one division at the end)
+    "vip_amount_ks" -> ((s, d) =>
+      Relational.ksTest(
+        Tables(s, d).events.withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long")),
+        col("user_id") % 10 === 0, col("cents"))),
+
+    // affinity tier: market-basket support/confidence/lift over the brands
+    // co-purchased within an order — the self-join is basket-keyed, so the
+    // candidate volume is bounded by basket width, never all-pairs
+    "brand_affinity" -> ((s, d) => {
+      val t = Tables(s, d)
+      Relational.basketAffinity(
+        t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        col("l_orderkey"), col("p_brand"))
+        .filter(col("n_pair") >= 20)
+        .orderBy("item_a", "item_b")
+    }),
+
+    // entity-resolution tier: fuzzy near-match of customer names, blocked
+    // by nation (bounded blocks, never all-pairs); exact integer edit
+    // distance — catches id-transposition-style near-duplicates
+    "fuzzy_customer_pairs" -> ((s, d) =>
+      Relational.fuzzyJoinBlocked(Tables(s, d).customer,
+        col("c_nationkey"), col("c_custkey"), col("c_name"), 1)
+        .orderBy("id_a", "id_b")),
+
+    // retrieval tier: reciprocal-rank fusion of two user rankings — total
+    // spend (exact cents) and event count — k=60, each side
+    // TakeOrdered-bounded to 100 before ranking, top 50 fused
+    "user_rrf_fusion" -> ((s, d) => {
+      val ev = Tables(s, d).events
+      val spend = ev.groupBy("user_id").agg(
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("score"))
+      val clicks = ev.groupBy("user_id").agg(count(lit(1)).as("score"))
+      Relational.rrfFuse(spend, clicks, "user_id", 60, 100, 50)
+    }),
+
+    // temporal tier: lag-1 autocorrelation of the hourly event counts —
+    // the lead window is bounded by the hour domain, and the Pearson
+    // moments ride the exact DECIMAL regression machinery
+    "hourly_autocorr" -> ((s, d) => {
+      val hourly = Relational.timeBucketAgg(Tables(s, d).events, col("ts"),
+        "hour", Seq(count(lit(1)).as("x")))
+      val lagged = hourly
+        .withColumn("y", lead(col("x"), 1).over(Window.orderBy(col("bucket"))))
+        .filter(col("y").isNotNull)
+        .withColumn("g", lit(1))
+      Relational.regressionByGroup(lagged, Seq("g"), "x", "y")
+        .select(col("n"), col("r").as("autocorr_lag1"),
+          col("slope"), col("intercept"))
+    }),
+
+    // audit tier: Benford first-significant-digit profile of order values —
+    // exact cent counts; the expected frequencies are declared 17-digit
+    // constants on BOTH sides, so no transcendental is ever evaluated
+    "benford_first_digit" -> ((s, d) => {
+      val digits = Tables(s, d).events.filter(col("value") > 0)
+        .select(substring(((col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = digits.agg(count(lit(1)).as("n_total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("freq",
+          col("n").cast("double") / col("n_total").cast("double"))
+        .withColumn("expected_freq",
+          element_at(array(benfordP.map(lit(_)): _*), col("digit")))
+        .withColumn("deviation", col("freq") - col("expected_freq"))
+        .select("digit", "n", "freq", "expected_freq", "deviation")
+        .orderBy("digit")
+    }),
+
     // statistical testing tier: revenue concentration across users
     // (Gini over per-user spend totals, distinct-value tie blocks)
     "spend_gini" -> ((s, d) =>
@@ -644,6 +739,157 @@ object OpsCatalog extends Catalog {
         |    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
         |     + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS dof
         |FROM s""".stripMargin,
+
+    "vip_amount_mannwhitney" ->
+      """WITH v AS (
+        |  SELECT (user_id % 10 = 0) AS f,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |b AS (SELECT x, count(*) AS cnt, count(CASE WHEN f THEN 1 END) AS cnt_a
+        |  FROM v GROUP BY x),
+        |r AS (SELECT cnt, cnt_a,
+        |    coalesce(sum(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_less
+        |  FROM b),
+        |m AS (SELECT
+        |    CAST(sum(cnt_a) AS BIGINT) AS n_a,
+        |    CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(cnt_a * (cnt_less * 2 + cnt + 1)) AS BIGINT) AS s2,
+        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM r),
+        |s AS (SELECT n_a, n - n_a AS n_b, n, s2 - n_a * (n_a + 1) AS u2, ties
+        |  FROM m),
+        |z AS (SELECT n_a, n_b, n, u2,
+        |    CASE WHEN n < 2 THEN 0.0
+        |         ELSE CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |              ((CAST(n AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) /
+        |               (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS var_u
+        |  FROM s)
+        |SELECT n_a, n_b, CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+        |  CASE WHEN var_u <= 0 THEN 0.0
+        |       ELSE (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |            / (2.0 * sqrt(var_u)) END AS z_stat
+        |FROM z""".stripMargin,
+
+    "vip_amount_ks" ->
+      """WITH v AS (
+        |  SELECT (user_id % 10 = 0) AS f,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |b AS (SELECT x,
+        |    count(CASE WHEN f THEN 1 END) AS cnt_a,
+        |    count(CASE WHEN NOT f THEN 1 END) AS cnt_b
+        |  FROM v GROUP BY x),
+        |c AS (SELECT
+        |    sum(cnt_a) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(cnt_b) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    sum(cnt_a) OVER () AS n_a,
+        |    sum(cnt_b) OVER () AS n_b
+        |  FROM b)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+        |       ELSE CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE)
+        |            / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS d_stat
+        |FROM c GROUP BY n_a, n_b""".stripMargin,
+
+    "brand_affinity" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+        |ic AS (SELECT i, count(*) AS n_i FROM bi GROUP BY i),
+        |p AS (SELECT l.ia AS item_a, r.ib AS item_b, count(*) AS n_pair
+        |  FROM (SELECT b, i AS ia FROM bi) l
+        |  JOIN (SELECT b, i AS ib FROM bi) r ON l.b = r.b AND l.ia < r.ib
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_pair, a.n_i AS n_a, c.n_i AS n_b,
+        |  CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+        |  CAST(n_pair AS DOUBLE) / CAST(a.n_i AS DOUBLE) AS confidence,
+        |  CAST(n_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |    / (CAST(a.n_i AS DOUBLE) * CAST(c.n_i AS DOUBLE)) AS lift
+        |FROM p JOIN ic a ON p.item_a = a.i JOIN ic c ON p.item_b = c.i
+        |CROSS JOIN nb
+        |WHERE n_pair >= 20
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "fuzzy_customer_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS s_a, b.c_name AS s_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
+
+    "user_rrf_fusion" ->
+      """WITH spend AS (
+        |  SELECT user_id,
+        |    sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS score
+        |  FROM events GROUP BY user_id),
+        |clicks AS (SELECT user_id, count(*) AS score FROM events GROUP BY user_id),
+        |ra AS (SELECT user_id, row_number() OVER (ORDER BY score DESC, user_id) AS r
+        |  FROM (SELECT user_id, score FROM spend
+        |        ORDER BY score DESC, user_id LIMIT 100) t),
+        |rb AS (SELECT user_id, row_number() OVER (ORDER BY score DESC, user_id) AS r
+        |  FROM (SELECT user_id, score FROM clicks
+        |        ORDER BY score DESC, user_id LIMIT 100) t),
+        |u AS (SELECT user_id, CAST(1 AS DOUBLE) / CAST(60 + r AS DOUBLE) AS c FROM ra
+        |      UNION ALL
+        |      SELECT user_id, CAST(1 AS DOUBLE) / CAST(60 + r AS DOUBLE) FROM rb),
+        |f AS (SELECT user_id, count(*) AS n_lists, sum(c) AS rrf_score
+        |  FROM u GROUP BY user_id)
+        |SELECT user_id, n_lists, rrf_score FROM f
+        |ORDER BY rrf_score DESC, user_id LIMIT 50""".stripMargin,
+
+    "hourly_autocorr" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT x, lead(x) OVER (ORDER BY bucket) AS y FROM h),
+        |q AS (SELECT x, y FROM l WHERE y IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM q)
+        |SELECT n,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN 0.0
+        |       ELSE (n * sxy - sx * sy) /
+        |            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS autocorr_lag1,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        |  (sy - (CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+        |              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx)
+        |    / n AS intercept
+        |FROM m""".stripMargin,
+
+    "benford_first_digit" ->
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events WHERE value > 0),
+        |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
+        |n AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT count(*) AS n_total FROM d)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS freq,
+        |  CAST(CASE digit
+        |    WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END AS DOUBLE) AS expected_freq,
+        |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    - CAST(CASE digit
+        |    WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+        |    WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642
+        |    WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+        |    WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+        |    ELSE 0.04575749056067514 END AS DOUBLE) AS deviation
+        |FROM n CROSS JOIN t
+        |ORDER BY digit""".stripMargin,
 
     "spend_gini" ->
       """WITH spend AS (

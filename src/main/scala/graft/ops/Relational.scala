@@ -413,6 +413,170 @@ object Relational {
       .select(col("n"), col("r").as("spearman_rho"))
   }
 
+  /** Mann–Whitney U rank-sum test between the two halves of a boolean
+    * split, engine-exact through the rank arithmetic: distinct-value tie
+    * blocks carry DOUBLED average ranks (2·r̄ = 2·cnt_less + cnt + 1, an
+    * exact integer even on ties), so the doubled rank sum S₂ = Σ cntₐ·2r̄,
+    * the doubled statistic 2U = S₂ − nₐ(nₐ+1), and the tie-correction sum
+    * Σ(t³−t) all accumulate as DECIMAL — partitioning-invariant. The one
+    * unkeyed window runs over the distinct-VALUE frame (bounded by the
+    * value domain, not the row count). The normal-approximation z uses
+    * the tie-corrected variance Var U = nₐn_b/12·((n+1) − Σ(t³−t)/(n(n−1)))
+    * and is derived from the exact scalars in a declared IEEE order;
+    * a degenerate split (all values tied, or an empty side) gets z = 0.
+    * Output: one row `(n_a, n_b, u_stat, z_stat)`.
+    */
+  def mannWhitney(df: DataFrame, flag: Column, x: Column): DataFrame = {
+    val blocks = df.select(x.as("v"), flag.as("fl"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), count(when(col("fl"), lit(1))).as("cnt_a"))
+    val below = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = blocks
+      .withColumn("cnt_less", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      .agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt")).as("n"),
+        sum(dec(col("cnt_a")) * (col("cnt_less") * 2 + col("cnt") + 1)).as("__s2"),
+        sum(dec(col("cnt")) * col("cnt") * col("cnt") - col("cnt")).as("__ties"))
+      .withColumn("n_b", col("n") - col("n_a"))
+    def d(c: Column) = c.cast("double")
+    val u2 = col("__s2") - dec(col("n_a")) * (col("n_a") + 1)
+    val varU = d(col("n_a")) * d(col("n_b")) / 12.0 *
+      ((d(col("n")) + 1.0) - d(col("__ties")) / (d(col("n")) * (d(col("n")) - 1.0)))
+    m.withColumn("__u2", u2)
+      .withColumn("u_stat", d(col("__u2")) / 2.0)
+      .withColumn("__var", when(col("n") < 2, 0.0).otherwise(varU))
+      .withColumn("z_stat", when(col("__var") <= 0, 0.0)
+        .otherwise((d(col("__u2")) - d(col("n_a")) * d(col("n_b"))) /
+          (lit(2.0) * sqrt(col("__var")))))
+      .select(col("n_a"), col("n_b"), col("u_stat"), col("z_stat"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the two halves of a
+    * boolean split, transcendental-free and engine-exact up to the single
+    * final division: with per-side running counts cₐ, c_b over the
+    * distinct-value tie blocks, D = maxᵥ |cₐ(v)·n_b − c_b(v)·nₐ| / (nₐ·n_b),
+    * where the numerator max is exact long arithmetic. Side totals come
+    * from an unbounded frame of the SAME value-ordered window (no join,
+    * no extra exchange); the only unkeyed window is value-domain-bounded.
+    * Empty sides get d_stat = 0. Output: one row `(n_a, n_b, d_stat)`.
+    */
+  def ksTest(df: DataFrame, flag: Column, x: Column): DataFrame = {
+    val blocks = df.select(x.as("v"), flag.as("fl"))
+      .groupBy(col("v"))
+      .agg(count(when(col("fl"), lit(1))).as("cnt_a"),
+        count(when(!col("fl"), lit(1))).as("cnt_b"))
+    val upTo = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    blocks
+      .withColumn("ca", sum(col("cnt_a")).over(upTo))
+      .withColumn("cb", sum(col("cnt_b")).over(upTo))
+      .withColumn("n_a", sum(col("cnt_a")).over(all))
+      .withColumn("n_b", sum(col("cnt_b")).over(all))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("__dn"))
+      .withColumn("d_stat", when(col("n_a") === 0 || col("n_b") === 0, 0.0)
+        .otherwise(col("__dn").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))))
+      .select(col("n_a"), col("n_b"), col("d_stat"))
+  }
+
+  /** Market-basket pairwise affinity — support / confidence / lift over the
+    * distinct items of each basket. Never all-pairs across baskets: the
+    * self-join is keyed on the basket id, so candidate volume is
+    * Σ per-basket |items|² (bounded by basket width, not corpus size — the
+    * same blocking argument as the LSH tier). All counts are exact longs;
+    * the three ratios are single IEEE divisions in declared order
+    * (support = pairs/baskets, confidence = pairs/n_a,
+    * lift = pairs·baskets/(n_a·n_b)); the 1-row basket count rides a
+    * broadcast cross join (stays in the plan, no driver action). Output:
+    * `(item_a, item_b, n_pair, n_a, n_b, support, confidence, lift)` with
+    * item_a < item_b.
+    */
+  def basketAffinity(df: DataFrame, basket: Column, item: Column): DataFrame = {
+    // Recompute discipline (the curation_funnel lesson): a shared deduped
+    // (basket, item) frame CANNOT feed all four consumers — column pruning
+    // specializes each branch's logical plan, the canonical forms diverge,
+    // and exchange reuse stops applying, so the expensive upstream (e.g. a
+    // fact⋈dim join feeding the baskets) would run 4×. Instead:
+    //  - the two self-join sides share ONE deduped frame pinned to a
+    //    basket-keyed repartition — their subtrees canonicalize identically
+    //    (alias-only difference), so AQE materializes the stage once and
+    //    the join pays no extra exchange;
+    //  - the basket count and per-item counts aggregate the RAW input with
+    //    inline countDistinct (identical values — dedup is subsumed by the
+    //    distinct aggregate), costing one narrow single-column scan and one
+    //    two-column scan instead of two more joined-prefix recomputes.
+    val bi = df.select(basket.as("b"), item.as("i")).distinct()
+      .repartition(col("b"))
+    val nb = df.select(basket.as("b"))
+      .agg(countDistinct(col("b")).as("n_baskets"))
+    val ic = df.select(basket.as("b"), item.as("i"))
+      .groupBy(col("i")).agg(countDistinct(col("b")).as("n_i"))
+    val pairs = bi.select(col("b"), col("i").as("ia"))
+      .join(bi.select(col("b"), col("i").as("ib")), "b")
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"))
+      .agg(count(lit(1)).as("n_pair"))
+    def d(c: Column) = c.cast("double")
+    pairs
+      .join(ic.select(col("i").as("item_a"), col("n_i").as("n_a")), "item_a")
+      .join(ic.select(col("i").as("item_b"), col("n_i").as("n_b")), "item_b")
+      .crossJoin(broadcast(nb))
+      .withColumn("support", d(col("n_pair")) / d(col("n_baskets")))
+      .withColumn("confidence", d(col("n_pair")) / d(col("n_a")))
+      .withColumn("lift", d(col("n_pair")) * d(col("n_baskets")) /
+        (d(col("n_a")) * d(col("n_b"))))
+      .select("item_a", "item_b", "n_pair", "n_a", "n_b",
+        "support", "confidence", "lift")
+  }
+
+  /** Blocked fuzzy-match join (entity resolution): candidate pairs are
+    * generated only WITHIN equal blocking keys — the same bounded-blocking
+    * argument as the LSH tier, never all-pairs — ordered `id_a < id_b` for
+    * a canonical pair set, and kept when `levenshtein(s_a, s_b) <= maxDist`.
+    * Edit distance is the exact integer built-in (codegen'd), so the result
+    * is engine-exact; both join sides canonicalize to the same subplan, so
+    * the input materializes once under exchange reuse. At scale the block
+    * key bounds the quadratic term — pick one with bounded fan-in (brand,
+    * nation, name prefix), exactly like an LSH band key.
+    */
+  def fuzzyJoinBlocked(df: DataFrame, blockKey: Column, id: Column,
+                       s: Column, maxDist: Int): DataFrame = {
+    val l = df.select(blockKey.as("k"), id.as("id_a"), s.as("s_a"))
+    val r = df.select(blockKey.as("k"), id.as("id_b"), s.as("s_b"))
+    l.join(r, Seq("k"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "s_a", "s_b", "dist")
+  }
+
+  /** Reciprocal-rank fusion of two (id, score) rankings: each side is
+    * bounded to its top-`topN` FIRST (TakeOrderedAndProject — the global
+    * sort never materializes), ranked by `(score desc, id)` so ties are
+    * deterministic, and fused as Σ 1/(k+rank). Each id contributes at most
+    * two addends, and IEEE addition is commutative, so the fused double is
+    * partitioning-invariant without any quantization. Output: the top
+    * `keep` rows of `(id, n_lists, rrf_score)` by `(rrf_score desc, id)`.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, id: String, k: Int, topN: Int,
+              keep: Int): DataFrame = {
+    def ranked(df: DataFrame) = {
+      val w = Window.orderBy(col("score").desc, col(id))
+      df.select(col(id), col("score")).orderBy(col("score").desc, col(id))
+        .limit(topN)
+        .select(col(id), (lit(1.0) / (lit(k) + row_number().over(w))).as("c"))
+    }
+    ranked(a).unionAll(ranked(b))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_lists"), sum(col("c")).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(id))
+      .limit(keep)
+  }
+
   /** Per-group Pearson correlation and least-squares fit over two
     * INTEGER-quantized columns, engine-exact: the five moment sums
     * accumulate as DECIMAL(38,0) (exact in any partitioning); the final

@@ -19,8 +19,10 @@ import graft.shopping.{Enrich, EnrichCatalog, Views}
   */
 object StreamingCatalog extends Catalog {
 
-  /** events.parquet carries TIMESTAMP(NANOS); streams must declare schemas,
-    * so read ns-longs and convert exactly like Tables.events.
+  /** events.parquet has shipped `ts` two ways across testdata generations:
+    * TIMESTAMP(NANOS) (ns-longs under nanosAsLong) and plain timestamp[us]
+    * (TIMESTAMP_NTZ). The base declared schema; [[replayStream]] swaps the
+    * `ts` field to whatever the footer actually carries.
     */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
@@ -32,14 +34,27 @@ object StreamingCatalog extends Catalog {
 
   /** The raw event replay stream: watch the testdata dir filtered down to
     * the events table file (the file stream source wants a directory).
+    * Streams must declare schemas up front, so peek at the batch reader's
+    * footer-derived `ts` type (driver-side metadata read, no data scan) and
+    * declare the matching encoding; both generations normalize to
+    * session-local TimestampType exactly like Tables.events (the session
+    * zone is pinned to UTC, so the NTZ cast is a wall-clock no-op).
     */
   private def replayStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(rawSchema)
+    val tsType = s.read.option("pathGlobFilter", "events.parquet")
+      .parquet(d).schema("ts").dataType
+    val raw = s.readStream
+      .schema(StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsType) else f)))
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
+    tsType match {
       // integer div: a double round-trip would lose ns precision above 2^53
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
 
   /** awaitTermination returns false on timeout — in that case the sink is

@@ -37,7 +37,9 @@ class PlanAuditSpec extends SparkSpec {
         "corpus_mixture",   // broadcast of the 1-row total-tokens aggregate
         "tpch_q22",         // broadcast of the 1-row avg-balance aggregate
         "bpe_merge_round",  // broadcast of the 1-row argmax-pair frame
-        "segment_type_chi2") // level-grid cross + 1-row totals broadcast
+        "segment_type_chi2", // level-grid cross + 1-row totals broadcast
+        "brand_affinity",    // broadcast of the 1-row basket-count aggregate
+        "benford_first_digit") // broadcast of the 1-row total-count aggregate
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }

@@ -105,6 +105,44 @@ class RelationalPropsSpec extends SparkSpec {
     assert(d.getAs[Double]("t_stat") === 0.0 && d.getAs[Double]("dof") === 0.0)
   }
 
+  test("mannWhitney matches the hand-computed statistic, ties exact") {
+    import graft.ops.Relational
+    // a = {1,2,4}, b = {2,3}: ranks (1, 2.5, 5 | 2.5, 4) → U_a = 2.5
+    val rows = Seq(1L, 2L, 4L).map((true, _)) ++ Seq(2L, 3L).map((false, _))
+    val r = Relational.mannWhitney(rows.toDF("f", "x"), col("f"), col("x"))
+      .collect().head
+    assert(r.getAs[Long]("n_a") === 3 && r.getAs[Long]("n_b") === 2)
+    assert(math.abs(r.getAs[Double]("u_stat") - 2.5) < 1e-12)
+    // z = (2U − n_a·n_b) / (2·√VarU) with the tie-corrected variance
+    val varU = 3.0 * 2.0 / 12.0 * (6.0 - 6.0 / 20.0)
+    assert(math.abs(r.getAs[Double]("z_stat")
+      - (5.0 - 6.0) / (2.0 * math.sqrt(varU))) < 1e-12)
+    // all values tied → VarU = 0 → z = 0, and U = n_a·n_b/2 exactly
+    val t = Relational.mannWhitney(
+      Seq((true, 5L), (true, 5L), (false, 5L)).toDF("f", "x"),
+      col("f"), col("x")).collect().head
+    assert(t.getAs[Double]("u_stat") === 1.0 && t.getAs[Double]("z_stat") === 0.0)
+  }
+
+  test("ksTest is exact on separated and interleaved samples") {
+    import graft.ops.Relational
+    // fully separated samples → D = 1
+    val sep = (Seq(1L, 2L).map((true, _)) ++ Seq(3L, 4L).map((false, _)))
+      .toDF("f", "x")
+    assert(Relational.ksTest(sep, col("f"), col("x"))
+      .collect().head.getAs[Double]("d_stat") === 1.0)
+    // interleaved a = {1,3}, b = {2,4} → D = 1/2 (exact integer max)
+    val mix = (Seq(1L, 3L).map((true, _)) ++ Seq(2L, 4L).map((false, _)))
+      .toDF("f", "x")
+    val m = Relational.ksTest(mix, col("f"), col("x")).collect().head
+    assert(m.getAs[Long]("n_a") === 2 && m.getAs[Long]("n_b") === 2)
+    assert(m.getAs[Double]("d_stat") === 0.5)
+    // one empty side degrades to 0, not NaN
+    val e = Relational.ksTest(Seq((true, 1L), (true, 2L)).toDF("f", "x"),
+      col("f"), col("x")).collect().head
+    assert(e.getAs[Double]("d_stat") === 0.0)
+  }
+
   test("giniIndex matches hand-computed concentration, ties exact") {
     import graft.ops.Relational
     // x = {1,2,3,4}: G = 2*30/(4*10) - 5/4 = 0.25
@@ -134,6 +172,52 @@ class RelationalPropsSpec extends SparkSpec {
     val tied = Seq((5L, 10L), (5L, 20L), (9L, 30L)).toDF("x", "y")
     assert(math.abs(Relational.spearman(tied, "x", "y")
       .collect().head.getAs[Double]("spearman_rho") - math.sqrt(3.0) / 2) < 1e-12)
+  }
+
+  test("basketAffinity computes exact support/confidence/lift") {
+    import graft.ops.Relational
+    // baskets 1:{A,B,C} (A dup collapses), 2:{A,B}, 3:{B}
+    val df = Seq((1L, "A"), (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (3L, "B")).toDF("o", "i")
+    val r = Relational.basketAffinity(df, col("o"), col("i"))
+      .orderBy("item_a", "item_b").collect()
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq ===
+      Seq(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)))
+    val ab = r(0)
+    assert(math.abs(ab.getAs[Double]("support") - 2.0 / 3) < 1e-15)
+    assert(ab.getAs[Double]("confidence") === 1.0)
+    assert(ab.getAs[Double]("lift") === 1.0) // 2·3/(2·3)
+    val ac = r(1)
+    assert(ac.getAs[Double]("lift") === 1.5) // 1·3/(2·1)
+  }
+
+  test("fuzzyJoinBlocked matches only within blocks, exact distance") {
+    import graft.ops.Relational
+    val df = Seq(
+      (1L, 10L, "alpha"), (1L, 11L, "alphb"),  // dist 1, same block
+      (1L, 12L, "omega"),                      // too far from both
+      (2L, 13L, "alpha")                       // dist 0 to id 10 but blocked
+    ).toDF("k", "id", "s")
+    val r = Relational.fuzzyJoinBlocked(df, col("k"), col("id"), col("s"), 1)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("id_a") === 10L &&
+      r.head.getAs[Long]("id_b") === 11L && r.head.getAs[Long]("dist") === 1L)
+  }
+
+  test("rrfFuse ranks deterministically and sums at most two addends") {
+    import graft.ops.Relational
+    val a = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("id", "score")
+    val b = Seq((2L, 9L), (4L, 8L)).toDF("id", "score")
+    val r = Relational.rrfFuse(a, b, "id", 60, 10, 10).collect()
+    // id 2: rank 2 in a, rank 1 in b → 1/62 + 1/61 (the max) and 2 lists
+    assert(r.head.getAs[Long]("id") === 2L)
+    assert(r.head.getAs[Long]("n_lists") === 2L)
+    assert(r.head.getAs[Double]("rrf_score") === 1.0 / 62 + 1.0 / 61)
+    // singles keep their 1/(60+r); topN bound caps the candidate set
+    val m = r.map(x => x.getAs[Long]("id") -> x.getAs[Double]("rrf_score")).toMap
+    assert(m(1L) === 1.0 / 61 && m(4L) === 1.0 / 62)
+    assert(Relational.rrfFuse(a, b, "id", 60, 1, 10).count() === 2)
   }
 
   test("countIf equals filter().count") {
