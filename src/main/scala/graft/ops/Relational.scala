@@ -554,6 +554,36 @@ object Relational {
       .select("id_a", "id_b", "s_a", "s_b", "dist")
   }
 
+  /** Edit-distance-≤1 fuzzy self-match via single-deletion neighborhood
+    * blocking (FastSS): every string is indexed under itself plus each of
+    * its one-character-deleted forms, and any two strings within edit
+    * distance 1 provably share a variant (equal → themselves; substitution
+    * at i → both delete i; indel → the shorter IS a deletion form of the
+    * longer). Candidate volume is therefore O(n·len) — LINEAR in rows,
+    * unlike [[fuzzyJoinBlocked]]'s per-block quadratic, which degenerates
+    * when a block key has unbounded fan-in. Candidates are a superset and
+    * the exact `levenshtein` verify prunes them — the same
+    * block-then-verify contract as the LSH dedup tier, so results are
+    * identical to the brute force (RelationalPropsSpec pins this). The
+    * variant HOF is interpreted but runs once per ROW (not per pair) and is
+    * dwarfed by the join it eliminates. Same output shape as
+    * [[fuzzyJoinBlocked]].
+    */
+  def fuzzyPairsDist1(df: DataFrame, blockKey: Column, id: Column,
+                      s: Column): DataFrame = {
+    val variants = df.select(blockKey.as("k"), id.as("id"), s.as("s"))
+      .withColumn("v", explode(expr(
+        "array_union(array(s), transform(sequence(1, length(s)), " +
+          "i -> concat(substring(s, 1, i-1), substring(s, i+1, length(s)))))")))
+    variants.as("l").join(variants.as("r"), Seq("k", "v"))
+      .filter(col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.s").as("s_a"), col("r.s").as("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
   /** Reciprocal-rank fusion of two (id, score) rankings: each side is
     * bounded to its top-`topN` FIRST (TakeOrderedAndProject — the global
     * sort never materializes), ranked by `(score desc, id)` so ties are

@@ -205,6 +205,28 @@ class RelationalPropsSpec extends SparkSpec {
       r.head.getAs[Long]("id_b") === 11L && r.head.getAs[Long]("dist") === 1L)
   }
 
+  test("fuzzyPairsDist1 equals the blocked brute force at maxDist 1") {
+    import graft.ops.Relational
+    // covers all three dist-1 shapes: substitution, indel, equal strings —
+    // plus a >1 pair that must be excluded and a cross-block near-pair
+    val df = Seq(
+      (1L, 1L, "abcd"), (1L, 2L, "abed"),  // substitution
+      (1L, 3L, "abc"),                     // deletion of id 1
+      (1L, 4L, "abcd"),                    // equal to id 1
+      (1L, 5L, "azzd"),                    // dist 2 from id 1
+      (2L, 6L, "abcd")                     // equal but different block
+    ).toDF("k", "id", "s")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("dist"))
+    val fast = Relational.fuzzyPairsDist1(df, col("k"), col("id"), col("s"))
+      .collect().map(key).toSet
+    val brute = Relational.fuzzyJoinBlocked(df, col("k"), col("id"), col("s"), 1)
+      .collect().map(key).toSet
+    assert(fast === brute)
+    assert(fast === Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 0L),
+      (2L, 4L, 1L), (3L, 4L, 1L)))
+  }
+
   test("rrfFuse ranks deterministically and sums at most two addends") {
     import graft.ops.Relational
     val a = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("id", "score")
