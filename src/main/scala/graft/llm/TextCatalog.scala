@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Tables}
@@ -73,6 +74,18 @@ object TextCatalog extends Catalog {
     "lang_id_ngram" -> ((s, d) =>
       TextOps.langIdNgram(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
+
+    // model-eval tier: confusion matrix of the marker-based language ID
+    // against the declared language, with exact per-declared-language
+    // recall (the window runs over the bounded language domain)
+    "lang_confusion" -> ((s, d) => {
+      val pred = Tables(s, d).documents
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+      pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("recall", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("lang")).cast("double"))
+        .orderBy("lang", "lang_pred")
+    }),
 
     "doc_fingerprints" -> ((s, d) => {
       val docs = Tables(s, d).documents
@@ -303,6 +316,32 @@ object TextCatalog extends Catalog {
          |  CASE $cases
          |    ELSE 'und' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "lang_confusion" -> {
+      val scores = TextOps.LangMarkers.map { case (lang, m) =>
+        s"len(list_filter(w, t -> t IN ${inList(m)})) AS s_$lang"
+      }.mkString(",\n  ")
+      val names = TextOps.LangMarkers.map { case (lang, _) => s"s_$lang" }
+      val best = s"greatest(${names.mkString(", ")})"
+      val cases = TextOps.LangMarkers.map { case (lang, _) =>
+        s"WHEN s_$lang = $best AND s_$lang > 0 THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH t AS ($docTokens),
+         |s AS (SELECT doc_id,
+         |  $scores
+         |FROM t),
+         |p AS (SELECT doc_id,
+         |  CASE $cases
+         |    ELSE 'und' END AS lang_pred
+         |FROM s),
+         |j AS (SELECT d.lang, p.lang_pred
+         |  FROM documents d JOIN p USING (doc_id)),
+         |c AS (SELECT lang, lang_pred, count(*) AS n FROM j GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |  CAST(n AS DOUBLE)
+         |    / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) AS recall
+         |FROM c ORDER BY lang, lang_pred""".stripMargin
     },
 
     "lang_id_ngram" -> {

@@ -579,6 +579,20 @@ object OpsCatalog extends Catalog {
           col("slope"), col("intercept"))
     }),
 
+    // temporal tier: hour-of-week seasonality profile — mean hourly event
+    // count per (day-of-week, hour-of-day) cell, derived from the
+    // already-bucketed hourly frame; the second aggregate runs over the
+    // domain-bounded (≤168-cell) key space
+    "hourly_seasonality" -> ((s, d) =>
+      Relational.timeBucketAgg(Tables(s, d).events, col("ts"), "hour",
+          Seq(count(lit(1)).as("n")))
+        .groupBy(dayofweek(col("bucket")).cast("long").as("dow"),
+          hour(col("bucket")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("n_events"))
+        .withColumn("avg_per_hour",
+          col("n_events").cast("double") / col("n_hours").cast("double"))
+        .orderBy("dow", "hod")),
+
     // audit tier: Benford first-significant-digit profile of order values —
     // exact cent counts; the expected frequencies are declared 17-digit
     // constants on BOTH sides, so no transcendental is ever evaluated
@@ -868,6 +882,15 @@ object OpsCatalog extends Catalog {
         |              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx)
         |    / n AS intercept
         |FROM m""".stripMargin,
+
+    "hourly_seasonality" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT dayofweek(bucket) + 1 AS dow, hour(bucket) AS hod,
+        |  count(*) AS n_hours, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_per_hour
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "benford_first_digit" ->
       """WITH c AS (
