@@ -248,6 +248,19 @@ class RelationalPropsSpec extends SparkSpec {
     assert(a === df.filter(col("value") > 100).count())
   }
 
+  test("rank statistics are partitioning-invariant (tie-block arithmetic)") {
+    import graft.ops.Relational
+    val ev = graft.engine.Tables(spark, sf).events
+      .withColumn("cents", (col("value").cast("decimal(18,2)") * 100).cast("long"))
+    val flag = col("user_id") % 10 === 0
+    def run(df: org.apache.spark.sql.DataFrame) = (
+      Relational.mannWhitney(df, flag, col("cents")).collect().head.toSeq,
+      Relational.ksTest(df, flag, col("cents")).collect().head.toSeq)
+    val one = run(ev.coalesce(1))
+    val many = run(ev.repartition(13))
+    assert(one === many, "bit-identical across partitionings")
+  }
+
   test("moneySum is partitioning-invariant (decimal accumulation)") {
     val df = Tables_lineitem()
     val one = df.coalesce(1).agg(Relational.moneySum(col("l_extendedprice"))).head.getDouble(0)

@@ -23,7 +23,9 @@ val picks = Seq(
   "tpch_q2" -> "Correlated scalar-min as a min-window over the aggregated ps stand-in: lineitem scanned ONCE; the window reuses the aggregate's partitioning; dims broadcast.",
   "tpch_q21" -> "EXISTS/NOT-EXISTS pair collapsed into one per-order aggregate (distinct suppliers vs distinct problem suppliers); lineitem scanned once, not three times.",
   "user_event_features" -> "lag/lead/moving-frame features share ONE window exchange on user_id; the 3-row moving average accumulates exact decimal.",
-  "bpe_pair_counts" -> "posexplode -> lead window per doc -> global pair aggregate with map-side partials -> TakeOrderedAndProject top-k.")
+  "bpe_pair_counts" -> "posexplode -> lead window per doc -> global pair aggregate with map-side partials -> TakeOrderedAndProject top-k.",
+  "fuzzy_customer_pairs" -> "FastSS deletion-neighborhood blocking: explode each name into itself + single-deletion variants, equi-join on (block, variant) - candidates LINEAR in rows - then exact levenshtein verify. The per-block brute force this replaces was quadratic (22 s -> 1.6 s at sf0.1).",
+  "brand_affinity" -> "Basket-keyed pair self-join: both sides read ONE materialized stage (the pinned repartition on the deduped basket-item frame); global basket/item counts aggregate the raw input so no branch recomputes the join prefix; the 1-row basket count is the intended broadcast cross join.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
