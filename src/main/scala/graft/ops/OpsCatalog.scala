@@ -593,6 +593,27 @@ object OpsCatalog extends Catalog {
           col("n_events").cast("double") / col("n_hours").cast("double"))
         .orderBy("dow", "hod")),
 
+    // temporal tier: trailing exponentially-decayed hourly volume. Dyadic
+    // decay (α = 1/2, weights 2^-(k+1), 24 lags): every weight, product,
+    // and partial sum is an exact dyadic rational well inside double range
+    // (exponent spread ≤ ~34 bits), so the smoothed series is bit-exact on
+    // both engines with NO quantization; the additions happen in one fixed
+    // left-to-right expression order. All 24 lags share ONE window exchange
+    // over the hour-domain-bounded frame.
+    "hourly_ewma" -> ((s, d) => {
+      val hourly = Relational.timeBucketAgg(Tables(s, d).events, col("ts"),
+        "hour", Seq(count(lit(1)).as("n")))
+      val w = Window.orderBy(col("bucket"))
+      val decayed = (0 until 24).map { k =>
+        val lagged = if (k == 0) col("n") else lag(col("n"), k).over(w)
+        coalesce(lagged.cast("double"), lit(0.0)) * lit(math.pow(0.5, k + 1))
+      }
+      hourly.withColumn("ewma", decayed.reduce(_ + _))
+        .select(Relational.tsStr(col("bucket")).as("bucket"),
+          col("n"), col("ewma"))
+        .orderBy("bucket")
+    }),
+
     // audit tier: Benford first-significant-digit profile of order values —
     // exact cent counts; the expected frequencies are declared 17-digit
     // constants on BOTH sides, so no transcendental is ever evaluated
@@ -891,6 +912,18 @@ object OpsCatalog extends Catalog {
         |  CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS avg_per_hour
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "hourly_ewma" -> {
+      val terms = (0 until 24).map { k =>
+        val lagged = if (k == 0) "n" else s"lag(n, $k) OVER w"
+        s"coalesce(CAST($lagged AS DOUBLE), 0.0) * ${math.pow(0.5, k + 1)}"
+      }.mkString("\n  + ")
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n
+         |  FROM events GROUP BY 1)
+         |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n,
+         |  $terms AS ewma
+         |FROM h WINDOW w AS (ORDER BY bucket) ORDER BY 1""".stripMargin
+    },
 
     "benford_first_digit" ->
       """WITH c AS (
