@@ -618,9 +618,16 @@ object OpsCatalog extends Catalog {
     // exact cent counts; the expected frequencies are declared 17-digit
     // constants on BOTH sides, so no transcendental is ever evaluated
     "benford_first_digit" -> ((s, d) => {
-      val digits = Tables(s, d).events.filter(col("value") > 0)
-        .select(substring(((col("value").cast("decimal(18,2)")) * 100)
-          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      // the positivity filter runs on the COMPUTED cents, not the raw
+      // value: 0 < value < 0.005 rounds to 0 cents, whose first "digit"
+      // is 0 — out of Benford's 1..9 domain (and element_at's 1-based
+      // index) — so such rows must be excluded on both sides identically
+      val digits = Tables(s, d).events
+        .select(((col("value").cast("decimal(18,2)")) * 100)
+          .cast("long").as("c"))
+        .filter(col("c") >= 1)
+        .select(substring(col("c").cast("string"), 1, 1).cast("int")
+          .as("digit"))
       val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
       val total = digits.agg(count(lit(1)).as("n_total"))
       counts.crossJoin(broadcast(total))
@@ -886,13 +893,15 @@ object OpsCatalog extends Catalog {
         |  FROM events GROUP BY 1),
         |l AS (SELECT x, lead(x) OVER (ORDER BY bucket) AS y FROM h),
         |q AS (SELECT x, y FROM l WHERE y IS NOT NULL),
-        |m AS (SELECT count(*) AS n,
+        |-- the constant GROUP BY key mirrors the engine's grouped aggregate:
+        |-- on a degenerate input (≤1 bucket) BOTH sides emit zero rows
+        |m AS (SELECT 1 AS g, count(*) AS n,
         |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
         |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
-        |  FROM q)
+        |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+        |  FROM q GROUP BY 1)
         |SELECT n,
         |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN 0.0
         |       ELSE (n * sxy - sx * sy) /
@@ -926,9 +935,10 @@ object OpsCatalog extends Catalog {
     },
 
     "benford_first_digit" ->
-      """WITH c AS (
+      """WITH c0 AS (
         |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM events WHERE value > 0),
+        |  FROM events),
+        |c AS (SELECT c FROM c0 WHERE c >= 1),
         |d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit FROM c),
         |n AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
         |t AS (SELECT count(*) AS n_total FROM d)

@@ -470,13 +470,17 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def dec(c: Column) = c.cast("decimal(38,0)")
     blocks
       .withColumn("ca", sum(col("cnt_a")).over(upTo))
       .withColumn("cb", sum(col("cnt_b")).over(upTo))
       .withColumn("n_a", sum(col("cnt_a")).over(all))
       .withColumn("n_b", sum(col("cnt_b")).over(all))
       .groupBy(col("n_a"), col("n_b"))
-      .agg(max(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))).as("__dn"))
+      // DECIMAL, not long: ca·n_b reaches n_a·n_b, which wraps past 2^63
+      // around ~3e9 rows per side — exactly the scale the docs claim
+      .agg(max(abs(dec(col("ca")) * col("n_b") - dec(col("cb")) * col("n_a")))
+        .as("__dn"))
       .withColumn("d_stat", when(col("n_a") === 0 || col("n_b") === 0, 0.0)
         .otherwise(col("__dn").cast("double") /
           (col("n_a").cast("double") * col("n_b").cast("double"))))
@@ -619,13 +623,16 @@ object Relational {
   def regressionByGroup(df: DataFrame, keys: Seq[String], x: String,
                         y: String): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
+    // products multiply as DECIMAL (two ≤19-digit longs fit 38,0 exactly):
+    // a long·long product wraps past 2^63 once |x| exceeds ~3e9, and the
+    // inputs here are caller-supplied unbounded quantities (counts, cents)
     val g = df.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"),
       sum(dec(col(x))).cast("double").as("__sx"),
       sum(dec(col(y))).cast("double").as("__sy"),
-      sum(dec(col(x) * col(x))).cast("double").as("__sxx"),
-      sum(dec(col(y) * col(y))).cast("double").as("__syy"),
-      sum(dec(col(x) * col(y))).cast("double").as("__sxy"))
+      sum(dec(col(x)) * dec(col(x))).cast("double").as("__sxx"),
+      sum(dec(col(y)) * dec(col(y))).cast("double").as("__syy"),
+      sum(dec(col(x)) * dec(col(y))).cast("double").as("__sxy"))
     val dx = col("n") * col("__sxx") - col("__sx") * col("__sx")
     val dy = col("n") * col("__syy") - col("__sy") * col("__sy")
     val cv = col("n") * col("__sxy") - col("__sx") * col("__sy")

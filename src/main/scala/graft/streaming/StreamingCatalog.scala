@@ -42,8 +42,15 @@ object StreamingCatalog extends Catalog {
     */
   private def replayStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = s.read.option("pathGlobFilter", "events.parquet")
-      .parquet(d).schema("ts").dataType
+    // if the events file has not landed yet (the generic file-watch case —
+    // the batch peek can only see files already present), fall back to the
+    // current testdata generation's encoding instead of failing the stream
+    // definition; gate replays always run against an existing file, where
+    // the peek is authoritative
+    val tsType =
+      try s.read.option("pathGlobFilter", "events.parquet")
+        .parquet(d).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
     val raw = s.readStream
       .schema(StructType(rawSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = tsType) else f)))
