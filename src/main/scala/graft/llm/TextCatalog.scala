@@ -120,6 +120,19 @@ object TextCatalog extends Catalog {
         .orderBy("doc_id")
     }),
 
+    // stats ∘ text composition: per-language correlation / least-squares
+    // fit of quality (micro-quantized — the proven q_micro contract)
+    // against document length: one narrow quality projection, then ONE
+    // hash aggregate via the exact DECIMAL regression moments
+    "quality_length_regression" -> ((s, d) => {
+      val q = Tables(s, d).documents.select(col("lang"),
+        col("n_chars").as("x"),
+        round(TextOps.qualityScore(col("text")) * 1000000).cast("long")
+          .as("y"))
+      graft.ops.Relational.regressionByGroup(q, Seq("lang"), "x", "y")
+        .orderBy("lang")
+    }),
+
     // corpus-level vocabulary profile (already deterministically ordered:
     // TakeOrderedAndProject on tf desc, term asc)
     "vocab_top_terms" -> ((s, d) =>
@@ -431,6 +444,31 @@ object TextCatalog extends Catalog {
          |    (PARTITION BY q.lang ORDER BY q.q_micro, q.doc_id) AS pr
          |FROM q JOIN st USING (lang)
          |ORDER BY q.doc_id""".stripMargin,
+
+    "quality_length_regression" ->
+      s"""WITH t AS ($docTokens),
+         |q0 AS (SELECT doc_id,
+         |    CAST(round(($qualitySql) * 1000000) AS BIGINT) AS y
+         |  FROM t),
+         |q AS (SELECT d.lang, CAST(d.n_chars AS BIGINT) AS x, q0.y
+         |  FROM q0 JOIN documents d USING (doc_id)),
+         |m AS (SELECT lang, count(*) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+         |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+         |  FROM q GROUP BY lang)
+         |SELECT lang, n,
+         |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0 THEN 0.0
+         |       ELSE (n * sxy - sx * sy) /
+         |            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+         |       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+         |  (sy - (CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+         |              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx)
+         |    / n AS intercept
+         |FROM m ORDER BY lang""".stripMargin,
 
     "doc_repetition" ->
       s"""WITH t AS ($docTokens),
