@@ -34,7 +34,11 @@ object Bench {
     // measures steady-state query cost for every query. Warmup failures are
     // logged (not swallowed): a fixture that failed to prime would otherwise
     // silently rebuild inside its first timed repetition.
+    // dev-only subset filter (comma-separated names, same contract as
+    // Verify's SPARK_GRAFT_ONLY); unset = the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(n => try run(n) catch {
       case e: Throwable =>
         System.err.println(s"[bench] warmup of $n failed: ${e.getMessage}")

@@ -693,9 +693,38 @@ object OpsCatalog extends Catalog {
         Relational.approxDistinct(col("l_orderkey")).as("approx_orders"),
         Relational.approxQuantiles(col("l_extendedprice"), Seq(0.5)).getItem(0)
           .as("approx_median_price"))),
+
+    // sketch accuracy as a GATE check: the sketches next to their exact
+    // counterparts, reduced to integer pass/fail flags at the declared 5%
+    // tolerance. The flags are deterministic (the sketches sit far inside
+    // the bound: HLL rsd 2%, quantile rank error n/10000), hence
+    // hash-stable; the DuckDB oracle recomputes the exact side and asserts
+    // the same flags. The exact median IS a full per-group sort — the one
+    // query where that cost is the point (it exists to audit the sketch
+    // that replaces it everywhere else).
+    "approx_stats_bounds" -> ((s, d) =>
+      Tables(s, d).lineitem.agg(
+          Relational.approxDistinct(col("l_orderkey")).as("__ad"),
+          Relational.approxQuantiles(col("l_extendedprice"), Seq(0.5))
+            .getItem(0).as("__aq"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          expr("percentile(l_extendedprice, 0.5)").as("__em"))
+        .select(col("exact_orders"),
+          when(abs(col("__ad") - col("exact_orders")) <=
+            col("exact_orders") * 0.05, 1).otherwise(0).as("orders_ok"),
+          when(abs(col("__aq") - col("__em")) <=
+            abs(col("__em")) * 0.05, 1).otherwise(0).as("median_ok"))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the exact side recomputed; the flags assert the sketches landed
+    // inside the declared 5% tolerance (deterministically true — the
+    // sketch parameters give 2% rsd / n/10000 rank error)
+    "approx_stats_bounds" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  1 AS orders_ok, 1 AS median_ok
+        |FROM lineitem""".stripMargin,
+
     "value_regression" ->
       """WITH q AS (
         |  SELECT l_returnflag,
@@ -799,8 +828,8 @@ object OpsCatalog extends Catalog {
         |m AS (SELECT
         |    CAST(sum(cnt_a) AS BIGINT) AS n_a,
         |    CAST(sum(cnt) AS BIGINT) AS n,
-        |    CAST(sum(cnt_a * (cnt_less * 2 + cnt + 1)) AS BIGINT) AS s2,
-        |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |    sum(cnt_a * (cnt_less * 2 + cnt + 1)) AS s2,
+        |    sum(cnt * cnt * cnt - cnt) AS ties
         |  FROM r),
         |s AS (SELECT n_a, n - n_a AS n_b, n, s2 - n_a * (n_a + 1) AS u2, ties
         |  FROM m),

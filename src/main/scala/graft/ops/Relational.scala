@@ -356,28 +356,86 @@ object Relational {
       .drop("__sx_a", "__sxx_a", "__sx_b", "__sxx_b")
   }
 
+  /** Distributed exclusive prefix counts — the scale-safe replacement for
+    * an unkeyed running-count window over a tie-block frame. For blocks
+    * `(v, cnt…)` it appends, per count column c, `${c}_less` = Σ c over all
+    * blocks with v strictly smaller, without ever funneling the frame
+    * through one partition:
+    *  1. each block gets a bucket id = how many of B−1 approximate value
+    *     quantiles it exceeds. ANY v-monotone assignment is correct — the
+    *     quantiles only buy balance, so the approximation (and the lossy
+    *     double cast inside it) affects speed, never the answer;
+    *  2. the ≤B per-bucket subtotals get their exclusive prefix (and grand
+    *     total, when `totals`) via a broadcast triangular self-join — no
+    *     window at all on the tiny frame;
+    *  3. a bucket-PARTITIONED window adds the local exclusive running sum
+    *     to the broadcast bucket offset.
+    * All count arithmetic stays in longs, so the result equals the unkeyed
+    * window's under any partitioning. With `totals = true` also appends
+    * `${c}_total` (the grand sum, same broadcast — saves consumers a second
+    * pass over the input). This is the standard distributed-rank
+    * construction; at 100× the widest per-bucket frame is |blocks|/B and
+    * B scales with the cluster, so no stage sees the whole value domain.
+    *
+    * Recompute discipline (the curated_corpus idiom): the block frame feeds
+    * a diamond — quantile bounds, bucket subtotals ×2 (triangular-join
+    * sides), and the main pass — and column pruning specializes each
+    * branch's canonical plan, so exchange reuse cannot dedupe the upstream
+    * aggregate (it would run ~5×, re-scanning the INPUT each time). A
+    * `localCheckpoint` pins the already-aggregated block frame (the small
+    * side — distinct values, not rows) so every branch reads the
+    * materialized blocks instead of re-running their lineage.
+    */
+  def prefixCounts(blocks: DataFrame, v: String, cnts: Seq[String],
+                   buckets: Int = 64, totals: Boolean = false): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    val blk = blocks.localCheckpoint()
+    val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
+    val bounds = blk.agg(
+      percentile_approx(col(v).cast("double"), array(qs: _*), lit(10000))
+        .as("__bounds"))
+    val withB = blk.crossJoin(broadcast(bounds))
+      .withColumn("__bk", expr(
+        s"aggregate(__bounds, 0, (a, b) -> a + IF(CAST(`$v` AS DOUBLE) > b, 1, 0))"))
+      .drop("__bounds")
+    val subAggs = cnts.map(c => sum(col(c)).as(s"__t_$c"))
+    val sub = withB.groupBy(col("__bk")).agg(subAggs.head, subAggs.tail: _*)
+    val r = sub.select(col("__bk").as("__rbk") +:
+      cnts.map(c => col(s"__t_$c").as(s"__rt_$c")): _*)
+    val offAggs = cnts.map(c => sum(when(col("__rbk") < col("__bk"),
+        col(s"__rt_$c")).otherwise(lit(0L))).as(s"__off_$c")) ++
+      (if (totals) cnts.map(c => sum(col(s"__rt_$c")).as(s"${c}_total"))
+       else Seq.empty)
+    val offsets = sub.select(col("__bk")).join(broadcast(r), lit(true), "left")
+      .groupBy(col("__bk")).agg(offAggs.head, offAggs.tail: _*)
+    val inW = Window.partitionBy(col("__bk")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cnts.foldLeft(withB.join(broadcast(offsets), Seq("__bk"))) { (d, c) =>
+      d.withColumn(s"${c}_less",
+        col(s"__off_$c") + coalesce(sum(col(c)).over(inW), lit(0L)))
+    }.drop("__bk" +: cnts.map(c => s"__off_$c"): _*)
+  }
+
   /** Gini concentration index over per-key totals of an INTEGER-quantized
     * value (e.g. how concentrated revenue is across users), engine-exact
     * and transcendental-free: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the
     * ascending spend order. The rank sum is computed WITHOUT a full-row
     * global sort: per-key totals collapse into distinct-value tie blocks
-    * (cnt, running cnt_less), so the one unkeyed window runs over the
-    * distinct-VALUE frame — bounded by the value domain, not the key
-    * count — and each block contributes its arithmetic-series rank sum
-    * exactly in longs (block math fits long for n < ~2e9 keys). The two
-    * grand totals accumulate as DECIMAL(38,0); the final division is a
-    * declared-order IEEE expression, so the index is bit-reproducible.
+    * (cnt, exclusive cnt_less from the [[prefixCounts]] distributed prefix
+    * sum — distinct per-key spend totals approach one block per key, so an
+    * unkeyed window here would be a single-partition sort at scale), and
+    * each block contributes its arithmetic-series rank sum exactly in
+    * longs (block math fits long for n < ~2e9 keys). The two grand totals
+    * accumulate as DECIMAL(38,0); the final division is a declared-order
+    * IEEE expression, so the index is bit-reproducible.
     */
   def giniIndex(df: DataFrame, key: String, x: Column): DataFrame = {
     val spend = df.groupBy(col(key))
       .agg(sum(x.cast("decimal(38,0)")).cast("long").as("s"))
     val blocks = spend.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
-    val below = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val rankSum = (col("cnt") * col("cnt_less") +
       expr("cnt * (cnt + 1) div 2")).cast("decimal(20,0)")
-    val a = blocks
-      .withColumn("cnt_less", coalesce(sum(col("cnt")).over(below), lit(0L)))
+    val a = prefixCounts(blocks, "s", Seq("cnt"))
       .agg(sum(col("cnt")).as("n"),
         sum(col("s").cast("decimal(38,0)") * col("cnt")).as("__sx"),
         sum(col("s").cast("decimal(18,0)") * rankSum).as("__swx"))
@@ -391,9 +449,10 @@ object Relational {
   /** Spearman rank correlation between two INTEGER-quantized columns,
     * engine-exact and transcendental-free: each column's average-tie rank
     * is carried DOUBLED (2·avgrank = 2·cnt_less + cnt + 1 — an exact
-    * integer even on ties), computed from distinct-value tie blocks so the
-    * unkeyed running-count window is value-domain-bounded, never
-    * row-bounded; Pearson on the doubled ranks (scale-invariant, so it IS
+    * integer even on ties), computed from distinct-value tie blocks with
+    * the exclusive counts from the [[prefixCounts]] distributed prefix sum
+    * (no unkeyed window, so a wide value domain never funnels one
+    * partition); Pearson on the doubled ranks (scale-invariant, so it IS
     * Spearman's ρ) reuses [[regressionByGroup]]'s exact DECIMAL moments.
     * Cost: two tiny block frames joined back (hash joins on the value),
     * one aggregate. Output: one row `(n, spearman_rho)`.
@@ -401,10 +460,7 @@ object Relational {
   def spearman(df: DataFrame, x: String, y: String): DataFrame = {
     def doubledRanks(c: String) = {
       val blocks = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-      val below = Window.orderBy(col(c))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      blocks
-        .withColumn("cnt_less", coalesce(sum(col("cnt")).over(below), lit(0L)))
+      prefixCounts(blocks, c, Seq("cnt"))
         .select(col(c), (col("cnt_less") * 2 + col("cnt") + 1).as(s"__r2_$c"))
     }
     val ranked = df.select(col(x), col(y))
@@ -418,9 +474,10 @@ object Relational {
     * blocks carry DOUBLED average ranks (2·r̄ = 2·cnt_less + cnt + 1, an
     * exact integer even on ties), so the doubled rank sum S₂ = Σ cntₐ·2r̄,
     * the doubled statistic 2U = S₂ − nₐ(nₐ+1), and the tie-correction sum
-    * Σ(t³−t) all accumulate as DECIMAL — partitioning-invariant. The one
-    * unkeyed window runs over the distinct-VALUE frame (bounded by the
-    * value domain, not the row count). The normal-approximation z uses
+    * Σ(t³−t) all accumulate as DECIMAL — partitioning-invariant. The
+    * exclusive running counts come from the [[prefixCounts]] distributed
+    * prefix sum (no unkeyed window anywhere, so a wide value domain never
+    * funnels one partition). The normal-approximation z uses
     * the tie-corrected variance Var U = nₐn_b/12·((n+1) − Σ(t³−t)/(n(n−1)))
     * and is derived from the exact scalars in a declared IEEE order;
     * a degenerate split (all values tied, or an empty side) gets z = 0.
@@ -430,11 +487,8 @@ object Relational {
     val blocks = df.select(x.as("v"), flag.as("fl"))
       .groupBy(col("v"))
       .agg(count(lit(1)).as("cnt"), count(when(col("fl"), lit(1))).as("cnt_a"))
-    val below = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val m = blocks
-      .withColumn("cnt_less", coalesce(sum(col("cnt")).over(below), lit(0L)))
+    val m = prefixCounts(blocks, "v", Seq("cnt"))
       .agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt")).as("n"),
         sum(dec(col("cnt_a")) * (col("cnt_less") * 2 + col("cnt") + 1)).as("__s2"),
         sum(dec(col("cnt")) * col("cnt") * col("cnt") - col("cnt")).as("__ties"))
@@ -456,9 +510,10 @@ object Relational {
     * boolean split, transcendental-free and engine-exact up to the single
     * final division: with per-side running counts cₐ, c_b over the
     * distinct-value tie blocks, D = maxᵥ |cₐ(v)·n_b − c_b(v)·nₐ| / (nₐ·n_b),
-    * where the numerator max is exact long arithmetic. Side totals come
-    * from an unbounded frame of the SAME value-ordered window (no join,
-    * no extra exchange); the only unkeyed window is value-domain-bounded.
+    * where the numerator max is exact arithmetic. Running counts AND side
+    * totals both come from one [[prefixCounts]] pass (`totals = true` —
+    * the grand sums ride the same broadcast bucket-offset frame), so there
+    * is no unkeyed window and no second scan of the input.
     * Empty sides get d_stat = 0. Output: one row `(n_a, n_b, d_stat)`.
     */
   def ksTest(df: DataFrame, flag: Column, x: Column): DataFrame = {
@@ -466,16 +521,12 @@ object Relational {
       .groupBy(col("v"))
       .agg(count(when(col("fl"), lit(1))).as("cnt_a"),
         count(when(!col("fl"), lit(1))).as("cnt_b"))
-    val upTo = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def dec(c: Column) = c.cast("decimal(38,0)")
-    blocks
-      .withColumn("ca", sum(col("cnt_a")).over(upTo))
-      .withColumn("cb", sum(col("cnt_b")).over(upTo))
-      .withColumn("n_a", sum(col("cnt_a")).over(all))
-      .withColumn("n_b", sum(col("cnt_b")).over(all))
+    prefixCounts(blocks, "v", Seq("cnt_a", "cnt_b"), totals = true)
+      .withColumn("ca", col("cnt_a_less") + col("cnt_a"))
+      .withColumn("cb", col("cnt_b_less") + col("cnt_b"))
+      .withColumn("n_a", col("cnt_a_total"))
+      .withColumn("n_b", col("cnt_b_total"))
       .groupBy(col("n_a"), col("n_b"))
       // DECIMAL, not long: ca·n_b reaches n_a·n_b, which wraps past 2^63
       // around ~3e9 rows per side — exactly the scale the docs claim
@@ -511,8 +562,12 @@ object Relational {
     //    the join pays no extra exchange;
     //  - the basket count and per-item counts aggregate the RAW input with
     //    inline countDistinct (identical values — dedup is subsumed by the
-    //    distinct aggregate), costing one narrow single-column scan and one
-    //    two-column scan instead of two more joined-prefix recomputes.
+    //    distinct aggregate). When `df` is itself a join (the brand_affinity
+    //    site), each re-runs the column-pruned join prefix — pruned to one
+    //    and two columns respectively, far cheaper than the full-width
+    //    deduped frame, but still a join execution each; accept a
+    //    (basket, item)-projected cached input if that recompute ever
+    //    dominates.
     val bi = df.select(basket.as("b"), item.as("i")).distinct()
       .repartition(col("b"))
     val nb = df.select(basket.as("b"))

@@ -176,20 +176,22 @@ object TpchCatalog extends Catalog {
 
     // Q11 important stock: per-part shipped value for one nation's
     // suppliers, kept where it exceeds a fraction of the nation total —
-    // the HAVING-vs-scalar-subquery shape as a global sum-window over the
-    // ALREADY-AGGREGATED per-part frame (≤ |parts| tiny rows through one
-    // partition; the aggregate+broadcast-back alternative would scan the
-    // heavy join twice)
+    // the HAVING-vs-scalar-subquery shape as a 1-row global aggregate
+    // broadcast-crossed back onto the per-part frame. The checkpoint pins
+    // the aggregated frame (≤ |parts| rows) so the heavy join runs once
+    // even though two consumers read it, and no row ever funnels through
+    // an unkeyed window's single partition
     "tpch_q11" -> ((s, d) => {
       val t = Tables(s, d)
-      val all = org.apache.spark.sql.expressions.Window.partitionBy()
-      t.lineitem
+      val perPart = t.lineitem
         .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t.nation.filter(col("n_name") === "NATION_7")),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(Relational.moneyDec(col("l_extendedprice"))).as("value_dec"))
-        .withColumn("total_dec", sum(col("value_dec")).over(all))
+        .localCheckpoint()
+      val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+      perPart.crossJoin(broadcast(total))
         .filter(col("value_dec").cast("double") >
           col("total_dec").cast("double") * 0.001)
         .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
@@ -214,18 +216,18 @@ object TpchCatalog extends Catalog {
     }),
 
     // Q15 top supplier: quarterly revenue per supplier, keep the max — a
-    // global max-window over the ALREADY-AGGREGATED per-supplier frame
-    // (≤ |suppliers| tiny rows; lineitem is scanned once, vs twice for
-    // aggregate-then-join-back), decimal equality so no float compare
+    // 1-row global max broadcast-crossed back onto the checkpointed
+    // per-supplier frame (≤ |suppliers| rows; lineitem is scanned once,
+    // no unkeyed window), decimal equality so no float compare
     "tpch_q15" -> ((s, d) => {
       val t = Tables(s, d)
-      val all = org.apache.spark.sql.expressions.Window.partitionBy()
-      t.lineitem
+      val perSupp = t.lineitem
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
         .agg(sum(revDec(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
-        .withColumn("max_dec", max(col("rev_dec")).over(all))
+        .localCheckpoint()
+      perSupp.crossJoin(broadcast(perSupp.agg(max(col("rev_dec")).as("max_dec"))))
         .filter(col("rev_dec") === col("max_dec"))
         .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"),

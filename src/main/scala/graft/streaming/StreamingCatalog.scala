@@ -43,14 +43,25 @@ object StreamingCatalog extends Catalog {
   private def replayStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // if the events file has not landed yet (the generic file-watch case —
-    // the batch peek can only see files already present), fall back to the
-    // current testdata generation's encoding instead of failing the stream
-    // definition; gate replays always run against an existing file, where
-    // the peek is authoritative
-    val tsType =
-      try s.read.option("pathGlobFilter", "events.parquet")
-        .parquet(d).schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+    // the batch peek can only see files already present), DEFER the stream
+    // definition with a bounded poll until the first file appears, then
+    // peek authoritatively. Guessing an encoding here would declare a
+    // schema that a later-arriving file's footer can contradict, failing
+    // (or misreading) the stream mid-flight — refuse rather than guess.
+    val tsType = {
+      def peek() =
+        try Some(s.read.option("pathGlobFilter", "events.parquet")
+          .parquet(d).schema("ts").dataType)
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var t = peek()
+      while (t.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(200); t = peek()
+      }
+      t.getOrElse(throw new IllegalStateException(
+        s"no events.parquet under $d after 10 s — cannot declare the " +
+          "stream's ts encoding from its footer; refusing to guess"))
+    }
     val raw = s.readStream
       .schema(StructType(rawSchema.map(f =>
         if (f.name == "ts") f.copy(dataType = tsType) else f)))
@@ -134,27 +145,62 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("doc_id")
   }
 
+  /** Durable snapshot-version pointer: `_LATEST` names the current version
+    * dir, committed via write-temp-then-atomic-rename AFTER the version's
+    * parquet lands. A crash between the two leaves `_LATEST` at the prior
+    * version; the restarted stream re-runs the uncommitted batch from the
+    * checkpoint and overwrites the orphaned dir — readers only ever see a
+    * fully-written version. (Rename atomicity is the same contract HDFS
+    * gives; on object stores the marker would be a conditional PUT.)
+    */
+  private def readLatest(base: String): Option[String] = {
+    val p = java.nio.file.Paths.get(base, "_LATEST")
+    if (Files.exists(p))
+      Some(base + "/" + new String(Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
+  private def commitLatest(base: String, version: String): Unit = {
+    val tmp = java.nio.file.Paths.get(base, "_LATEST.tmp")
+    Files.write(tmp, version.getBytes("UTF-8"))
+    Files.move(tmp, java.nio.file.Paths.get(base, "_LATEST"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** A keyed snapshot MAINTAINED by the stream: each micro-batch is
     * reduced to its newest row per user and merged into a versioned
     * parquet snapshot with [[graft.ops.Cdc.mergeNewest]] inside
     * foreachBatch — the streaming CDC shape (Delta/Iceberg MERGE per
-    * batch) on plain directories, with each version written fresh and
-    * "current" swapped only after the write lands (readers keep
-    * isolation). The replay is forced through EIGHT micro-batches
-    * (events pre-split into 8 files, maxFilesPerTrigger=1), and because
-    * mergeNewest is order-tolerant the final snapshot is the per-user
-    * (ts, event_id) maximum regardless of how rows landed in batches —
-    * which is exactly the batch QUALIFY row_number()=1 oracle.
+    * batch) on plain directories. The current version is recorded ON DISK
+    * by the [[readLatest]]/[[commitLatest]] `_LATEST` marker (not a
+    * driver variable), so a killed-and-restarted query resumes its merge
+    * chain from the last durably committed version. The replay is forced
+    * through EIGHT micro-batches (events pre-split into 8 files,
+    * maxFilesPerTrigger=1), and because mergeNewest is order-tolerant the
+    * final snapshot is the per-user (ts, event_id) maximum regardless of
+    * how rows landed in batches — which is exactly the batch QUALIFY
+    * row_number()=1 oracle.
     */
-  def replayUpsertSnapshot(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
-    val base = Files.createTempDirectory("graft-upsert-snap").toString
+  def replayUpsertSnapshot(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame =
+    upsertSnapshotRun(s, d,
+      Files.createTempDirectory("graft-upsert-snap").toString, timeoutMs)
+
+  /** The resumable run: `base` carries the checkpoint, version dirs, and
+    * `_LATEST` marker across invocations. `crashAtBatch`/`crashBeforeCommit`
+    * are CdcSpec's fault-injection hooks — a deliberate failure either
+    * between the version write and the marker commit (the window the
+    * marker protocol exists for) or right after the commit.
+    */
+  private[graft] def upsertSnapshotRun(s: SparkSession, d: String, base: String,
+      timeoutMs: Long = 300000, crashAtBatch: Option[Long] = None,
+      crashBeforeCommit: Boolean = false): DataFrame = {
     val src = graft.engine.FixtureDirs("events-split8", d) { tmp =>
       graft.engine.Tables(s, d).events.repartition(8)
         .write.mode("overwrite").parquet(s"$tmp/ev")
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-    @volatile var current: Option[String] = None
     val q = s.readStream.schema(Streams.eventSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$src/ev")
@@ -162,20 +208,24 @@ object StreamingCatalog extends Catalog {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val newest = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val merged = current match {
+        val merged = readLatest(base) match {
           case None      => newest
           case Some(dir) => graft.ops.Cdc.mergeNewest(
             s.read.parquet(dir), newest, "user_id", "ts", "event_id")
         }
         merged.write.mode("overwrite").parquet(s"$base/v$id")
-        current = Some(s"$base/v$id")
+        if (crashAtBatch.contains(id) && crashBeforeCommit)
+          throw new RuntimeException(s"injected crash before commit of v$id")
+        commitLatest(base, s"v$id")
+        if (crashAtBatch.contains(id) && !crashBeforeCommit)
+          throw new RuntimeException(s"injected crash after commit of v$id")
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     awaitOrFail(q, timeoutMs)
-    s.read.parquet(current.getOrElse(sys.error("no batch ran")))
+    s.read.parquet(readLatest(base).getOrElse(sys.error("no batch ran")))
       .select(col("user_id"), col("event_id"),
         graft.ops.Relational.tsStr(col("ts")).as("ts"),
         col("event_type"), col("value"))

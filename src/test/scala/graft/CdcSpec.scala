@@ -132,4 +132,33 @@ class CdcSpec extends SparkSpec {
       "BroadcastExchange".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
+
+  test("upsert snapshot survives a mid-stream kill: _LATEST stays durable, restart resumes") {
+    // crash in the WORST window — after the version parquet lands but
+    // before the _LATEST rename — at batch 3 of 8. The marker must still
+    // point at the last committed version, and a restart over the same
+    // base (checkpoint + marker) must re-run the uncommitted batch and
+    // finish with exactly the batch oracle's newest-row-per-user snapshot.
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-kill").toString
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.StreamingCatalog.upsertSnapshotRun(spark, sf, base,
+        crashAtBatch = Some(3L), crashBeforeCommit = true)
+    }
+    def marker() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "_LATEST")), "UTF-8").trim
+    assert(marker() === "v2",
+      s"marker must hold the last durably committed version, got ${marker()}")
+    val resumed = graft.streaming.StreamingCatalog
+      .upsertSnapshotRun(spark, sf, base)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val want = graft.engine.Tables(spark, sf).events
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        graft.ops.Relational.tsStr(col("ts")).as("ts"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+    assert(resumed.collect().toSeq === want.collect().toSeq)
+    assert(marker() === "v7", s"resume must advance the marker, got ${marker()}")
+  }
 }

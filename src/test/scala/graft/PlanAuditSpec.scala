@@ -39,7 +39,13 @@ class PlanAuditSpec extends SparkSpec {
         "bpe_merge_round",  // broadcast of the 1-row argmax-pair frame
         "segment_type_chi2", // level-grid cross + 1-row totals broadcast
         "brand_affinity",    // broadcast of the 1-row basket-count aggregate
-        "benford_first_digit") // broadcast of the 1-row total-count aggregate
+        "benford_first_digit", // broadcast of the 1-row total-count aggregate
+        // prefixCounts: 1-row quantile-bounds broadcast + ≤B-row triangular
+        // bucket-offset join (the distributed prefix sum's control plane)
+        "spend_gini", "spearman_price_balance",
+        "vip_amount_mannwhitney", "vip_amount_ks",
+        // 1-row global threshold/max broadcast back onto the aggregate
+        "tpch_q11", "tpch_q15")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }

@@ -70,6 +70,46 @@ class SkewSpec extends SparkSpec {
     assert(spread > 4, s"hot key spread over only $spread of 8 salt buckets")
   }
 
+  test("prefixCounts: exact on a wide value domain, every window keyed, buckets spread") {
+    // 20k distinct-value tie blocks with skewed counts — the shape where the
+    // old unkeyed running-count window was a single-partition sort
+    val rnd = new scala.util.Random(7)
+    val blocks = (0 until 20000)
+      .map(i => (i.toLong * 17 + rnd.nextInt(5), 1L + rnd.nextInt(9)))
+      .distinct.toDF("v", "cnt")
+    val pc = graft.ops.Relational
+      .prefixCounts(blocks, "v", Seq("cnt"), buckets = 8, totals = true)
+    val got = pc.select("v", "cnt", "cnt_less", "cnt_total").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // brute-force oracle
+    val rows = blocks.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = rows.map(_._2).sum
+    var run = 0L
+    val want = rows.map { case (v, c) => val r = (v, c, run, total); run += c; r }
+    assert(got.toSeq === want.toSeq)
+    // plan shape: with AQE off the physical tree is directly traversable —
+    // every Window must carry a partition spec (the whole point of the op)
+    withConfs(Map("spark.sql.adaptive.enabled" -> "false")) {
+      val p = graft.ops.Relational
+        .prefixCounts(blocks, "v", Seq("cnt"), buckets = 8)
+      p.collect()
+      val wins = p.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "expected at least one Window node")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unkeyed window survived: $w"))
+    }
+    // the quantile bucketing actually spreads the domain (same deterministic
+    // percentile call the operator makes)
+    val bounds = blocks.agg(percentile_approx(col("v").cast("double"),
+      array((1 until 8).map(i => lit(i / 8.0)): _*), lit(10000))).head
+      .getSeq[Double](0)
+    val spread = blocks.select(col("v").cast("double")).collect()
+      .map(r => bounds.count(_ < r.getDouble(0))).distinct.length
+    assert(spread >= 6, s"only $spread of 8 buckets populated")
+  }
+
   test("salted ops refuse inputs that already carry the reserved __salt column") {
     val tainted = Seq((1L, 0)).toDF("k", "__salt")
     val clean = Seq((1L, "x")).toDF("dk", "label")
