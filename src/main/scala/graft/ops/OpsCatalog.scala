@@ -230,6 +230,29 @@ object OpsCatalog extends Catalog {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_active"))
         .orderBy("day")),
 
+    // the HLL-merge scale variant of rolling_active_users, audited as a
+    // gate check: per-day sketches union-merged per 7-day window (no ×7
+    // fact replication — see Relational.slidingDistinctHll) joined to the
+    // exact count, reduced to a deterministic 5%-tolerance flag. At sf the
+    // exact side is cheap; at 100 TB only the sketch variant survives, and
+    // this query is the accuracy contract that lets it stand in.
+    "rolling_active_hll_bounds" -> ((s, d) => {
+      val e = Tables(s, d).events
+        .select(to_date(col("ts")).as("event_day"), col("user_id"))
+      val approx = Relational.slidingDistinctHll(
+        e, col("event_day"), col("user_id"), 7)
+      e.select(explode(sequence(col("event_day"),
+            date_add(col("event_day"), 6))).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(approx, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_active"),
+          when(abs(col("approx_active") - col("n_active")) <=
+            col("n_active") * 0.05, 1).otherwise(0).as("hll_ok"))
+        .orderBy("day")
+    }),
+
     // stickiness (7-day ÷ 30-day rolling actives) in ONE pass: the same
     // calendar replication at the larger window, with the smaller window's
     // distinct count carved out by a conditional countDistinct — no second
@@ -1206,6 +1229,15 @@ object OpsCatalog extends Catalog {
         |x AS (SELECT event_day, user_id, unnest(range(0, 7)) AS i FROM e)
         |SELECT strftime(event_day + CAST(i AS INTEGER), '%Y-%m-%d') AS day,
         |  count(DISTINCT user_id) AS n_active
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact side recomputed; the flag asserts the HLL union landed inside
+    // the declared 5% tolerance (deterministically true at lgK 12)
+    "rolling_active_hll_bounds" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS event_day, user_id FROM events),
+        |x AS (SELECT event_day, user_id, unnest(range(0, 7)) AS i FROM e)
+        |SELECT strftime(event_day + CAST(i AS INTEGER), '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS n_active, 1 AS hll_ok
         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "user_stickiness" ->

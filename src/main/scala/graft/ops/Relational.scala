@@ -174,6 +174,28 @@ object Relational {
   def approxQuantiles(c: Column, probs: Seq[Double], accuracy: Int = 10000): Column =
     percentile_approx(c, array(probs.map(lit): _*), lit(accuracy))
 
+  /** Sliding-window approximate distinct via MERGEABLE HLL sketches — the
+    * scale path for rolling-active-style metrics. The exact formulation
+    * replicates every raw row `window`× (explode over the window days) so
+    * the per-day countDistinct sees each contributing row: a ×7/×30 row
+    * multiplier on the FACT table. Here the fact table is reduced FIRST to
+    * one DataSketches HLL sketch per day (map-side partial aggregation,
+    * fixed sketch size, one shuffle at day cardinality), and only the
+    * ≤|days| sketch rows are replicated and union-merged per window —
+    * the replication factor applies to the day domain, not the corpus.
+    * Output: `(day, approx_active)` with the union sketch's estimate
+    * (lgConfigK 12 ≈ 1.6% rsd; bounds gate-checked by
+    * `rolling_active_hll_bounds`).
+    */
+  def slidingDistinctHll(df: DataFrame, day: Column, id: Column,
+                         window: Int): DataFrame =
+    df.groupBy(day.as("day"))
+      .agg(hll_sketch_agg(id).as("__sk"))
+      .select(explode(sequence(col("day"), date_add(col("day"), window - 1)))
+        .as("day"), col("__sk"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("approx_active"))
+
   /** Exact per-group discrete percentiles: for each probability p, the value
     * at row ceil(p·n) of the group's (value, tieBreak)-sorted order — the
     * classic "nearest-rank" definition, fully deterministic and

@@ -291,6 +291,23 @@ class RelationalPropsSpec extends SparkSpec {
     assert(qs.length === 3 && qs(0) <= qs(1) && qs(1) <= qs(2))
   }
 
+  test("slidingDistinctHll within 5% of the exact rolling distinct, every day covered") {
+    val e = graft.engine.Tables(spark, sf).events
+      .select(to_date(col("ts")).as("event_day"), col("user_id"))
+    val approx = Relational
+      .slidingDistinctHll(e, col("event_day"), col("user_id"), 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = e.select(explode(sequence(col("event_day"),
+        date_add(col("event_day"), 6))).as("day"), col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (day, n) =>
+      assert(math.abs(approx(day) - n).toDouble / n < 0.05,
+        s"$day: hll ${approx(day)} vs exact $n")
+    }
+  }
+
   test("saltedAgg equals the direct aggregate") {
     val df = graft.engine.Tables(spark, sf).lineitem
     val direct = df.groupBy("l_returnflag")
