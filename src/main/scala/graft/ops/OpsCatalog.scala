@@ -515,6 +515,23 @@ object OpsCatalog extends Catalog {
           Seq("l_returnflag"), "qty", "cents")
         .orderBy("l_returnflag")),
 
+    // GLOBAL exact nearest-rank price quantiles via the distributed
+    // prefix sum — the whole-corpus selection that never sorts rows
+    // (tie blocks + prefixCounts + one aggregate; see
+    // Relational.exactQuantilesGlobal)
+    "global_price_quantiles" -> ((s, d) =>
+      Relational.exactQuantilesGlobal(
+        Tables(s, d).lineitem,
+        round(col("l_extendedprice") * 100).cast("long"),
+        Seq(100, 500, 900, 990))),
+
+    // equi-depth (equal-mass) histogram of price cents — deciles of the
+    // distribution without a global sort; tie blocks never split
+    "price_equidepth" -> ((s, d) =>
+      Relational.equidepthHistogram(
+        Tables(s, d).lineitem,
+        round(col("l_extendedprice") * 100).cast("long"), 10)),
+
     // statistical testing tier: chi-square independence of event type vs
     // market segment (counts exact, per-cell terms nano-quantized before
     // the sum so the statistic is partitioning-invariant)
@@ -747,6 +764,43 @@ object OpsCatalog extends Catalog {
       """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
         |  1 AS orders_ok, 1 AS median_ok
         |FROM lineitem""".stripMargin,
+
+    // the same tie-block rank arithmetic, spelled with DuckDB windows —
+    // the engine side never sorts rows, but the bracketed ranks agree
+    "global_price_quantiles" ->
+      """WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT v, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_less,
+        |    sum(cnt) OVER () AS n
+        |  FROM b)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN cnt_less * 1000 < n * 100
+        |    AND n * 100 <= (cnt_less + cnt) * 1000 THEN v END) AS p100,
+        |  max(CASE WHEN cnt_less * 1000 < n * 500
+        |    AND n * 500 <= (cnt_less + cnt) * 1000 THEN v END) AS p500,
+        |  max(CASE WHEN cnt_less * 1000 < n * 900
+        |    AND n * 900 <= (cnt_less + cnt) * 1000 THEN v END) AS p900,
+        |  max(CASE WHEN cnt_less * 1000 < n * 990
+        |    AND n * 990 <= (cnt_less + cnt) * 1000 THEN v END) AS p990
+        |FROM r""".stripMargin,
+
+    "price_equidepth" ->
+      """WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT v, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_less,
+        |    sum(cnt) OVER () AS n
+        |  FROM b)
+        |SELECT CAST(cnt_less * 10 // n AS BIGINT) AS bucket,
+        |  min(v) AS lo, max(v) AS hi,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_values
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "value_regression" ->
       """WITH q AS (

@@ -438,6 +438,55 @@ object Relational {
     }.drop("__bk" +: cnts.map(c => s"__off_$c"): _*)
   }
 
+  /** GLOBAL exact nearest-rank quantiles WITHOUT a global sort — the
+    * distributed-selection complement of [[exactPercentiles]] (whose
+    * per-group window sort is fine when groups fit a partition, not for a
+    * whole-corpus rank). Probabilities arrive as millesimal integers
+    * (p50 → 500), the target rank is ceil(n·p/1000) in exact integer
+    * arithmetic, and the answer for each p is the tie block whose
+    * exclusive/inclusive running counts bracket that rank:
+    * cnt_less·1000 < n·p ≤ (cnt_less+cnt)·1000. Running counts and n come
+    * from one [[prefixCounts]] pass, so the whole computation is tie-block
+    * aggregation + the prefix sum + ONE final aggregate — no row-scale
+    * sort anywhere, same answers as sorting. Output: one row
+    * `(n, p<millesimal>…)`.
+    */
+  def exactQuantilesGlobal(df: DataFrame, c: Column,
+                           probsMil: Seq[Int]): DataFrame = {
+    require(probsMil.forall(p => p > 0 && p <= 1000), "millesimal in (0,1000]")
+    val blocks = df.select(c.as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val pc = prefixCounts(blocks, "v", Seq("cnt"), totals = true)
+    val aggs = probsMil.map { p =>
+      max(when(col("cnt_less") * 1000 < col("cnt_total") * p &&
+        col("cnt_total") * p <= (col("cnt_less") + col("cnt")) * 1000,
+        col("v"))).as(s"p$p")
+    }
+    pc.agg(max(col("cnt_total")).as("n"), aggs: _*)
+  }
+
+  /** Equi-depth (equal-frequency) histogram without a global sort: each
+    * distinct-value tie block lands in bucket ⌊cnt_less·k/n⌋ — the bucket
+    * of its FIRST row's exclusive rank (tie blocks are never split, the
+    * standard equi-depth convention), with ranks from the same
+    * [[prefixCounts]] machinery. Deterministic integer arithmetic end to
+    * end; buckets carry (lo, hi, n_rows, n_values). The equi-WIDTH
+    * [[histogram]] bins the value domain; this bins the mass — the shape
+    * profilers want on skewed distributions, at any row scale.
+    */
+  def equidepthHistogram(df: DataFrame, c: Column, k: Int): DataFrame = {
+    require(k > 0, "need at least one bucket")
+    val blocks = df.select(c.as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    // integer `div`, not `/`: the float quotient could misplace a boundary
+    // block once cnt_less·k leaves the double-exact range
+    prefixCounts(blocks, "v", Seq("cnt"), totals = true)
+      .groupBy(expr(s"cnt_less * $k div cnt_total").as("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_values"))
+      .orderBy("bucket")
+  }
+
   /** Gini concentration index over per-key totals of an INTEGER-quantized
     * value (e.g. how concentrated revenue is across users), engine-exact
     * and transcendental-free: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the

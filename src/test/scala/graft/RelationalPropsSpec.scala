@@ -308,6 +308,45 @@ class RelationalPropsSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesGlobal equals the sorted nearest-rank selection, ties included") {
+    val rnd = new scala.util.Random(11)
+    // heavy ties on purpose: values drawn from a small domain
+    val xs = Seq.fill(5000)(rnd.nextInt(40).toLong * 7)
+    val df = xs.map(Tuple1(_)).toDF("x")
+    val got = Relational
+      .exactQuantilesGlobal(df, col("x"), Seq(100, 500, 900, 990))
+      .collect().head
+    val sorted = xs.sorted
+    def wantP(p: Int): Long = sorted((p * xs.length + 999) / 1000 - 1)
+    assert(got.getAs[Long]("n") === xs.length.toLong)
+    Seq(100, 500, 900, 990).foreach { p =>
+      assert(got.getAs[Long](s"p$p") === wantP(p), s"p$p mismatch")
+    }
+  }
+
+  test("equidepthHistogram: mass-balanced buckets, tie blocks never split, exact vs brute") {
+    val rnd = new scala.util.Random(13)
+    val xs = Seq.fill(4000)(rnd.nextInt(500).toLong)
+    val df = xs.map(Tuple1(_)).toDF("x")
+    val got = Relational.equidepthHistogram(df, col("x"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // brute force: same bucket rule over the sorted distinct blocks
+    val blocks = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val n = xs.length.toLong
+    var less = 0L
+    val want = blocks.map { case (v, cnt) =>
+      val b = less * 8 / n; less += cnt; (b, v, cnt)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, vs) =>
+      (b, vs.map(_._2).min, vs.map(_._2).max,
+        vs.map(_._3).sum, vs.size.toLong)
+    }
+    assert(got.toSeq === want)
+    assert(got.map(_._4).sum === n, "bucket masses sum to the row count")
+    assert(got.map(_._1).toSeq === got.map(_._1).sorted.toSeq)
+  }
+
   test("saltedAgg equals the direct aggregate") {
     val df = graft.engine.Tables(spark, sf).lineitem
     val direct = df.groupBy("l_returnflag")

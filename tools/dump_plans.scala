@@ -25,7 +25,11 @@ val picks = Seq(
   "user_event_features" -> "lag/lead/moving-frame features share ONE window exchange on user_id; the 3-row moving average accumulates exact decimal.",
   "bpe_pair_counts" -> "posexplode -> lead window per doc -> global pair aggregate with map-side partials -> TakeOrderedAndProject top-k.",
   "fuzzy_customer_pairs" -> "FastSS deletion-neighborhood blocking: explode each name into itself + single-deletion variants, equi-join on (block, variant) - candidates LINEAR in rows - then exact levenshtein verify. The per-block brute force this replaces was quadratic (22 s -> 1.6 s at sf0.1).",
-  "brand_affinity" -> "Basket-keyed pair self-join: both sides read ONE materialized stage (the pinned repartition on the deduped basket-item frame); global basket/item counts aggregate the raw input so no branch recomputes the join prefix; the 1-row basket count is the intended broadcast cross join.")
+  "brand_affinity" -> "Basket-keyed pair self-join: both sides read ONE materialized stage (the pinned repartition on the deduped basket-item frame); global basket/item counts aggregate the raw input so no branch recomputes the join prefix; the 1-row basket count is the intended broadcast cross join.",
+  "spend_gini" -> "Distributed prefix sum: quantile-bucketed tie blocks (localCheckpoint pins the block frame against diamond recompute), broadcast triangular bucket offsets, bucket-PARTITIONED running-count window - no unkeyed window, no single-partition sort at any key cardinality.",
+  "global_price_quantiles" -> "Global exact nearest-rank selection without a global sort: tie blocks + prefixCounts + ONE final aggregate bracketing each millesimal rank.",
+  "tpch_q11" -> "HAVING-vs-global as a broadcast 1-row total crossed back onto the checkpointed per-part aggregate - the heavy join runs once, nothing funnels one partition.",
+  "rolling_active_hll_bounds" -> "Per-day mergeable HLL sketches union-merged per 7-day window: the x7 replication lands on the ~30-row day domain, not the fact table; exact side joined in only for the bounds flags.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
