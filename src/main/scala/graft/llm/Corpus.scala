@@ -290,6 +290,50 @@ object Corpus {
     * corpus side is one shingle explode → left join → per-doc aggregate —
     * never doc×doc pairs.
     */
+  /** Pairwise SOURCE-level Jaccard similarity over distinct shingle sets —
+    * the mixture-design overlap audit (which sources are near-copies of
+    * each other, which are genuinely novel; the source-granularity
+    * complement of per-doc dedup and of benchmark decontamination). The
+    * document-unique window builds shingles per doc (never across doc
+    * boundaries); the source column rides the same projection, so the
+    * distinct `(source, shingle)` frame costs ONE aggregate at shingle
+    * cardinality. The self-join is keyed on the shingle: candidate volume
+    * is Σ per-shingle |sources|² ≤ S²·|shingles| with S = #sources (tens
+    * at any corpus size) — never doc-quadratic. Set sizes ride a broadcast
+    * of the S-row size frame; the checkpoint pins the shingle set against
+    * the sizes/self-join diamond. Output: `(src_a, src_b, n_common, n_a,
+    * n_b, jaccard)` for pairs with at least one shared shingle,
+    * src_a < src_b.
+    */
+  def sourceSimilarity(docs: DataFrame, id: String, source: String,
+                       textCol: String, n: Int = 3): DataFrame = {
+    val toks = docs.select(col(id), col(source).as("src"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy("pos")
+    val leads = (1 until n).map(o => lead("tok", o).over(w).as(s"t$o"))
+    val ss = toks.select(col("src") +: col("tok") +: leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col("src"),
+        concat_ws("|", col("tok") +: (1 until n).map(o => col(s"t$o")): _*)
+          .as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val sizes = ss.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    ss.as("a").join(ss.as("b"), "shingle")
+      .filter(col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("n_sh").as("n_b"))), Seq("src_b"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .select("src_a", "src_b", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("src_a", "src_b")
+  }
+
   def contaminationScores(corpus: DataFrame, benchmark: DataFrame, id: String,
                           textCol: String, n: Int = 3): DataFrame = {
     val bsh = Dedup.shingleRows(benchmark, id, textCol, n)

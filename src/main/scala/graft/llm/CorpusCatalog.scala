@@ -77,6 +77,10 @@ object CorpusCatalog extends Catalog {
         .orderBy("doc_id")
     }),
 
+    "source_similarity" -> ((s, d) =>
+      Corpus.sourceSimilarity(Tables(s, d).documents,
+        "doc_id", "source", "text")),
+
     "embedding_contamination" -> ((s, d) => {
       val emb = Tables(s, d).embeddings
       Corpus.embeddingContamination(
@@ -299,5 +303,30 @@ object CorpusCatalog extends Catalog {
          |  CAST(n_overlap AS BIGINT) AS n_overlap,
          |  CAST(n_overlap AS DOUBLE) / n_shingles AS containment
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    // pairwise source Jaccard: same normalize/shingle pipeline, distinct
+    // (source, shingle) sets, exact long counts, one IEEE division
+    "source_similarity" ->
+      s"""WITH tt AS (SELECT doc_id, source,
+         |    string_split(${OracleSql.norm}, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |    list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
+         |                   FOR i IN range(1, len(w) - 1)]) AS s
+         |  FROM tt WHERE len(w) >= 3),
+         |sx AS (SELECT source AS src, unnest(s) AS shingle FROM sh),
+         |ss AS (SELECT DISTINCT src, shingle FROM sx),
+         |sizes AS (SELECT src, count(*) AS n_sh FROM ss GROUP BY 1),
+         |inter AS (SELECT a.src AS src_a, b.src AS src_b,
+         |    count(*) AS n_common
+         |  FROM ss a JOIN ss b USING (shingle)
+         |  WHERE a.src < b.src GROUP BY 1, 2)
+         |SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+         |  CAST(n_common AS DOUBLE)
+         |    / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.src = src_a
+         |JOIN sizes sb ON sb.src = src_b
+         |ORDER BY src_a, src_b""".stripMargin,
   )
 }

@@ -273,6 +273,40 @@ class StreamingSpec extends SparkSpec {
     assert(base.forall(e => !verdicts(e.event_id)), "originals must pass")
   }
 
+  test("streaming simhash near-dup flags on the RocksDB state store") {
+    // the third stateful path on the RocksDB provider: the same mixed
+    // original/near-dup/fresh fixture as the HDFS-store test above
+    withStateStore(Streams.RocksDbStateStore) {
+      def mix(i: Long): Long = {
+        var z = i * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        (z ^ (z >>> 27)) & ((1L << 60) - 1)
+      }
+      val base = (0L until 10L).map(i =>
+        FpEvent(i, Timestamp.valueOf("2024-03-01 10:00:00"), mix(i)))
+      val replay = Seq(
+        FpEvent(100, Timestamp.valueOf("2024-03-01 10:05:00"), base(3).fp ^ 0x2100000001L),
+        FpEvent(101, Timestamp.valueOf("2024-03-01 10:05:00"), mix(42)))
+      val input = MemoryStream[FpEvent](spark)
+      input.addData(base: _*)
+      input.addData(replay: _*)
+      val q = Streams.simHashNearDupFlags(input.toDF(), "event_id", "fp")
+        .writeStream.format("memory").queryName("stream_simhash_rocksdb")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      import scala.jdk.CollectionConverters._
+      val custom = q.lastProgress.stateOperators.head.customMetrics
+        .keySet.asScala
+      assert(custom.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected rocksdb state-store metrics, got: $custom")
+      val verdicts = Streams
+        .nearDupVerdicts(spark.table("stream_simhash_rocksdb"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(verdicts.size === 12 && verdicts(100L) && !verdicts(101L))
+      assert(base.forall(e => !verdicts(e.event_id)))
+    }
+  }
+
   test("stream-stream join matches purchases to views within the window") {
     val mk = (id: Long, u: Long, t: String, typ: String) =>
       RawEvent(id, Timestamp.valueOf(t), u, typ, 5.0, """{"k": 1}""")
