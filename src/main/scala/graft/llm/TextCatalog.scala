@@ -175,6 +175,10 @@ object TextCatalog extends Catalog {
       TextOps.repetitionAgg(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
 
+    "doc_surprisal" -> ((s, d) =>
+      TextOps.bigramSurprisal(Tables(s, d).documents, "doc_id", "text")
+        .orderBy("doc_id")),
+
     "doc_chunks" -> ((s, d) =>
       TextOps.chunkRows(Tables(s, d).documents, "doc_id", "text",
           ChunkSize, ChunkStride)
@@ -469,6 +473,24 @@ object TextCatalog extends Catalog {
          |              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx)
          |    / n AS intercept
          |FROM m ORDER BY lang""".stripMargin,
+
+    // corpus-bigram-LM surprisal: floor(log2(N/c)) spelled as the binary
+    // string length of the integer quotient — exact on both engines
+    "doc_surprisal" ->
+      s"""WITH t AS ($docTokens),
+         |bg AS (SELECT doc_id,
+         |    unnest([w[i] || '|' || w[i+1] FOR i IN range(1, len(w))]) AS bigram
+         |  FROM t WHERE len(w) >= 2),
+         |db AS (SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY 1, 2),
+         |c AS (SELECT bigram, CAST(sum(k) AS BIGINT) AS c FROM db GROUP BY 1),
+         |n AS (SELECT CAST(sum(k) AS BIGINT) AS n_total FROM db)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(k * (length(format('{:b}', n_total // c)) - 1)) AS BIGINT)
+         |    AS surprisal_bits,
+         |  CAST(sum(k * (length(format('{:b}', n_total // c)) - 1)) AS DOUBLE)
+         |    / sum(k) AS avg_bits
+         |FROM db JOIN c USING (bigram) CROSS JOIN n
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_repetition" ->
       s"""WITH t AS ($docTokens),

@@ -584,4 +584,44 @@ object TextOps {
     }
     withScores.select(col(id) +: langs.map(l => col(s"s_$l")) :+ pred.as("lang_pred"): _*)
   }
+
+  /** Integer bigram-LM surprisal — the corpus-language-model quality
+    * signal (the CCNet/Gopher perplexity-filter shape) with NO
+    * transcendentals: a bigram occurring c times among the corpus's N
+    * bigram slots carries ⌊log₂(N/c)⌋ = bitlength(N div c) − 1 bits, an
+    * EXACT integer on both engines (binary-string length of the integer
+    * quotient), so per-doc totals are exact longs and the one avg division
+    * is IEEE-declared. Low avg_bits ⇒ corpus-typical (predictable) text;
+    * high ⇒ rare constructions (novel or noisy) — the cheap LM filter that
+    * needs no trained model, only the corpus itself. Cost: per-doc bigram
+    * window (narrow), ONE (doc, bigram) occurrence aggregate
+    * (checkpoint-pinned against its counts/join diamond), the global
+    * bigram counts joined back at DISTINCT-pair volume, and a broadcast
+    * 1-row total. Docs with < 2 tokens have no bigrams and drop out (the
+    * stats tier's job). Output: `(id, n_bigrams, surprisal_bits,
+    * avg_bits)`.
+    */
+  def bigramSurprisal(docs: org.apache.spark.sql.DataFrame, id: String,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col(id),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy("pos")
+    val db = toks
+      .select(col(id), col("tok"), lead("tok", 1).over(w).as("t1"))
+      .filter(col("t1").isNotNull)
+      .select(col(id), concat_ws("|", col("tok"), col("t1")).as("bigram"))
+      .groupBy(col(id), col("bigram")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val c = db.groupBy(col("bigram")).agg(sum(col("k")).as("c"))
+    val n = db.agg(sum(col("k")).as("n_total"))
+    val bits = (length(conv(expr("n_total div c"), 10, 2)) - 1).cast("long")
+    db.join(c, Seq("bigram"))
+      .crossJoin(broadcast(n))
+      .groupBy(col(id))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * bits).as("surprisal_bits"))
+      .withColumn("avg_bits", col("surprisal_bits").cast("double") /
+        col("n_bigrams").cast("double"))
+  }
 }

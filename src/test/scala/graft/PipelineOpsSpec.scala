@@ -304,4 +304,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L) === ((None, true)))
     assert(got(3L) === ((None, true)), "cells block the pair search")
   }
+
+  test("bigramSurprisal: exact integer bits on a hand-computed corpus") {
+    // corpus bigram slots N=5: a|b x3, b|a x1, x|y x1.
+    // bits(a|b) = bitlen(5 div 3)-1 = 0; bits(b|a) = bits(x|y) = bitlen(5)-1 = 2
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x y"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextOps.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(got(2L) === ((1L, 0L, 0.0)))
+    assert(got(3L) === ((1L, 2L, 2.0)))
+    assert(!got.contains(4L), "single-token docs have no bigrams")
+  }
 }

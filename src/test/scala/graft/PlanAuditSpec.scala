@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
         "vip_amount_mannwhitney", "vip_amount_ks",
         "global_price_quantiles", "price_equidepth",
         // 1-row global threshold/max broadcast back onto the aggregate
-        "tpch_q11", "tpch_q15")
+        "tpch_q11", "tpch_q15",
+        "doc_surprisal") // broadcast of the 1-row total-bigram count
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }
