@@ -226,6 +226,72 @@ object Dedup {
     verifiedJaccard(cand, sh, counts, id, threshold)
   }
 
+  /** EXACT directional set-containment self-join: emit `(id_a, id_b,
+    * containment)` for every ordered pair with C(a→b) = |Sa ∩ Sb| / |Sa| ≥
+    * `threshold`, a ≠ b — id_a is the CONTAINED doc. Symmetric Jaccard
+    * misses exactly this case: a short excerpt quoted inside a long
+    * document has near-1 containment but tiny Jaccard (the union is
+    * dominated by the container), so a τ-Jaccard dedup pass keeps both.
+    * Containment is the quote/boilerplate/subset-duplication detector a
+    * curation pipeline runs AFTER symmetric dedup.
+    *
+    * Prefix principle, asymmetric form: order Sa's shingles by ascending
+    * global document frequency (rarest first); C(a→b) ≥ t needs overlap ≥
+    * ceil(t·|Sa|), so a's first |Sa| − ceil(t·|Sa|) + 1 shingles must
+    * contain at least one element of Sb — equi-joining a-prefixes against
+    * the FULL shingle index is a complete candidate set. Unlike the
+    * Jaccard join ([[prefixFilterPairs]]) the container side cannot be
+    * prefix-pruned (any superset qualifies regardless of where the shared
+    * shingles fall in ITS frequency order), and the PPJoin positional
+    * filter degenerates: with the full index every common prefix shingle
+    * is matched, so the suffix bound m + (need − 1) ≥ need reduces to
+    * m ≥ 1, which the join already guarantees. What remains sound: the
+    * size filter |Sb| ≥ ceil(t·|Sa|) (overlap can't exceed |Sb|).
+    *
+    * Threshold comparisons in the candidate stage use exact integer
+    * arithmetic at millesimal precision rounded DOWN (candidate superset
+    * only widens); verification applies the caller's exact threshold.
+    *
+    * Scale shape: shuffles on shingle (df-count + index probe) and doc id
+    * (rank window, verify) — never all-pairs. The index side keeps hot
+    * shingles, but a bucket's cost is |prefix entries| × |docs containing
+    * it|, and df-ascending prefix ordering makes hot shingles ineligible
+    * for prefixes precisely because they are hot — the classic inverted-
+    * index containment-join shape (PRETTI family), candidate volume
+    * linear in total shingle mass for bounded df skew.
+    */
+  def containmentPairs(df: DataFrame, id: String, textCol: String,
+                       threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val num = math.floor(threshold * 1000).toLong
+    val sh = shingleRows(df, id, textCol, n).localCheckpoint(false)
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(id).orderBy(col("df"), col("shingle"))))
+      .join(counts, Seq(id))
+    // need = ceil(t'·n_a) in exact integers: (num·n_a + 999) div 1000
+    val needA = floor((col("n_sh") * num + 999L) / 1000L)
+    val pre = ranked.filter(col("rk") <= col("n_sh") - needA + 1)
+      .select(col(id).as("id_a"), col("shingle"), col("n_sh").as("n_a"))
+    val idx = sh.join(counts, Seq(id))
+      .select(col(id).as("id_b"), col("shingle"), col("n_sh").as("n_b"))
+    val cand = pre.join(idx, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("n_b") * 1000L >= col("n_a") * num)
+      .select("id_a", "id_b").distinct()
+    val common = cand
+      .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.select(col(id).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") / col("n_a")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Incremental ingest dedup: flag every NEW doc against the EXISTING
     * corpus without ever pairing the corpus with itself — the production
     * shape for appending a batch to a 100 TB corpus, where re-running the

@@ -25,6 +25,12 @@ object DedupCatalog extends Catalog {
     */
   val PrefixThreshold = 0.6
 
+  /** Directional containment τ: an excerpt with ≥80% of its shingles
+    * inside another doc is flagged even when the Jaccard union is diluted
+    * by the container's length.
+    */
+  val ContainmentThreshold = 0.8
+
   /** The "new batch" slice for the incremental ingest-dedup gate query
     * (the rest of `documents` plays the existing corpus).
     */
@@ -37,6 +43,10 @@ object DedupCatalog extends Catalog {
 
     "jaccard_prefix_pairs" -> ((s, d) =>
       Dedup.prefixFilterPairs(Tables(s, d).documents, "doc_id", "text", PrefixThreshold)
+        .orderBy("id_a", "id_b")),
+
+    "containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables(s, d).documents, "doc_id", "text", ContainmentThreshold)
         .orderBy("id_a", "id_b")),
 
     "near_dup_dedup" -> ((s, d) =>
@@ -96,6 +106,12 @@ object DedupCatalog extends Catalog {
       s"""WITH ${OracleSql.jaccardPairsCtes}
          |SELECT id_a, id_b, jaccard FROM pairs
          |WHERE jaccard >= $PrefixThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "containment_pairs" ->
+      s"""WITH ${OracleSql.containmentPairsCtes}
+         |SELECT id_a, id_b, containment FROM cpairs
+         |WHERE containment >= $ContainmentThreshold
          |ORDER BY id_a, id_b""".stripMargin,
 
     "near_dup_dedup" ->

@@ -51,4 +51,19 @@ object OracleSql {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
 
   val jaccardPairsCtes: String = jaccardPairsCtesFrom("documents")
+
+  /** CTE chain `tt, sh, cpairs` ending in brute-force all-ORDERED-pairs
+    * directional containment `cpairs(id_a, id_b, containment)` where
+    * containment = |Sa ∩ Sb| / |Sa| (oracle only — the engine uses the
+    * prefix-filtered inverted-index join).
+    */
+  val containmentPairsCtes: String =
+    s"""tt AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+       |  FROM tt WHERE len(w) >= 3),
+       |cpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment
+       |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)""".stripMargin
 }

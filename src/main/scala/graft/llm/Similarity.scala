@@ -416,6 +416,100 @@ object Similarity {
           .as("cov"))
   }
 
+  /** Dominant principal component of the embedding cloud by DISTRIBUTED
+    * power iteration — deterministic to the bit, so the whole iterative
+    * fit is oracle-replayable (no captured state): all corpus-sized math
+    * is exact integer/decimal, and the one float division happens after
+    * the last iteration.
+    *
+    * Per iteration, with Xc the mean-centered matrix scaled by n (so
+    * centering stays integral: xc = n·x − S, S the per-dim column sum):
+    * w = Xcᵀ(Xc·v), then v' = trunc(w·scale / max|w|). The matvecs never
+    * materialize Xc: Xc·v = n·(x·v) − S·v needs only the raw quantized dot
+    * ([[dotQ]], codegen'd) against the broadcast-literal v and two
+    * driver-scalar constants; the transpose pass folds into ONE
+    * posexplode + per-dim aggregate, because Σᵢ xcᵢd·dotᵢ = n·Σᵢ xᵢd·dotᵢ
+    * − S_d·Σᵢ dotᵢ, and Σᵢ dotᵢ falls out of the same grouped aggregate
+    * (each vector contributes its dot once per dim). So an iteration is:
+    * one narrow scan + one hash aggregate at dim-cardinality, collected as
+    * a dim-sized control-plane vector — the same bounded-collect pattern
+    * as [[kmeansFit]]. Exactness bounds (scaladoc'd, not enforced): the
+    * per-row dot column is Long-exact while 2·n·dim·QScale·scale < 2⁶³
+    * (n ≈ 3e8 at the defaults); past that, fit with a coarser quantization.
+    *
+    * Returns the integer component (length dim, ∞-norm = `scale`) plus the
+    * centering constants needed to project: (v, S, n).
+    */
+  def powerIterationInts(df: DataFrame, id: String, vec: String, iters: Int = 3,
+                         scale: Long = 10000L): (Seq[BigInt], Seq[BigInt], Long) = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val p = prepare(df, id, vec).select(col(id), col("q")).localCheckpoint(false)
+    val dim = p.select(size(col("q"))).head().getInt(0)
+    val stats = p.select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(sum(dec(col("x"))).as("s"), count(lit(1)).as("nn"))
+      .collect().map(r => r.getInt(0) -> (BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
+      .toMap
+    val n = stats.head._2._2
+    val s = (0 until dim).map(d => stats(d)._1)
+    var v: IndexedSeq[BigInt] = IndexedSeq.fill(dim)(BigInt(1))
+    for (_ <- 1 to iters) {
+      val sdotv = (0 until dim).map(d => s(d) * v(d)).sum
+      val dt = (dec(lit(n)) * dotQ(col("q"), array(v.map(x => lit(x.toLong)): _*))
+        - dec(lit(new java.math.BigDecimal(sdotv.bigInteger)))).as("dt")
+      val agg = p.select(col("q"), dt)
+        .select(col("dt"), posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(sum(dec(col("x")) * col("dt")).as("a"), sum(col("dt")).as("dtot"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (BigInt(r.getDecimal(1).toBigInteger), BigInt(r.getDecimal(2).toBigInteger)))
+        .toMap
+      val dsum = agg.head._2._2
+      val w = (0 until dim).map(d => BigInt(n) * agg(d)._1 - s(d) * dsum)
+      val m = w.map(_.abs).max
+      require(m.signum > 0, "power iteration degenerated: zero matvec " +
+        "(centered matrix annihilated v — retry with a different start)")
+      // BigInt / truncates toward zero, matching DuckDB HUGEINT //
+      v = w.map(_ * scale / m)
+    }
+    (v, s, n)
+  }
+
+  /** The fitted component as a `(dim, component)` frame: the integer
+    * direction normalized to unit length — dim rows, driver-built from the
+    * control-plane vector (the corpus never leaves the executors).
+    */
+  def topComponent(df: DataFrame, id: String, vec: String, iters: Int = 3,
+                   scale: Long = 10000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (v, _, _) = powerIterationInts(df, id, vec, iters, scale)
+    val n2 = v.map(x => x * x).sum
+    val norm = math.sqrt(n2.toDouble)
+    v.zipWithIndex.map { case (x, d) => (d, x.toLong.toDouble / norm) }
+      .toDF("dim", "component")
+  }
+
+  /** Centered projection of every vector onto the fitted component:
+    * proj_i = (x_i − mean)·u — the distributed CONSUMER of the fit (PCA
+    * outlier scoring / top-component removal), one narrow codegen pass
+    * over the corpus with the component as a broadcast literal. The
+    * numerator (n·(x·v) − S·v) is integer-exact, so projections sum to
+    * exactly zero pre-division; the one double division is last.
+    */
+  def pcaProjection(df: DataFrame, id: String, vec: String, iters: Int = 3,
+                    scale: Long = 10000L): DataFrame = {
+    val (v, s, n) = powerIterationInts(df, id, vec, iters, scale)
+    val sdotv = (0 until v.size).map(d => s(d) * v(d)).sum
+    val n2 = v.map(x => x * x).sum
+    val p = prepare(df, id, vec)
+    val num = (col("q_dot_v").cast("decimal(38,0)") * lit(n)
+      - lit(new java.math.BigDecimal(sdotv.bigInteger))).cast("double")
+    val den = n.toDouble * QScale.toDouble * math.sqrt(n2.toDouble)
+    p.select(col(id), dotQ(col("q"), array(v.map(x => lit(x.toLong)): _*)).as("q_dot_v"))
+      .select(col(id), (num / lit(den)).as("projection"))
+  }
+
   /** Embedding near-duplicate pairs, blocked by a coarse cell id: the pair
     * search runs only inside cells (shuffle on the cell key, AQE handles
     * skewed cells), then exact quantized cosine filters at the threshold.
@@ -440,6 +534,33 @@ object Similarity {
     * decision is one aggregate on the pair frame (tiny next to the corpus)
     * plus a left join back — no collect, no all-pairs.
     */
+  /** Cell count for a scale-adaptive SemDeDup fit: k = ceil(n / target),
+    * floored at `minK`. The pinned-k form degrades quadratically on
+    * scale-up (10× vectors in the same k cells → up to 100× within-cell
+    * candidate pairs — the measured `semantic_dedup` sf0.1→sf1 16.3×);
+    * holding the TARGET CELL SIZE constant instead keeps per-cell pair
+    * volume, and therefore total candidate volume, linear in n. Pure
+    * integer arithmetic on a count — deterministic for the oracle.
+    */
+  def cellCountFor(n: Long, target: Long, minK: Int = 8): Int =
+    math.max(minK.toLong, (n + target - 1) / target).toInt
+
+  /** [[semanticDedup]] with the clustering built in at a scale-adaptive
+    * cell count ([[cellCountFor]]): fit deterministic integer k-means,
+    * assign, then dedup within the fitted cells. Returns
+    * `(id, cluster, dup_of, is_kept)` and the fitted model (so callers —
+    * and the gate oracle — can replay the assignment).
+    */
+  def semanticDedupAuto(df: DataFrame, id: String, vec: String,
+                        threshold: Double, targetCellSize: Long = 64L,
+                        iters: Int = 3): (KMeansModel, DataFrame) = {
+    val k = cellCountFor(df.count(), targetCellSize)
+    val model = kmeansFit(df, id, vec, k, iters)
+    val out = semanticDedup(df.join(model.assign(df), Seq(id)), id, vec,
+      "cluster", threshold)
+    (model, out)
+  }
+
   def semanticDedup(df: DataFrame, id: String, vec: String, cell: String,
                     threshold: Double): DataFrame = {
     val dupOf = cellNearDupPairs(df, id, vec, cell, threshold)

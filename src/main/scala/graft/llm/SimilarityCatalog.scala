@@ -50,9 +50,36 @@ object SimilarityCatalog extends Catalog {
           "label", NearDupCos)
         .orderBy("vec_id")),
 
+    // the scale-adaptive form: cells come from a k ∝ n k-means fit
+    // (constant target cell size — the knob the sf1 scaling run showed
+    // pinned-k lacks), so candidate volume stays linear on scale-up. The
+    // fit is deterministic; its centroids are captured for the oracle
+    // like ivf_kmeans_assign's (semanticAutoOracle below).
+    "semantic_dedup_auto" -> ((s, d) => {
+      val (model, out) = Similarity.semanticDedupAuto(
+        Tables(s, d).embeddings, "vec_id", "embedding", NearDupCos)
+      autoCentroids = Some(model.centroids)
+      out.orderBy("vec_id")
+    }),
+
     "cell_stats" -> ((s, d) =>
       Similarity.cellStats(Tables(s, d).embeddings, "embedding", "label")
         .orderBy("label", "dim")),
+
+    // distributed power iteration: the ITERATIVE fit itself is oracled —
+    // every iteration is exact integer/decimal arithmetic, so the DuckDB
+    // side replays all 3 matvec+rescale rounds from scratch (pcaCtes) and
+    // must land on the identical component, bit for bit
+    "embedding_pca" -> ((s, d) =>
+      Similarity.topComponent(Tables(s, d).embeddings, "vec_id", "embedding",
+          PcaIters, PcaScale)
+        .orderBy("dim")),
+
+    // the fit's distributed consumer: centered per-vector projection
+    "pca_projection" -> ((s, d) =>
+      Similarity.pcaProjection(Tables(s, d).embeddings, "vec_id", "embedding",
+          PcaIters, PcaScale)
+        .orderBy("vec_id")),
 
     // IVF build: deterministic integer k-means. The FIT is iterative (no
     // single-statement oracle), but it is deterministic by construction —
@@ -139,6 +166,11 @@ object SimilarityCatalog extends Catalog {
     */
   @volatile private var fittedCentroids: Option[Seq[(Int, Seq[Long])]] = None
 
+  /** Centroids of the last `semantic_dedup_auto` fit (captured separately
+    * so each capture-oracled query stands alone under a subset run).
+    */
+  @volatile private var autoCentroids: Option[Seq[(Int, Seq[Long])]] = None
+
   /** Centroids of the last `kmeans_label_purity` fit (captured separately so
     * either query oracles independently under a subset run).
     */
@@ -207,6 +239,77 @@ object SimilarityCatalog extends Catalog {
          |ORDER BY vec_id""".stripMargin
   }
 
+  /** semantic_dedup_auto oracle: replay the captured-centroid assignment,
+    * then the same within-cell pair scoring / min-id dup collapse as the
+    * `semantic_dedup` oracle, blocked on the fitted cluster instead of the
+    * fixture label.
+    */
+  private def semanticAutoOracle: Option[(String, String)] = autoCentroids.map { cs =>
+    "semantic_dedup_auto" ->
+      s"""WITH ${assignCtes(cs)},
+         |pc AS (SELECT pn.vec_id, pn.q, pn.n2, a.cluster FROM pn JOIN a USING (vec_id)),
+         |sd_scored AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.n2 AS na, y.n2 AS nb,
+         |    (SELECT CAST(sum(xx * yy) AS BIGINT)
+         |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+         |  FROM pc x JOIN pc y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+         |sd_dup AS (
+         |  SELECT id_b AS vec_id, min(id_a) AS dup_of FROM sd_scored
+         |  WHERE CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+         |  GROUP BY id_b)
+         |SELECT pc.vec_id, pc.cluster, d.dup_of, d.dup_of IS NULL AS is_kept
+         |FROM pc LEFT JOIN sd_dup d USING (vec_id)
+         |ORDER BY pc.vec_id""".stripMargin
+  }
+
+  val PcaIters = 3
+  val PcaScale = 10000L
+
+  /** Full DuckDB replay of [[Similarity.powerIterationInts]]: the
+    * unrolled iteration chain ending in `pv{PcaIters}(dim, v)` (the integer
+    * component), `pn2(n2)` (its squared norm), plus `pcnt(n)`, `pds(dim,
+    * s)`, `psv{k}` — every stage MATERIALIZED because the chain is
+    * self-referential (v_k reads v_{k-1}); inlined CTEs would re-derive
+    * the whole prefix per reference and blow up exponentially (measured:
+    * the 3-round chain stops completing). Arithmetic mirror notes:
+    * HUGEINT `//` truncates toward zero exactly like the Scala side's
+    * BigInt `/`, and every sum is HUGEINT-exact.
+    */
+  private def pcaCtes: String = {
+    val iters = (1 to PcaIters).map { k =>
+      val pv = s"pv${k - 1}"
+      s"""pl$k AS MATERIALIZED (SELECT list(v ORDER BY dim) AS lv FROM $pv),
+         |psv$k AS MATERIALIZED (SELECT CAST(sum(pds.s * $pv.v) AS HUGEINT) AS sdotv
+         |  FROM pds JOIN $pv USING (dim)),
+         |pdot$k AS MATERIALIZED (SELECT pp.vec_id, pp.q,
+         |  (SELECT n FROM pcnt) * (SELECT CAST(sum(x * y) AS HUGEINT)
+         |     FROM (SELECT unnest(pp.q) AS x, unnest((SELECT lv FROM pl$k)) AS y))
+         |  - (SELECT sdotv FROM psv$k) AS dt FROM pp),
+         |pagg$k AS MATERIALIZED (SELECT dim, CAST(sum(CAST(x AS HUGEINT) * dt) AS HUGEINT) AS a FROM
+         |  (SELECT dt, unnest(q) AS x, CAST(unnest(range(0, len(q))) AS INTEGER) AS dim FROM pdot$k)
+         |  GROUP BY dim),
+         |pdd$k AS MATERIALIZED (SELECT CAST(sum(dt) AS HUGEINT) AS dsum FROM pdot$k),
+         |pw$k AS MATERIALIZED (SELECT pagg$k.dim,
+         |  (SELECT n FROM pcnt) * pagg$k.a - pds.s * (SELECT dsum FROM pdd$k) AS w
+         |  FROM pagg$k JOIN pds USING (dim)),
+         |pm$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM pw$k),
+         |pv$k AS MATERIALIZED (SELECT dim, (w * $PcaScale) // (SELECT m FROM pm$k) AS v FROM pw$k)""".stripMargin
+    }.mkString(",\n")
+    s"""pp AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QScale}.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pcnt AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM pp),
+       |pds AS MATERIALIZED (SELECT dim, CAST(sum(x) AS HUGEINT) AS s FROM
+       |  (SELECT unnest(q) AS x, CAST(unnest(range(0, len(q))) AS INTEGER) AS dim FROM pp)
+       |  GROUP BY dim),
+       |pv0 AS MATERIALIZED (SELECT dim, CAST(1 AS HUGEINT) AS v
+       |  FROM (SELECT CAST(unnest(range(0, $Dim)) AS INTEGER) AS dim)),
+       |$iters,
+       |pn2 AS MATERIALIZED (SELECT CAST(sum(v * v) AS HUGEINT) AS n2 FROM pv$PcaIters)""".stripMargin
+  }
+
   /** Quantized vectors + exact integer norms (oracle side; shared with the
     * embedding-contamination oracle in [[CorpusCatalog]]).
     */
@@ -259,7 +362,27 @@ object SimilarityCatalog extends Catalog {
   }
 
   def oracleSql: Map[String, String] =
-    kmeansOracle.toMap ++ purityOracle.toMap ++ Map(
+    kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++ Map(
+    "embedding_pca" ->
+      s"""WITH $pcaCtes
+         |SELECT dim, CAST(v AS DOUBLE) /
+         |  sqrt(CAST((SELECT n2 FROM pn2) AS DOUBLE)) AS component
+         |FROM pv$PcaIters ORDER BY dim""".stripMargin,
+
+    "pca_projection" ->
+      s"""WITH $pcaCtes,
+         |pfl AS MATERIALIZED (SELECT list(v ORDER BY dim) AS lv FROM pv$PcaIters),
+         |pfsv AS MATERIALIZED (SELECT CAST(sum(pds.s * pv$PcaIters.v) AS HUGEINT) AS sdotv
+         |  FROM pds JOIN pv$PcaIters USING (dim))
+         |SELECT pp.vec_id,
+         |  CAST((SELECT CAST(sum(x * y) AS HUGEINT)
+         |        FROM (SELECT unnest(pp.q) AS x, unnest((SELECT lv FROM pfl)) AS y))
+         |      * (SELECT n FROM pcnt)
+         |    - (SELECT sdotv FROM pfsv) AS DOUBLE)
+         |  / (CAST((SELECT n FROM pcnt) AS DOUBLE) * ${Similarity.QScale}.0
+         |     * sqrt(CAST((SELECT n2 FROM pn2) AS DOUBLE))) AS projection
+         |FROM pp ORDER BY pp.vec_id""".stripMargin,
+
     // covariance: same exact integer cross-moments (DuckDB sums in HUGEINT,
     // Spark in DECIMAL(38,0) — both exact), same double derivation order
     "embedding_covariance" ->

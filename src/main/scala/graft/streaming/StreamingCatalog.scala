@@ -365,6 +365,93 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("event_id", "err_event_id")
   }
 
+  /** Stage (once per JVM × source dir) the session-replay input: the
+    * normalized events as one parquet file, followed by two "watermark
+    * flush" sentinel files (user_id = -1, each a single far-future event).
+    * Append-mode session aggregation only emits a session once the
+    * watermark passes its end, and a batch evicts with the watermark
+    * computed from event time through the END of the previous batch — so
+    * one sentinel advances event time past every real session (flush1 =
+    * max ts + 2h > max session end + delay) and a second forces the batch
+    * that actually emits them. This is the production pattern for draining a
+    * watermarked aggregation on a quiescent source: emission needs event-
+    * time progress, not wall-clock. Modification times force the
+    * file-source order events → flush1 → flush2.
+    */
+  private def sessionReplayDir(s: SparkSession, d: String): String =
+    graft.engine.FixtureDirs("session-replay", d) { tmp =>
+      val ev = graft.engine.Tables(s, d).events
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def sentinel(id: Long, offsetMs: Long): DataFrame =
+        s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            id, new java.sql.Timestamp(maxTs.getTime + offsetMs), -1L, "flush",
+            0.0, "{}")),
+          eventSchema)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val stage = new java.io.File(tmp, s"__stage_$name")
+        df.coalesce(1).write.parquet(stage.toString)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(tmp, name)
+        Files.move(part.toPath, dst.toPath)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+        dst.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 240000
+      writeOne(ev, "events.parquet", t0)
+      writeOne(sentinel(-1L, 2L * 3600 * 1000), "flush1.parquet", t0 + 60000)
+      writeOne(sentinel(-2L, 4L * 3600 * 1000), "flush2.parquet", t0 + 120000)
+    }
+
+  /** Normalized event schema of the staged session-replay files. */
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** [[Streams.userSessions]] run as a REAL watermarked APPEND stream
+    * inside the gate — the production sessionization shape where a session
+    * row is emitted exactly once (when the watermark passes its end) and
+    * its state is evicted, so the state store holds only the watermark
+    * horizon's open sessions, not history. maxFilesPerTrigger=1 forces the
+    * events / flush1 / flush2 batch sequence ([[sessionReplayDir]]). The
+    * sentinel user is filtered at sink READ-BACK, deliberately not in the
+    * stream: a `user_id >= 0` filter above the aggregate is pushed by
+    * Catalyst below it into the parquet scan (user_id is a grouping key),
+    * which eliminates the sentinel rows before the EventTimeWatermark node
+    * ever sees them — the watermark then never advances and the tail
+    * sessions never emit (measured: stuck at max ts - 1h, two sessions
+    * short). Oracle: the batch `user_sessions` gaps-and-islands SQL —
+    * proving the append-mode emission is COMPLETE over the real sessions,
+    * not just consistent on what it happened to emit.
+    */
+  def replaySessionWindows(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val dir = sessionReplayDir(s, d)
+    val base = Files.createTempDirectory("graft-session-win").toString
+    val q = Streams.userSessions(
+        s.readStream.schema(eventSchema).option("maxFilesPerTrigger", "1")
+          .parquet(dir),
+        "30 minutes")
+      .select(col("user_id"),
+        graft.ops.Relational.tsStr(col("session_start")).as("session_start"),
+        col("n_events"), col("session_value"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    s.read.parquet(s"$base/sink")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
+  }
+
   /** The age-preferences view shape over the ENRICHED sink: the enriched
     * `amount_category` plays the bucketing key (so a green row proves the
     * enrichment ran through the stream), `event_type` plays category —
@@ -449,6 +536,7 @@ object StreamingCatalog extends Catalog {
     "stream_dim_join"         -> ((s, d) => replayDimJoin(s, d)),
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
     "stream_range_join"       -> ((s, d) => replayRangeJoin(s, d)),
+    "stream_session_windows"  -> ((s, d) => replaySessionWindows(s, d)),
 
     // the sliding-window aggregate through the SAME code path streaming
     // uses (withWatermark is a declared no-op on batch input): each event
@@ -463,6 +551,9 @@ object StreamingCatalog extends Catalog {
   def oracleSql: Map[String, String] = Map(
     // identical semantics to the batch path — reuse its oracle verbatim
     "stream_enriched_replay" -> EnrichCatalog.oracleSql("enriched_orders"),
+
+    // append-mode sessionization drains to exactly the batch session set
+    "stream_session_windows" -> graft.ops.ServingCatalog.oracleSql("user_sessions"),
 
     // the stream-static join: same modulo mapping, plain batch join
     "stream_dim_join" ->

@@ -92,6 +92,37 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs equals brute-force directional containment") {
+    val docs = Tables(spark, sf).documents
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .filter(size(col("s")) > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(col("a.s"))).as("c"))
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val exact = Dedup.containmentPairs(docs, "doc_id", "text", t)
+        .collect().map(key).toSet
+      val expected = brute.filter(col("c") >= t).collect().map(key).toSet
+      assert(exact === expected, s"threshold $t")
+    }
+  }
+
+  test("containmentPairs flags an excerpt that symmetric Jaccard misses") {
+    // doc 2 is a verbatim 6-token excerpt of the 40-token doc 1:
+    // containment(2→1) = 1.0 but Jaccard ≈ 4/38 — invisible to any
+    // useful symmetric threshold.
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val excerpt = (10 to 15).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long), (2L, excerpt), (3L, "totally unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((2L, 1L, 1.0)))
+    assert(Dedup.prefixFilterPairs(df, "doc_id", "text", 0.5).count() === 0)
+  }
+
   test("dupClusters propagates the minimum id through chains") {
     // 1~2, 2~3 (chain), 5~6, 9 isolated: components {1,2,3}, {5,6}, {9}.
     // Near-dups differ by one token over 20 (jaccard ~0.85, inside the

@@ -305,6 +305,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(3L) === ((None, true)), "cells block the pair search")
   }
 
+  test("semanticDedupAuto matches semanticDedup over its own fitted cells") {
+    val t = graft.engine.Tables(spark, sf)
+    val e = t.embeddings
+    val (model, auto) = Similarity.semanticDedupAuto(e, "vec_id", "embedding", 0.35)
+    val manual = Similarity.semanticDedup(
+      e.join(model.assign(e), Seq("vec_id")), "vec_id", "embedding", "cluster", 0.35)
+    assert(auto.orderBy("vec_id").collect().toSeq
+      === manual.orderBy("vec_id").collect().toSeq)
+    // k tracks corpus size at constant target cell size
+    assert(Similarity.cellCountFor(500L, 64L) === 8)
+    assert(Similarity.cellCountFor(5000L, 64L) === 79)
+    assert(Similarity.cellCountFor(10L, 64L) === 8, "floor holds for tiny corpora")
+    assert(model.centroids.size === Similarity.cellCountFor(e.count(), 64L))
+  }
+
+  test("power iteration recovers a planted dominant direction") {
+    // cloud: strong variance along axis 0, weak noise along axis 1
+    val df = (0 until 40).map { i =>
+      val big = if (i % 2 == 0) 0.9f else -0.9f
+      val noise = ((i % 5) - 2) * 0.01f
+      (i.toLong, Seq(big, noise, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val comp = Similarity.topComponent(df, "vec_id", "embedding")
+      .orderBy("dim").collect().map(_.getDouble(1))
+    assert(math.abs(comp(0)) > 0.999, s"axis-0 dominance: ${comp.toSeq}")
+    assert(comp.drop(1).forall(c => math.abs(c) < 0.05))
+    // unit length
+    assert(math.abs(comp.map(c => c * c).sum - 1.0) < 1e-12)
+  }
+
+  test("pcaProjection is centered and partitioning-invariant") {
+    val t = graft.engine.Tables(spark, sf)
+    val base = Similarity.pcaProjection(t.embeddings, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // centered: the integer numerators sum to exactly zero, so the double
+    // projections sum to ~0 (only per-row division rounding remains)
+    assert(math.abs(base.map(_._2).sum) < 1e-9)
+    assert(base.exists(p => math.abs(p._2) > 1e-6), "projections are non-trivial")
+    val reparts = Similarity.pcaProjection(
+        t.embeddings.repartition(7), "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(base.toSeq === reparts.toSeq, "bit-identical under repartitioning")
+  }
+
   test("bigramSurprisal: exact integer bits on a hand-computed corpus") {
     // corpus bigram slots N=5: a|b x3, b|a x1, x|y x1.
     // bits(a|b) = bitlen(5 div 3)-1 = 0; bits(b|a) = bits(x|y) = bitlen(5)-1 = 2

@@ -131,6 +131,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(3))).toSeq === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("append-mode session replay drains the COMPLETE batch session set") {
+    val got = graft.streaming.StreamingCatalog
+      .replaySessionWindows(spark, sf).collect().toSeq
+    val want = Streams.userSessions(
+        graft.engine.Tables(spark, sf).events, "30 minutes")
+      .select(col("user_id"),
+        graft.ops.Relational.tsStr(col("session_start")).as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(want.nonEmpty)
+    assert(got === want,
+      "every session emits exactly once through the watermark flush")
+  }
+
   test("incremental cube state equals the batch cube after multiple batches") {
     val input = MemoryStream[RawEvent](spark)
     val b1 = mkEvents(0 until 40); val b2 = mkEvents(40 until 90)

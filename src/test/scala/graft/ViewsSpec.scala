@@ -63,7 +63,8 @@ class ViewsSpec extends SparkSpec {
     val rowsOnly = Set(
       "approx_stats",        // sketches are approximate by design
       "ivf_kmeans_assign",   // oracle appears only after the fit captures
-      "kmeans_label_purity") // its centroids (same capture mechanism)
+      "kmeans_label_purity", // its centroids (same capture mechanism)
+      "semantic_dedup_auto") // same capture mechanism (adaptive-k fit)
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing === rowsOnly,
       s"un-oracled queries beyond the declared set: ${missing -- rowsOnly}")
