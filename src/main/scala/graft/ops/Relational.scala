@@ -410,15 +410,31 @@ object Relational {
     */
   def prefixCounts(blocks: DataFrame, v: String, cnts: Seq[String],
                    buckets: Int = 64, totals: Boolean = false): DataFrame = {
-    require(buckets > 1, "need at least 2 buckets")
+    require(buckets > 1 && Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two (binary-search index bound): $buckets")
     val blk = blocks.localCheckpoint()
     val qs = (1 until buckets).map(i => lit(i.toDouble / buckets))
     val bounds = blk.agg(
       percentile_approx(col(v).cast("double"), array(qs: _*), lit(10000))
         .as("__bounds"))
+    // bucket id = |{bounds strictly below v}|, via an UNROLLED BINARY
+    // SEARCH over the sorted bounds array (log2(B) codegen'd comparisons
+    // per block) — the aggregate() HOF this replaces is CodegenFallback,
+    // i.e. B-1 interpreted boxed compares per block, and it measured ~1.7 s
+    // per pass over the 583k price blocks at sf0.1 (×2: the assignment
+    // runs in both the subtotal and main branches). Duplicate bounds are
+    // handled exactly like the linear count (step taken only when
+    // v strictly exceeds the probe); with B = 2^m the probe index
+    // k + step never exceeds B-1, which is what the power-of-two
+    // requirement above guarantees.
+    val vd = col(v).cast("double")
+    val steps = Iterator.iterate(buckets / 2)(_ / 2).takeWhile(_ >= 1).toSeq
+    val bk = steps.foldLeft(lit(0)) { (k, step) =>
+      k + when(vd > element_at(col("__bounds"), k + lit(step)), lit(step))
+        .otherwise(lit(0))
+    }
     val withB = blk.crossJoin(broadcast(bounds))
-      .withColumn("__bk", expr(
-        s"aggregate(__bounds, 0, (a, b) -> a + IF(CAST(`$v` AS DOUBLE) > b, 1, 0))"))
+      .withColumn("__bk", bk)
       .drop("__bounds")
     val subAggs = cnts.map(c => sum(col(c)).as(s"__t_$c"))
     val sub = withB.groupBy(col("__bk")).agg(subAggs.head, subAggs.tail: _*)

@@ -48,7 +48,8 @@ class PlanAuditSpec extends SparkSpec {
         "global_price_quantiles", "price_equidepth",
         // 1-row global threshold/max broadcast back onto the aggregate
         "tpch_q11", "tpch_q15",
-        "doc_surprisal") // broadcast of the 1-row total-bigram count
+        "doc_surprisal",  // broadcast of the 1-row total-bigram count
+        "approx_stats_bounds") // 1-row exact/sketch aggregates broadcast-joined
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }
