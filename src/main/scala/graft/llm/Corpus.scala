@@ -279,6 +279,34 @@ object Corpus {
         least(lit(1.0), col("upsample_factor")).as("keep_prob"))
   }
 
+  /** Apply [[mixtureWeights]] as the DOWN-sampling pass that actually
+    * rebalances the corpus toward the target mixture: every stratum keeps
+    * a deterministic hash-sampled `keep_prob` fraction of its docs, so
+    * over-represented strata shed token share while under-represented
+    * ones keep everything (their upsample factor is an epoch-count /
+    * repetition decision downstream — a row filter cannot create data).
+    * keep_prob is quantized to millesimal ONCE (floor, matching the
+    * sample-hash granularity) so the keep decision is pure integer
+    * compare — the same md5-derived decision [[stratifiedSample]] makes,
+    * with the rates COMPUTED from the measured mixture instead of passed
+    * in.
+    *
+    * Scale shape: one stratum-cardinality aggregate (the weights), one
+    * broadcast join of the ≤|strata|-row rate table, one narrow filter —
+    * rebalancing 100 TB costs one scan plus the mixture pass, zero
+    * additional shuffles of the corpus itself.
+    */
+  def mixtureResample(df: DataFrame, idCol: String, strataCol: String,
+                      textCol: String, targets: Map[String, Double],
+                      defaultTarget: Double, salt: String = "mix"): DataFrame = {
+    val rates = mixtureWeights(df, strataCol, textCol, targets, defaultTarget)
+      .select(col(strataCol),
+        floor(col("keep_prob") * 1000).cast("long").as("__keep_mil"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(sampleHash(col(idCol), salt) < col("__keep_mil"))
+      .drop("__keep_mil")
+  }
+
   /** Benchmark decontamination scores: for every corpus doc, the fraction
     * of its word n-gram shingles that appear ANYWHERE in the benchmark set
     * (containment, the standard eval-leak test — Jaccard would dilute a

@@ -68,6 +68,15 @@ object CorpusCatalog extends Catalog {
           TargetShares, DefaultTargetShare)
         .orderBy("lang")),
 
+    // the weights APPLIED: deterministic hash down-sampling at the
+    // computed per-stratum keep rates — the pass that actually moves the
+    // corpus toward the target mixture
+    "mixture_resample" -> ((s, d) =>
+      Corpus.mixtureResample(Tables(s, d).documents, "doc_id", "lang", "text",
+          TargetShares, DefaultTargetShare)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     "benchmark_contamination" -> ((s, d) => {
       val docs = Tables(s, d).documents
       Corpus.contaminationScores(
@@ -180,6 +189,26 @@ object CorpusCatalog extends Catalog {
          |  target_share / token_share AS upsample_factor,
          |  least(CAST(1.0 AS DOUBLE), target_share / token_share) AS keep_prob
          |FROM m ORDER BY lang""".stripMargin
+    },
+
+    "mixture_resample" -> {
+      val targetCase = TargetShares.toSeq.sortBy(_._1).reverse
+        .foldLeft(s"CAST($DefaultTargetShare AS DOUBLE)") { case (acc, (s, t)) =>
+          s"CASE WHEN lang = '$s' THEN CAST($t AS DOUBLE) ELSE $acc END"
+        }
+      s"""WITH per AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(len(string_split(${OracleSql.norm}, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per),
+         |rates AS (SELECT lang,
+         |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |      ($targetCase) / (CAST(n_tokens AS DOUBLE) / total_tokens)) * 1000)
+         |      AS BIGINT) AS keep_mil
+         |  FROM per CROSS JOIN tot)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN rates USING (lang)
+         |WHERE ${OracleSql.h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_mil
+         |ORDER BY doc_id""".stripMargin
     },
 
     "embedding_contamination" ->

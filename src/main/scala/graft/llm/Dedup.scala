@@ -355,13 +355,93 @@ object Dedup {
     df.join(losers, Seq(id), "left_anti")
   }
 
+  /** Connected components by ALTERNATING large-star / small-star rounds
+    * (the Kiveris et al. MapReduce construction) — the scale variant of
+    * [[dupClusters]]' min-label propagation. Propagation converges in
+    * O(component DIAMETER) rounds: a drift chain v₁~v₂~…~v_d (each
+    * revision a near-dup of the last — exactly how long-lived boilerplate
+    * mutates) costs d shuffle rounds, unbounded at corpus scale. The
+    * alternating rounds square away diameter in O(log² n) — each round,
+    * large-star hangs every node's strictly-larger neighbors onto its
+    * smallest neighbor (halving star depth), small-star compacts the
+    * smaller-endpoint fans the same way, and the fixpoint is a star
+    * forest: every node directly linked to its component minimum.
+    *
+    * Per round: two edge-keyed aggregates + joins over the EDGE frame
+    * only (canonical child>parent orientation, distinct-bounded, lineage
+    * truncated per round); the corpus appears once at the end for
+    * singleton labels. Returns `(id, cluster_id)` like [[dupClusters]] and
+    * fails loudly when not converged — never a silent approximation.
+    */
+  def dupClustersAlternating(df: DataFrame, id: String, textCol: String,
+                             threshold: Double, n: Int = 3,
+                             maxIter: Int = 30): DataFrame = {
+    val pairs = nearDupPairs(df, id, textCol, threshold, n)
+      .select(col("id_a"), col("id_b"))
+    val (roots, _) = ccAlternatingWithRounds(pairs, maxIter)
+    df.select(col(id))
+      .join(roots.withColumnRenamed("node", id), Seq(id), "left")
+      .select(col(id), coalesce(col("root"), col(id)).as("cluster_id"))
+  }
+
+  /** The alternating-rounds core over a pair frame `(id_a, id_b)`:
+    * returns (`(node, root)` for every non-singleton node, rounds run).
+    * Exposed with the round count so tests can pin the convergence-rate
+    * claim, not just the answer.
+    */
+  private[graft] def ccAlternatingWithRounds(pairs: DataFrame,
+                                             maxIter: Int): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("c"),
+        least(col("id_a"), col("id_b")).as("p"))
+      .filter(col("c") =!= col("p")).distinct().localCheckpoint(false)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIter) {
+      // LARGE-STAR: per node a over the symmetrized graph, m = min
+      // neighbor (or a itself); every neighbor b > a re-hangs onto m
+      val sym = edges.select(col("c").as("a"), col("p").as("b"))
+        .union(edges.select(col("p").as("a"), col("c").as("b")))
+      val minN = sym.groupBy("a").agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val large = sym.join(minN, Seq("a")).filter(col("b") > col("a"))
+        .select(col("b").as("c"), col("m").as("p"))
+        .filter(col("c") =!= col("p")).distinct()
+      // SMALL-STAR: per larger endpoint c, m = min parent; every parent
+      // (and c itself) re-hangs onto m
+      val minP = large.groupBy("c").agg(min(col("p")).as("m"))
+      val joined = large.join(minP, Seq("c"))
+      val next = joined.select(col("p").as("c"), col("m").as("p"))
+        .union(joined.select(col("c"), col("m").as("p")))
+        .filter(col("c") =!= col("p")).distinct().localCheckpoint(false)
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged,
+      s"alternating connected components not converged after $maxIter rounds")
+    // the loop pins a fixpoint of the COMPOSITE round; these two checks pin
+    // that the fixpoint is an actual star forest (one parent per node, no
+    // parent that is itself a child), which is what makes the direct
+    // child→root labels below valid — cheap edge-frame probes, fail-loud
+    require(edges.groupBy("c").agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1).isEmpty,
+      "alternating CC fixpoint is not a star forest: multi-parent node")
+    require(edges.select(col("p")).distinct()
+        .join(edges.select(col("c").as("p")), Seq("p"), "left_semi").isEmpty,
+      "alternating CC fixpoint is not a star forest: non-root parent")
+    (edges.select(col("c").as("node"), col("p").as("root")), rounds)
+  }
+
   /** Near-dup clusters: connected components over the verified pair graph,
     * every doc labelled with the minimum id reachable from it (singletons
     * label themselves). Min-label propagation: the driver loop only
     * CONTROLS iterations (standard iterative-algorithm shape, like Pregel);
     * each step is a join+aggregate over the label frame, and the edge frame
     * is the verified pairs — orders of magnitude smaller than the corpus.
-    * Converges in O(cluster diameter) steps, bounded at `maxIter`.
+    * Converges in O(cluster diameter) steps, bounded at `maxIter` — prefer
+    * [[dupClustersAlternating]] when duplicate families can chain (drift
+    * revisions), where diameter is unbounded.
     */
   def dupClusters(df: DataFrame, id: String, textCol: String,
                   threshold: Double, n: Int = 3, maxIter: Int = 20): DataFrame = {

@@ -149,6 +149,14 @@ object SimilarityCatalog extends Catalog {
         .orderBy("query_id", "nn_id")
     }),
 
+    // training-FREE semantic dedup: SRP band buckets replace the learned
+    // cells — no k-means build at all, the scale path past the point where
+    // even k ∝ n assignment (n·k dots) is too expensive
+    "semantic_dedup_srp" -> ((s, d) =>
+      Srp.semanticDedupSrp(Tables(s, d).embeddings, "vec_id", "embedding",
+          Dim, NearDupCos)
+        .orderBy("vec_id")),
+
     // multi-probe IVF at full probe width: probing every cell must
     // reproduce the brute-force result EXACTLY, so the entire fit →
     // assignTop → replicate → cell-join → dedup machinery is oracled by
@@ -326,7 +334,11 @@ object SimilarityCatalog extends Catalog {
     * [[Srp.bandRows]]): the declared projection table as VALUES, the same
     * exact-integer sign sums, the same (band, 4-bit value) bucket keys.
     */
-  private def srpOracle: String = {
+  /** The sketch → band CTE prefix (`proj, ex, sm, sk, bands`), shared by
+    * the ANN and SRP-dedup oracles — exact mirror of [[Srp.sketches]] /
+    * [[Srp.bandRows]].
+    */
+  private def srpSketchCtes: String = {
     val projCols = (0 until Srp.Bits).map(j => s"s_$j").mkString(", ")
     val projValues = Srp.signs(Dim)
       .map { case (d, ss) => s"($d, ${ss.mkString(", ")})" }
@@ -347,7 +359,11 @@ object SimilarityCatalog extends Catalog {
        |bands AS (SELECT vec_id, b,
        |    (sketch >> (CAST(b AS INTEGER) * ${Srp.RowsPerBand}))
        |      & ${(1L << Srp.RowsPerBand) - 1} AS bv
-       |  FROM sk CROSS JOIN (SELECT unnest(range(0, ${Srp.Bands})) AS b)),
+       |  FROM sk CROSS JOIN (SELECT unnest(range(0, ${Srp.Bands})) AS b))""".stripMargin
+  }
+
+  private def srpOracle: String = {
+    s"""$srpSketchCtes,
        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS nn_id
        |  FROM bands qb JOIN bands cb ON qb.b = cb.b AND qb.bv = cb.bv
        |    AND cb.vec_id <> qb.vec_id
@@ -363,6 +379,27 @@ object SimilarityCatalog extends Catalog {
 
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++ Map(
+    "semantic_dedup_srp" ->
+      s"""WITH $prepSql,
+         |$srpSketchCtes,
+         |scand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+         |    AND a.vec_id < b.vec_id),
+         |ssc AS (
+         |  SELECT scand.id_a, scand.id_b, x.n2 AS na, y.n2 AS nb,
+         |    (SELECT CAST(sum(xx * yy) AS BIGINT)
+         |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+         |  FROM scand
+         |  JOIN pn x ON x.vec_id = scand.id_a
+         |  JOIN pn y ON y.vec_id = scand.id_b),
+         |sdup AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM ssc
+         |  WHERE CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+         |  GROUP BY id_b)
+         |SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS is_kept
+         |FROM embeddings e LEFT JOIN sdup d USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
+
     "embedding_pca" ->
       s"""WITH $pcaCtes
          |SELECT dim, CAST(v AS DOUBLE) /

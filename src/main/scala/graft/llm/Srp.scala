@@ -92,6 +92,43 @@ object Srp {
     * queries whose buckets hold fewer than k candidates return fewer rows
     * (the recall dial is [[Bands]]).
     */
+  /** Training-free semantic dedup: SemDeDup verdicts with the pair search
+    * blocked on SRP band buckets instead of learned cells — the shape for
+    * when even a k ∝ n k-means fit is too expensive. The adaptive fit's
+    * nearest-cell ASSIGNMENT alone costs n·k integer dots, quadratic once
+    * k tracks n (measured: `semantic_dedup_auto` 11.4× on 10× data at
+    * sf1); sketching is ONE narrow pass with no training, and bucket
+    * volume tracks data density. Candidates = vectors sharing any band
+    * bucket, verified by exact integer cosine at τ, collapsed to the
+    * min-id keeper exactly like [[Similarity.semanticDedup]]. The recall
+    * dial is [[Bands]] (near-identical vectors, θ → 0, collide almost
+    * surely — the SemDeDup regime); the oracle replays the identical
+    * sketch → band → verify pipeline bit-for-bit.
+    */
+  def semanticDedupSrp(df: DataFrame, id: String, vec: String, dim: Int,
+                       threshold: Double): DataFrame = {
+    val p = Similarity.prepare(df, id, vec)
+      .select(col(id), col("q"), col("n2")).localCheckpoint(false)
+    val bands = bandRows(sketches(p, id, vec, dim), id)
+    val cand = bands.select(col(id).as("id_a"), col("band"))
+      .join(bands.select(col(id).as("id_b"), col("band")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val dupOf = cand
+      .join(p.select(col(id).as("id_a"), col("q").as("qa"), col("n2").as("na")),
+        Seq("id_a"))
+      .join(p.select(col(id).as("id_b"), col("q").as("qb"), col("n2").as("nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineQ(Similarity.dotQ(col("qa"), col("qb")),
+          col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_b").as(id)).agg(min(col("id_a")).as("dup_of"))
+    df.select(col(id))
+      .join(dupOf, Seq(id), "left")
+      .select(col(id), col("dup_of"), col("dup_of").isNull.as("is_kept"))
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
               dim: Int, k: Int): DataFrame = {
     val pc = Similarity.prepare(corpus, id, vec)

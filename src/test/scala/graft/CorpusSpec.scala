@@ -196,6 +196,26 @@ class CorpusSpec extends SparkSpec {
       s"expr path $viaExpr must equal join path $viaJoin, non-trivially")
   }
 
+  test("mixtureResample keeps under-represented strata whole and sheds over-represented ones") {
+    // 'big' holds ~90% of tokens; target 50/50 → big keeps ~5/9 by hash,
+    // 'small' (under target) keeps EVERY doc
+    val df = ((1 to 90).map(i => (i.toLong, "big", "w " * 10)) ++
+      (91 to 100).map(i => (i.toLong, "small", "w " * 10)))
+      .toDF("doc_id", "lang", "text")
+    val targets = Map("big" -> 0.5, "small" -> 0.5)
+    val out = Corpus.mixtureResample(df, "doc_id", "lang", "text", targets, 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("small") === 10L, "under-represented stratum keeps everything")
+    val kept = byLang("big")
+    assert(kept < 90L && kept > 90L * 5 / 9 - 20, s"big stratum sheds: kept $kept")
+    // deterministic and partitioning-independent
+    val again = Corpus.mixtureResample(
+      df.repartition(7), "doc_id", "lang", "text", targets, 0.5)
+    assert(out.select("doc_id").orderBy("doc_id").collect().toSeq
+      === again.select("doc_id").orderBy("doc_id").collect().toSeq)
+  }
+
   test("novelty is 1.0 for unique content, 0.0 for cloned content, NULL below shingle size") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),   // shingles unique to doc 1

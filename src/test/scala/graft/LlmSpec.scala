@@ -123,6 +123,48 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.prefixFilterPairs(df, "doc_id", "text", 0.5).count() === 0)
   }
 
+  test("alternating CC equals union-find on random graphs, and squashes chains in few rounds") {
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map((1L to n.toLong).map(i => i -> i): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (1L to n.toLong).map(i => i -> find(i)).toMap
+    }
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = 30
+      val edges = (1 to 10 + rng.nextInt(30)).map { _ =>
+        (1L + rng.nextInt(n), 1L + rng.nextInt(n))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val (roots, _) = graft.llm.Dedup.ccAlternatingWithRounds(
+          edges.toDF("id_a", "id_b"), 30)
+        val got = roots.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = unionFind(n, edges).filter { case (k, v) => k != v }
+        assert(got === want, s"trial $trial edges $edges")
+      }
+    }
+    // a 60-node chain: diameter 59, min-label propagation would need ~59
+    // rounds; the alternating form squashes it in O(log^2)
+    val chain = (1L until 60L).map(i => (i, i + 1))
+    val (roots, rounds) = graft.llm.Dedup.ccAlternatingWithRounds(
+      chain.toDF("id_a", "id_b"), 30)
+    assert(roots.collect().forall(_.getLong(1) == 1L), "chain collapses to min")
+    assert(rounds <= 8, s"logarithmic convergence, got $rounds rounds")
+  }
+
+  test("dupClustersAlternating equals dupClusters on the corpus") {
+    val docs = Tables(spark, sf).documents
+    val a = graft.llm.Dedup.dupClustersAlternating(docs, "doc_id", "text", 0.8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = Dedup.dupClusters(docs, "doc_id", "text", 0.8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a === b)
+  }
+
   test("dupClusters propagates the minimum id through chains") {
     // 1~2, 2~3 (chain), 5~6, 9 isolated: components {1,2,3}, {5,6}, {9}.
     // Near-dups differ by one token over 20 (jaccard ~0.85, inside the

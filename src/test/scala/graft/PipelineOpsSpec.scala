@@ -320,6 +320,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(model.centroids.size === Similarity.cellCountFor(e.count(), 64L))
   }
 
+  test("SRP-bucketed semantic dedup collapses identical vectors with no fit") {
+    val df = Seq(
+      (0L, Seq(1f, 0.2f, 0f, 0.5f)),   // keeper
+      (1L, Seq(1f, 0.2f, 0f, 0.5f)),   // identical → every band collides → dup of 0
+      (2L, Seq(-1f, -0.2f, 0f, -0.5f)) // antipodal → every sketch bit flips → kept
+    ).toDF("vec_id", "embedding")
+    val got = graft.llm.Srp.semanticDedupSrp(df, "vec_id", "embedding", 4, 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getBoolean(2)))
+      .toMap
+    assert(got(0L) === ((None, true)))
+    assert(got(1L) === ((Some(0L), false)))
+    assert(got(2L) === ((None, true)))
+  }
+
   test("power iteration recovers a planted dominant direction") {
     // cloud: strong variance along axis 0, weak noise along axis 1
     val df = (0 until 40).map { i =>

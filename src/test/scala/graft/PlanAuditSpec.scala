@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSpec {
         "bm25_top_terms",   // broadcast of the 1-row (n_docs, total_dl) stats
         "bm25_retrieval",   // same 1-row stats broadcast as bm25_top_terms
         "corpus_mixture",   // broadcast of the 1-row total-tokens aggregate
+        "mixture_resample", // same 1-row total broadcast inside the rates
         "tpch_q22",         // broadcast of the 1-row avg-balance aggregate
         "bpe_merge_round",  // broadcast of the 1-row argmax-pair frame
         "segment_type_chi2", // level-grid cross + 1-row totals broadcast

@@ -65,9 +65,13 @@ class ViewsSpec extends SparkSpec {
       "ivf_kmeans_assign",   // oracle appears only after the fit captures
       "kmeans_label_purity", // its centroids (same capture mechanism)
       "semantic_dedup_auto") // same capture mechanism (adaptive-k fit)
+    // subset, not equality: the capture-based oracles APPEAR once another
+    // test in the same JVM has run their fit, so `missing` legitimately
+    // shrinks below the declared set mid-suite
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing === rowsOnly,
+    assert((missing -- rowsOnly).isEmpty,
       s"un-oracled queries beyond the declared set: ${missing -- rowsOnly}")
+    assert(missing.contains("approx_stats"), "approx_stats stays rows-only")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
   }
