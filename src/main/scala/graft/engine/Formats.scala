@@ -30,6 +30,26 @@ object Formats {
   def readJsonl(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(dir)
 
+  /** Quarantine read: PERMISSIVE parse with the corrupt raw line captured
+    * in `_quarantined` — the long-job alternative to FAILFAST when a few
+    * bad records must not kill a 10-hour ingest. Returns rows where GOOD
+    * rows carry null `_quarantined` and parsed fields, and BAD rows carry
+    * the raw line with null fields; callers split on `_quarantined IS
+    * NULL` and route the quarantine side to a dead-letter sink for
+    * replay. The split stays honest because the corrupt column is part of
+    * the declared schema (Spark requires the raw line to be selected with
+    * the parse, or PERMISSIVE silently drops it).
+    */
+  def readJsonlQuarantine(spark: SparkSession, dir: String,
+                          schema: StructType): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    spark.read
+      .schema(schema.add("_quarantined", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_quarantined")
+      .json(dir)
+  }
+
   def writeCsv(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(dir)
 

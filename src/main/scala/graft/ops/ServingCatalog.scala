@@ -12,6 +12,15 @@ import graft.shopping.{Enrich, EnrichCatalog}
   */
 object ServingCatalog extends Catalog {
 
+  /** The planted malformed lines for the quarantine fixture (declared so
+    * the oracle can name their raw-line hashes; no single quotes — they
+    * embed in the oracle SQL verbatim).
+    */
+  val BadJsonLines = Seq(
+    """{"doc_id": 9000001, "lang": }""",
+    """not json at all""",
+    """{"truncated": """)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ORDER BY processed_time DESC LIMIT n (streamlit_app.py:188-189)
     "latest_events" -> ((s, d) =>
@@ -81,6 +90,33 @@ object ServingCatalog extends Catalog {
         .orderBy("event_id")
     }),
 
+    // DYNAMIC partition pruning: the pruning predicate is NOT statically
+    // known — "days on which a high-value error occurred" exists only at
+    // runtime — so the partitioned fact scan is pruned by a
+    // dynamicpruning subquery fed from the broadcast dim at execution
+    // time (LayoutSpec asserts the plan; the dim needs a SELECTIVE FILTER
+    // for the PartitionPruning rule to fire — an aggregate or limit alone
+    // does not qualify). This is THE fact×dim mechanism at 100 TB: the
+    // dim decides which partition directories of the fact ever get
+    // listed. Same once-per-JVM fixture treatment as partitioned_scan.
+    "dpp_scan" -> ((s, d) => {
+      val dir = graft.engine.FixtureDirs("part-day", d)(tmp =>
+        graft.engine.Layout.writePartitionedBy(
+          Tables(s, d).events.withColumn("event_day", to_date(col("ts"))),
+          tmp, "event_day"))
+      val errorDays = Tables(s, d).events
+        .filter(col("event_type") === "error" && col("value") > 200)
+        .select(to_date(col("ts")).as("event_day")).distinct()
+      s.read.parquet(dir)
+        .join(broadcast(errorDays), Seq("event_day"))
+        .groupBy(col("event_day"))
+        .agg(count(lit(1)).as("n_events"),
+          Relational.moneySum(col("value")).as("total_value"))
+        .select(date_format(col("event_day"), "yyyy-MM-dd").as("event_day"),
+          col("n_events"), col("total_value"))
+        .orderBy("event_day")
+    }),
+
     // the other half of the write-time-layout story: range-repartition +
     // in-file sort on a high-cardinality column, read back through a range
     // predicate — parquet min/max stats skip the non-matching row groups
@@ -140,6 +176,28 @@ object ServingCatalog extends Catalog {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+
+    // quarantine ingest: the same JSONL corpus with three malformed lines
+    // planted in a sibling shard — PERMISSIVE + corrupt-record capture
+    // routes bad lines to a quarantine column instead of killing the job
+    // (the FAILFAST default is right for curated batch inputs; a 10-hour
+    // ingest of third-party data needs the dead-letter path). Good rows
+    // prove content by text hash, quarantined rows by RAW-LINE hash.
+    "jsonl_quarantine_scan" -> ((s, d) => {
+      val dir = graft.engine.FixtureDirs("jsonl-quarantine", d) { tmp =>
+        graft.engine.Formats.writeJsonl(Tables(s, d).documents, s"$tmp/docs")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tmp, "docs", "bad.json"),
+          BadJsonLines.mkString("\n"))
+      }
+      graft.engine.Formats.readJsonlQuarantine(s, s"$dir/docs",
+          Tables(s, d).documents.schema)
+        .select(col("doc_id"), col("lang"),
+          when(col("_quarantined").isNull, md5(col("text")))
+            .otherwise(md5(col("_quarantined"))).as("content_md5"),
+          col("_quarantined").isNotNull.as("quarantined"))
+        .orderBy(col("quarantined"), col("doc_id"), col("content_md5"))
     }),
 
     // CSV source parity: events exported with headers and read back with
@@ -281,6 +339,18 @@ object ServingCatalog extends Catalog {
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
 
+    "dpp_scan" ->
+      s"""WITH ed AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS event_day FROM events
+         |  WHERE event_type = 'error' AND value > 200),
+         |byday AS (
+         |  SELECT CAST(ts AS DATE) AS event_day, count(*) AS n_events,
+         |    ${graft.engine.Catalog.moneySumSql("value")} AS total_value
+         |  FROM events GROUP BY 1)
+         |SELECT strftime(event_day, '%Y-%m-%d') AS event_day, n_events, total_value
+         |FROM byday JOIN ed USING (event_day)
+         |ORDER BY event_day""".stripMargin,
+
     "range_pruned_scan" ->
       """SELECT event_id, value
         |FROM events WHERE value >= 450.0
@@ -300,6 +370,16 @@ object ServingCatalog extends Catalog {
     "jsonl_source_scan" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "jsonl_quarantine_scan" -> {
+      val badValues = BadJsonLines.map(l => s"('$l')").mkString(", ")
+      s"""SELECT doc_id, lang, md5(text) AS content_md5, false AS quarantined
+         |FROM documents
+         |UNION ALL
+         |SELECT NULL, NULL, md5(line), true
+         |FROM (VALUES $badValues) t(line)
+         |ORDER BY quarantined, doc_id""".stripMargin
+    },
 
     "csv_source_scan" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 import graft.engine.Formats
@@ -39,5 +40,20 @@ class FormatsSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       Formats.readJsonl(spark, tmp, schema).collect()
     }
+  }
+
+  test("quarantine read splits good rows from captured raw bad lines") {
+    val tmp = Files.createTempDirectory("graft-quarantine").toString
+    Files.writeString(java.nio.file.Path.of(tmp, "part-0.json"),
+      "{\"id\": 1, \"t\": \"a\"}\nnot json at all\n{\"id\": 2, \"t\": \"b\"}\n{\"broken\": \n")
+    val schema = StructType.fromDDL("id LONG, t STRING")
+    val all = Formats.readJsonlQuarantine(spark, tmp, schema).cache()
+    val good = all.filter(col("_quarantined").isNull)
+    val bad = all.filter(col("_quarantined").isNotNull)
+    assert(good.select("id", "t").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b")))
+    assert(bad.select("_quarantined").as[String].collect().toSet
+      === Set("not json at all", "{\"broken\": "),
+      "the raw line is captured verbatim for dead-letter replay")
   }
 }

@@ -22,6 +22,28 @@ class LayoutSpec extends SparkSpec {
     assert(dirs.contains("event_type=purchase") && dirs.length === 5)
   }
 
+  test("dynamic partition pruning engages when the dim decides the partitions") {
+    val dir = Files.createTempDirectory("graft-layout-dpp").toString
+    Layout.writePartitionedBy(
+      Tables(spark, sf).events.withColumn("event_day", to_date(col("ts"))),
+      dir, "event_day")
+    // the dim must carry a SELECTIVE FILTER for the PartitionPruning rule
+    // to consider it (an aggregate/limit alone does not qualify)
+    val topDays = Tables(spark, sf).events
+      .filter(col("event_type") === "error" && col("value") > 200)
+      .select(to_date(col("ts")).as("event_day")).distinct()
+    val q = spark.read.parquet(dir)
+      .join(broadcast(topDays), Seq("event_day"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"fact scan pruned by a runtime subquery, got:\n${plan.take(2000)}")
+    // correctness: the pruned join sees exactly the qualifying days
+    val wantDays = topDays.collect().map(_.getDate(0).toString).toSet
+    val gotDays = q.select("event_day").distinct().collect()
+      .map(_.getDate(0).toString).toSet
+    assert(gotDays === wantDays)
+  }
+
   test("range-sorted files push range predicates into the scan") {
     val dir = Files.createTempDirectory("graft-layout-sort").toString
     Layout.writeRangeSorted(Tables(spark, sf).lineitem, dir, "l_extendedprice")
