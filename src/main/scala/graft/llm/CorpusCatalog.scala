@@ -336,12 +336,7 @@ object CorpusCatalog extends Catalog {
     // pairwise source Jaccard: same normalize/shingle pipeline, distinct
     // (source, shingle) sets, exact long counts, one IEEE division
     "source_similarity" ->
-      s"""WITH tt AS (SELECT doc_id, source,
-         |    string_split(${OracleSql.norm}, ' ') AS w FROM documents),
-         |sh AS (SELECT doc_id, source,
-         |    list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
-         |                   FOR i IN range(1, len(w) - 1)]) AS s
-         |  FROM tt WHERE len(w) >= 3),
+      s"""WITH ${OracleSql.shingleCtesFrom("documents", Seq("source"))},
          |sx AS (SELECT source AS src, unnest(s) AS shingle FROM sh),
          |ss AS (SELECT DISTINCT src, shingle FROM sx),
          |sizes AS (SELECT src, count(*) AS n_sh FROM ss GROUP BY 1),

@@ -35,15 +35,27 @@ object OracleSql {
        |  FROM h GROUP BY doc_id),
        |simhash AS (SELECT doc_id, $simhashBits AS fp_simhash FROM v)""".stripMargin
 
+  /** CTE fragment `tt, sh`: normalized token split + distinct word-trigram
+    * shingle lists over `source` — the ONE spelling of the tokenize/shingle
+    * pipeline every shingle-consuming oracle builds on (mirror of
+    * [[Dedup.shingleRows]]; a drift here would desynchronize every dedup
+    * oracle at once, which is why it exists exactly once). `extraCols`
+    * carries additional columns (e.g. `source`) through both CTEs.
+    */
+  def shingleCtesFrom(source: String, extraCols: Seq[String] = Nil): String = {
+    val extra = extraCols.map(c => s"$c, ").mkString
+    s"""tt AS (SELECT doc_id, ${extra}string_split($norm, ' ') AS w FROM $source),
+       |sh AS (SELECT doc_id, $extra
+       |  list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
+       |  FROM tt WHERE len(w) >= 3)""".stripMargin
+  }
+
   /** CTE chain `tt, sh, pairs` ending in brute-force all-pairs n-gram
     * Jaccard `pairs(id_a, id_b, jaccard)` over `source` (oracle only — the
     * engine uses banded LSH).
     */
   def jaccardPairsCtesFrom(source: String): String =
-    s"""tt AS (SELECT doc_id, string_split($norm, ' ') AS w FROM $source),
-       |sh AS (SELECT doc_id,
-       |  list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-       |  FROM tt WHERE len(w) >= 3),
+    s"""${shingleCtesFrom(source)},
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -58,10 +70,7 @@ object OracleSql {
     * prefix-filtered inverted-index join).
     */
   val containmentPairsCtes: String =
-    s"""tt AS (SELECT doc_id, string_split($norm, ' ') AS w FROM documents),
-       |sh AS (SELECT doc_id,
-       |  list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2] FOR i IN range(1, len(w) - 1)]) AS s
-       |  FROM tt WHERE len(w) >= 3),
+    s"""${shingleCtesFrom("documents")},
        |cpairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Relational
@@ -475,32 +475,37 @@ object Similarity {
     (v, s, n)
   }
 
-  /** The fitted component as a `(dim, component)` frame: the integer
-    * direction normalized to unit length — dim rows, driver-built from the
-    * control-plane vector (the corpus never leaves the executors).
+  /** A fitted component rendered as a `(dim, component)` frame: the
+    * integer direction normalized to unit length — dim rows, driver-built
+    * from the control-plane vector (the corpus never leaves the
+    * executors). Takes the fit so one [[powerIterationInts]] run can feed
+    * both this and [[projectionFrame]] — the fit-once/consume-many shape.
     */
-  def topComponent(df: DataFrame, id: String, vec: String, iters: Int = 3,
-                   scale: Long = 10000L): DataFrame = {
-    val spark = df.sparkSession
+  def componentFrame(spark: SparkSession,
+                     fit: (Seq[BigInt], Seq[BigInt], Long)): DataFrame = {
     import spark.implicits._
-    val (v, _, _) = powerIterationInts(df, id, vec, iters, scale)
+    val v = fit._1
     val n2 = v.map(x => x * x).sum
     val norm = math.sqrt(n2.toDouble)
     v.zipWithIndex.map { case (x, d) => (d, x.toLong.toDouble / norm) }
       .toDF("dim", "component")
   }
 
-  /** Centered projection of every vector onto the fitted component:
+  def topComponent(df: DataFrame, id: String, vec: String, iters: Int = 3,
+                   scale: Long = 10000L): DataFrame =
+    componentFrame(df.sparkSession, powerIterationInts(df, id, vec, iters, scale))
+
+  /** Centered projection of every vector onto a fitted component:
     * proj_i = (x_i − mean)·u — the distributed CONSUMER of the fit (PCA
     * outlier scoring / top-component removal), one narrow codegen pass
     * over the corpus with the component as a broadcast literal. The
     * numerator (n·(x·v) − S·v) is integer-exact, so projections sum to
     * exactly zero pre-division; the one double division is last.
     */
-  def pcaProjection(df: DataFrame, id: String, vec: String, iters: Int = 3,
-                    scale: Long = 10000L): DataFrame = {
-    val (v, s, n) = powerIterationInts(df, id, vec, iters, scale)
-    val sdotv = (0 until v.size).map(d => s(d) * v(d)).sum
+  def projectionFrame(df: DataFrame, id: String, vec: String,
+                      fit: (Seq[BigInt], Seq[BigInt], Long)): DataFrame = {
+    val (v, s, n) = fit
+    val sdotv = v.indices.map(d => s(d) * v(d)).sum
     val n2 = v.map(x => x * x).sum
     val p = prepare(df, id, vec)
     val num = (col("q_dot_v").cast("decimal(38,0)") * lit(n)
@@ -509,6 +514,10 @@ object Similarity {
     p.select(col(id), dotQ(col("q"), array(v.map(x => lit(x.toLong)): _*)).as("q_dot_v"))
       .select(col(id), (num / lit(den)).as("projection"))
   }
+
+  def pcaProjection(df: DataFrame, id: String, vec: String, iters: Int = 3,
+                    scale: Long = 10000L): DataFrame =
+    projectionFrame(df, id, vec, powerIterationInts(df, id, vec, iters, scale))
 
   /** Embedding near-duplicate pairs, blocked by a coarse cell id: the pair
     * search runs only inside cells (shuffle on the cell key, AQE handles

@@ -378,7 +378,7 @@ object ServingCatalog extends Catalog {
          |UNION ALL
          |SELECT NULL, NULL, md5(line), true
          |FROM (VALUES $badValues) t(line)
-         |ORDER BY quarantined, doc_id""".stripMargin
+         |ORDER BY quarantined, doc_id, content_md5""".stripMargin
     },
 
     "csv_source_scan" ->
