@@ -235,18 +235,24 @@ object Dedup {
     * Containment is the quote/boilerplate/subset-duplication detector a
     * curation pipeline runs AFTER symmetric dedup.
     *
-    * Prefix principle, asymmetric form: order Sa's shingles by ascending
-    * global document frequency (rarest first); C(a→b) ≥ t needs overlap ≥
-    * ceil(t·|Sa|), so a's first |Sa| − ceil(t·|Sa|) + 1 shingles must
-    * contain at least one element of Sb — equi-joining a-prefixes against
-    * the FULL shingle index is a complete candidate set. Unlike the
-    * Jaccard join ([[prefixFilterPairs]]) the container side cannot be
+    * Prefix principle, asymmetric k-extended form: order Sa's shingles by
+    * ascending global document frequency (rarest first); C(a→b) ≥ t needs
+    * overlap ≥ need = ceil(t·|Sa|), so a's first |Sa| − need + k shingles
+    * must contain at least min(k, need) elements of Sb (if fewer, more
+    * than |Sa| − need entries of a fall outside Sb and overlap ≤ need − 1)
+    * — equi-joining a's k-prefix against the FULL shingle index and
+    * keeping pairs with ≥ min(k, need) matches is a complete candidate
+    * set. k > 1 is the load-bearing refinement here: unlike the Jaccard
+    * join ([[prefixFilterPairs]]) the container side cannot be
     * prefix-pruned (any superset qualifies regardless of where the shared
-    * shingles fall in ITS frequency order), and the PPJoin positional
-    * filter degenerates: with the full index every common prefix shingle
-    * is matched, so the suffix bound m + (need − 1) ≥ need reduces to
-    * m ≥ 1, which the join already guarantees. What remains sound: the
-    * size filter |Sb| ≥ ceil(t·|Sa|) (overlap can't exceed |Sb|).
+    * shingles fall in ITS frequency order) and the PPJoin positional
+    * filter degenerates (with a full index every common prefix shingle is
+    * matched, so at k = 1 the suffix bound collapses to m ≥ 1 — which the
+    * join already guarantees), leaving 1-shared-rare-shingle collisions
+    * as the dominant candidate mass (measured at sf0.1: 206k candidates
+    * for 512 true pairs at k = 1). Requiring a second matched prefix
+    * shingle prunes exactly those. The size filter |Sb| ≥ ceil(t·|Sa|)
+    * (overlap can't exceed |Sb|) applies as before.
     *
     * Threshold comparisons in the candidate stage use exact integer
     * arithmetic at millesimal precision rounded DOWN (candidate superset
@@ -261,8 +267,9 @@ object Dedup {
     * linear in total shingle mass for bounded df skew.
     */
   def containmentPairs(df: DataFrame, id: String, textCol: String,
-                       threshold: Double, n: Int = 3): DataFrame = {
+                       threshold: Double, n: Int = 3, kPrefix: Int = 2): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(kPrefix >= 1, s"kPrefix >= 1: $kPrefix")
     val num = math.floor(threshold * 1000).toLong
     val sh = shingleRows(df, id, textCol, n).localCheckpoint(false)
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
@@ -273,14 +280,17 @@ object Dedup {
       .join(counts, Seq(id))
     // need = ceil(t'·n_a) in exact integers: (num·n_a + 999) div 1000
     val needA = floor((col("n_sh") * num + 999L) / 1000L)
-    val pre = ranked.filter(col("rk") <= col("n_sh") - needA + 1)
+    val pre = ranked.filter(col("rk") <= col("n_sh") - needA + kPrefix)
       .select(col(id).as("id_a"), col("shingle"), col("n_sh").as("n_a"))
     val idx = sh.join(counts, Seq(id))
       .select(col(id).as("id_b"), col("shingle"), col("n_sh").as("n_b"))
+    val needPair = floor((col("n_a") * num + 999L) / 1000L)
     val cand = pre.join(idx, Seq("shingle"))
       .filter(col("id_a") =!= col("id_b") &&
         col("n_b") * 1000L >= col("n_a") * num)
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= least(lit(kPrefix.toLong), needPair))
+      .select("id_a", "id_b")
     val common = cand
       .join(sh.select(col(id).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(id).as("id_b"), col("shingle")), Seq("id_b", "shingle"))

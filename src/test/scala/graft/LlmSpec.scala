@@ -102,10 +102,13 @@ class LlmSpec extends SparkSpec {
         (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
           size(col("a.s"))).as("c"))
     for (t <- Seq(0.5, 0.8, 1.0)) {
-      val exact = Dedup.containmentPairs(docs, "doc_id", "text", t)
-        .collect().map(key).toSet
       val expected = brute.filter(col("c") >= t).collect().map(key).toSet
-      assert(exact === expected, s"threshold $t")
+      // the k-prefix filter is a complete candidate generator at every k
+      for (k <- Seq(1, 2, 4)) {
+        val exact = Dedup.containmentPairs(docs, "doc_id", "text", t, kPrefix = k)
+          .collect().map(key).toSet
+        assert(exact === expected, s"threshold $t kPrefix $k")
+      }
     }
   }
 
