@@ -29,7 +29,11 @@ val picks = Seq(
   "spend_gini" -> "Distributed prefix sum: quantile-bucketed tie blocks (localCheckpoint pins the block frame against diamond recompute), broadcast triangular bucket offsets, bucket-PARTITIONED running-count window - no unkeyed window, no single-partition sort at any key cardinality.",
   "global_price_quantiles" -> "Global exact nearest-rank selection without a global sort: tie blocks + prefixCounts + ONE final aggregate bracketing each millesimal rank.",
   "tpch_q11" -> "HAVING-vs-global as a broadcast 1-row total crossed back onto the checkpointed per-part aggregate - the heavy join runs once, nothing funnels one partition.",
-  "rolling_active_hll_bounds" -> "Per-day mergeable HLL sketches union-merged per 7-day window: the x7 replication lands on the ~30-row day domain, not the fact table; exact side joined in only for the bounds flags.")
+  "rolling_active_hll_bounds" -> "Per-day mergeable HLL sketches union-merged per 7-day window: the x7 replication lands on the ~30-row day domain, not the fact table; exact side joined in only for the bounds flags.",
+  "containment_pairs" -> "k-prefix inverted-index containment join: rarest-first k-prefixes probe the FULL shingle index, candidates need >= min(k, need) matched prefix shingles (prunes the 1-shared-shingle flood: 206k -> ~1k candidates for 512 pairs), relational overlap verify only on survivors.",
+  "dpp_scan" -> "Dynamic partition pruning: the day-partitioned fact scan carries a dynamicpruning subquery fed from the broadcast dim (days with a high-value error) - partition directories are listed at execution time, not planning time.",
+  "pca_projection" -> "The power-iteration fit is memoized control-plane state; the projection itself is ONE narrow codegen pass - dot_q against the broadcast-literal component, exact integer numerator, one double division.",
+  "stream_session_windows" -> "Append-mode session aggregation (batch plan shown): watermark -> session_window merge -> state-evicting emit; the streaming replay drains via the two-sentinel watermark flush.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
