@@ -74,6 +74,28 @@ object ServingCatalog extends Catalog {
       Sessions.transitions(Tables(s, d).events)
         .orderBy("prev_type", "event_type")),
 
+    // time-to-convert distribution: per user, microseconds from the FIRST
+    // view to the first purchase at-or-after it; the duration population
+    // goes through the distributed nearest-rank selection
+    // (exactQuantilesGlobal — no global sort at any user cardinality).
+    // Durations are exact integer microseconds on both engines
+    // (unix_micros / epoch_us), so the quantiles hash-match bit-for-bit.
+    "time_to_purchase" -> ((s, d) => {
+      val e = Tables(s, d).events
+      val firstView = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val firstPurchase = e.filter(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter(col("ts") >= col("first_view"))
+        .groupBy(col("user_id"), col("first_view"))
+        .agg(min(col("ts")).as("first_purchase"))
+      val durations = firstPurchase.select(
+        (unix_micros(col("first_purchase")) - unix_micros(col("first_view")))
+          .as("dur_us"))
+      Relational.exactQuantilesGlobal(durations, col("dur_us"),
+        Seq(250, 500, 750, 900))
+    }),
+
     // write-time layout → read-time pruning, inside the gate: partition the
     // events table by type, read back through a partition filter (scans
     // only the matching directory), verify the rows against the flat oracle.
@@ -244,6 +266,34 @@ object ServingCatalog extends Catalog {
          |       round(CAST(sum(fin * CAST(${Enrich.ClvFactor} AS DECIMAL(2,0))) AS DOUBLE) / count(*), 4) AS avg_clv
          |FROM e
          |WHERE user_id % 10 = 0 AND value >= ${Enrich.PremiumMin}""".stripMargin,
+
+    // same tie-block nearest-rank arithmetic as global_price_quantiles,
+    // over exact integer microsecond durations
+    "time_to_purchase" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT e.user_id, fv.first_view, min(e.ts) AS first_purchase
+        |  FROM events e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+        |  GROUP BY e.user_id, fv.first_view),
+        |b AS (SELECT CAST(epoch_us(first_purchase) - epoch_us(first_view) AS BIGINT) AS v,
+        |    count(*) AS cnt
+        |  FROM fp GROUP BY 1),
+        |r AS (SELECT v, cnt,
+        |    coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnt_less,
+        |    sum(cnt) OVER () AS n
+        |  FROM b)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN cnt_less * 1000 < n * 250
+        |    AND n * 250 <= (cnt_less + cnt) * 1000 THEN v END) AS p250,
+        |  max(CASE WHEN cnt_less * 1000 < n * 500
+        |    AND n * 500 <= (cnt_less + cnt) * 1000 THEN v END) AS p500,
+        |  max(CASE WHEN cnt_less * 1000 < n * 750
+        |    AND n * 750 <= (cnt_less + cnt) * 1000 THEN v END) AS p750,
+        |  max(CASE WHEN cnt_less * 1000 < n * 900
+        |    AND n * 900 <= (cnt_less + cnt) * 1000 THEN v END) AS p900
+        |FROM r""".stripMargin,
 
     "user_sessions" ->
       s"""WITH o AS (

@@ -46,7 +46,7 @@ class PlanAuditSpec extends SparkSpec {
         // bucket-offset join (the distributed prefix sum's control plane)
         "spend_gini", "spearman_price_balance",
         "vip_amount_mannwhitney", "vip_amount_ks",
-        "global_price_quantiles", "price_equidepth",
+        "global_price_quantiles", "price_equidepth", "time_to_purchase",
         // 1-row global threshold/max broadcast back onto the aggregate
         "tpch_q11", "tpch_q15",
         "doc_surprisal",  // broadcast of the 1-row total-bigram count

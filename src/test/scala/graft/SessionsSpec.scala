@@ -78,6 +78,32 @@ class SessionsSpec extends SparkSpec {
     sums.foreach { case (t, s) => assert(math.abs(s - 1.0) < 1e-12, t) }
   }
 
+  test("time_to_purchase counts only purchases at-or-after the first view, exact micros") {
+    def ev(id: Long, u: Long, t: String, typ: String) =
+      (id, Timestamp.valueOf(t), u, typ, 10.0, "{}")
+    val df = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "purchase"), // BEFORE first view: excluded
+      ev(2, 1, "2024-01-01 11:00:00", "view"),     // first view
+      ev(3, 1, "2024-01-01 11:30:00", "purchase"), // converts in 1800 s
+      ev(4, 1, "2024-01-01 12:00:00", "purchase"), // later: not the first
+      ev(5, 2, "2024-01-01 09:00:00", "view"),     // never purchases
+      ev(6, 3, "2024-01-01 08:00:00", "purchase")  // never views
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val firstView = df.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val firstPurchase = df.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts") >= col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("ts")).as("first_purchase"))
+    val got = firstPurchase.select(col("user_id"),
+        (unix_micros(col("first_purchase")) - unix_micros(col("first_view")))
+          .as("dur_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1800L * 1000000L),
+      "only user 1 converts; pre-view purchase ignored; duration exact")
+  }
+
   test("gaps-and-islands sessions agree with session_window on real data") {
     val ev = Tables(spark, sf).events
     val funnelTotal = Sessions.sessionFunnel(ev)
