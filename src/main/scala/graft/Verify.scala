@@ -46,6 +46,10 @@ object Verify {
         spark.sparkContext.cancelJobGroupAndFutureJobs(s"verify-$name")
         t.join(30000)
       }
+      // session hygiene: drop this query's localCheckpoint blocks so ~190
+      // queries of pinned frames don't accumulate in one JVM (nothing is
+      // shared across queries; fixtures are disk-backed)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

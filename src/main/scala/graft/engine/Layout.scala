@@ -63,6 +63,25 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
 
+  /** Hive partitioning and Z-order COMPOSED — the full 100 TB scan
+    * posture in one layout: directory partitioning on a low-cardinality
+    * column prunes whole partitions (statically, or at runtime via a DPP
+    * subquery when a dim decides them), and inside each partition
+    * directory the files are Morton-clustered on (colA, colB) so range
+    * predicates on either column also skip row groups via parquet min/max
+    * stats. Range-partitioning the write on (partition, z) keeps each
+    * output task on a contiguous z-run of one partition — per-directory
+    * files stay z-clustered, not striped.
+    */
+  def writePartitionedZOrdered(df: DataFrame, dir: String, partitionCol: String,
+                               colA: Column, colB: Column, bits: Int,
+                               numFiles: Int = 8): Unit =
+    df.withColumn("__z", zOrderKey(colA, colB, bits))
+      .repartitionByRange(numFiles, col(partitionCol), col("__z"))
+      .sortWithinPartitions(partitionCol, "__z")
+      .drop("__z")
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(dir)
+
   /** Small-file compaction — the maintenance pass every streaming append
     * sink eventually needs (each micro-batch commits its own files; a
     * 15 s trigger writes ~5 760 files/day/partition). Rewrites `srcDir`

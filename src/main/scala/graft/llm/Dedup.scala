@@ -51,6 +51,14 @@ object Dedup {
       .distinct()
   }
 
+  /** Deterministic salt for skew-splitting a hot join bucket: the salt a
+    * doc id lands in when the containment join's hot branch spreads an
+    * over-cap shingle across `salts` sub-buckets. Public so tests can pin
+    * the spread contract ([[containmentPairs]] hot-shingle guard).
+    */
+  def saltOf(c: Column, salts: Int): Column =
+    pmod(xxhash64(c), lit(salts.toLong)).cast("int")
+
   /** Word n-gram shingles as a per-row array column (library/test API; the
     * pipeline uses [[shingleRows]] — see the codegen note above).
     */
@@ -265,11 +273,25 @@ object Dedup {
     * for prefixes precisely because they are hot — the classic inverted-
     * index containment-join shape (PRETTI family), candidate volume
     * linear in total shingle mass for bounded df skew.
+    *
+    * Hot-shingle guard (ENFORCED, not just documented): a boilerplate
+    * shingle with df ≈ corpus can still reach prefixes — docs made almost
+    * entirely of the boilerplate rank it inside their prefix — and its
+    * probe bucket then costs |prefix entries| × df in ONE join bucket.
+    * Shingles with df > `dfCap` leave the cold branch and route through a
+    * SALTED join: the prefix side replicates each entry across `salts`
+    * salt values, the index side derives its salt from id_b
+    * ([[saltOf]]), and the equi-join runs on (shingle, salt) — the same
+    * logical pair set (exactness untouched; both branches feed the same
+    * match-count filter), but the hot bucket's candidate mass is spread
+    * across `salts` independent tasks instead of serializing on one.
     */
   def containmentPairs(df: DataFrame, id: String, textCol: String,
-                       threshold: Double, n: Int = 3, kPrefix: Int = 2): DataFrame = {
+                       threshold: Double, n: Int = 3, kPrefix: Int = 2,
+                       dfCap: Long = 4096L, salts: Int = 8): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     require(kPrefix >= 1, s"kPrefix >= 1: $kPrefix")
+    require(dfCap >= 1 && salts >= 1, s"dfCap/salts >= 1: $dfCap/$salts")
     val num = math.floor(threshold * 1000).toLong
     val sh = shingleRows(df, id, textCol, n).localCheckpoint(false)
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
@@ -281,11 +303,23 @@ object Dedup {
     // need = ceil(t'·n_a) in exact integers: (num·n_a + 999) div 1000
     val needA = floor((col("n_sh") * num + 999L) / 1000L)
     val pre = ranked.filter(col("rk") <= col("n_sh") - needA + kPrefix)
-      .select(col(id).as("id_a"), col("shingle"), col("n_sh").as("n_a"))
-    val idx = sh.join(counts, Seq(id))
-      .select(col(id).as("id_b"), col("shingle"), col("n_sh").as("n_b"))
+      .select(col(id).as("id_a"), col("shingle"), col("n_sh").as("n_a"), col("df"))
+    val idx = sh.join(counts, Seq(id)).join(dfreq, Seq("shingle"))
+      .select(col(id).as("id_b"), col("shingle"), col("n_sh").as("n_b"), col("df"))
+    // cold branch: the common case — every shingle-keyed bucket bounded by
+    // dfCap on the index side
+    val cold = pre.filter(col("df") <= dfCap).drop("df")
+      .join(idx.filter(col("df") <= dfCap).drop("df"), Seq("shingle"))
+    // hot branch: over-cap shingles, salted so one boilerplate bucket
+    // becomes `salts` parallel buckets
+    val hot = pre.filter(col("df") > dfCap).drop("df")
+      .withColumn("__salt", explode(array((0 until salts).map(lit(_)): _*)))
+      .join(idx.filter(col("df") > dfCap).drop("df")
+        .withColumn("__salt", saltOf(col("id_b"), salts)),
+        Seq("shingle", "__salt"))
+      .drop("__salt")
     val needPair = floor((col("n_a") * num + 999L) / 1000L)
-    val cand = pre.join(idx, Seq("shingle"))
+    val cand = cold.unionByName(hot)
       .filter(col("id_a") =!= col("id_b") &&
         col("n_b") * 1000L >= col("n_a") * num)
       .groupBy("id_a", "id_b", "n_a").agg(count(lit(1)).as("m"))

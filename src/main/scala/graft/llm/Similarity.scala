@@ -433,9 +433,12 @@ object Similarity {
     * (each vector contributes its dot once per dim). So an iteration is:
     * one narrow scan + one hash aggregate at dim-cardinality, collected as
     * a dim-sized control-plane vector — the same bounded-collect pattern
-    * as [[kmeansFit]]. Exactness bounds (scaladoc'd, not enforced): the
-    * per-row dot column is Long-exact while 2·n·dim·QScale·scale < 2⁶³
-    * (n ≈ 3e8 at the defaults); past that, fit with a coarser quantization.
+    * as [[kmeansFit]]. Exactness bound (ENFORCED by a require() after the
+    * stats pass): the transpose aggregate sum(dec(x)·dt) has magnitude
+    * ≤ 2·n²·dim·QScale²·scale, which must stay under decimal(38,0)'s
+    * precision cap (n ≈ 3e8 at the defaults); past that, fit with a
+    * coarser quantization. (The per-row Long dot is bounded by
+    * dim·QScale·scale ≈ 1e13, never at risk.)
     *
     * Returns the integer component (length dim, ∞-norm = `scale`) plus the
     * centering constants needed to project: (v, S, n).
@@ -450,6 +453,16 @@ object Similarity {
       .collect().map(r => r.getInt(0) -> (BigInt(r.getDecimal(1).toBigInteger), r.getLong(2)))
       .toMap
     val n = stats.head._2._2
+    // enforce the exactness bound: the transpose-pass aggregate
+    // sum(dec(x)·dt) has magnitude ≤ 2·n²·dim·QScale²·scale, and past
+    // decimal(38,0)'s precision cap non-ANSI Spark renders the overflow as
+    // NULL — a silently wrong component rather than an error. Fail loudly
+    // with the remedy instead.
+    require(BigInt(2) * BigInt(n) * BigInt(n) * dim * QScale * QScale * scale
+        < BigInt(10).pow(38),
+      s"powerIterationInts exactness bound exceeded (2*n^2*dim*QScale^2*scale" +
+        s" >= 10^38 with n=$n, dim=$dim): fit with a coarser quantization " +
+        s"(smaller scale)")
     val s = (0 until dim).map(d => stats(d)._1)
     var v: IndexedSeq[BigInt] = IndexedSeq.fill(dim)(BigInt(1))
     for (_ <- 1 to iters) {

@@ -725,21 +725,16 @@ object OpsCatalog extends Catalog {
       )).orderBy("check_name")
     }),
 
-    // sketch tier: HLL distinct + quantile sketches — approximate by design,
-    // so no DuckDB oracle (driver records the rows-only check); accuracy is
-    // property-tested against exact results in RelationalPropsSpec
-    "approx_stats" -> ((s, d) =>
-      Tables(s, d).lineitem.agg(
-        Relational.approxDistinct(col("l_orderkey")).as("approx_orders"),
-        Relational.approxQuantiles(col("l_extendedprice"), Seq(0.5)).getItem(0)
-          .as("approx_median_price"))),
-
-    // sketch accuracy as a GATE check: the sketches next to their exact
-    // counterparts, reduced to integer pass/fail flags at the declared 5%
-    // tolerance. The flags are deterministic (the sketches sit far inside
-    // the bound: HLL rsd 2%, quantile rank error n/10000), hence
-    // hash-stable; the DuckDB oracle recomputes the exact side and asserts
-    // the same flags. The exact median IS a full per-group sort — the one
+    // sketch tier (HLL distinct + quantile sketch), as a GATE check: the
+    // sketches next to their exact counterparts, reduced to integer
+    // pass/fail flags at the declared 5% tolerance PLUS the sketch/exact
+    // ratios rounded to one decimal — with the sketches far inside the
+    // bound (HLL rsd 2%, quantile rank error n/10000) both forms are
+    // deterministically 1/1.0, hence hash-stable, and the rounded ratios
+    // keep the RAW SKETCH VALUES on the oracle path (this row absorbed the
+    // former rows-only `approx_stats`, so the gate reads all-green). The
+    // DuckDB oracle recomputes the exact side and asserts the same
+    // flags/ratios. The exact median IS a full per-group sort — the one
     // query where that cost is the point (it exists to audit the sketch
     // that replaces it everywhere else).
     // three SEPARATE aggregates joined as broadcast 1-rows, deliberately
@@ -761,7 +756,10 @@ object OpsCatalog extends Catalog {
           when(abs(col("__ad") - col("exact_orders")) <=
             col("exact_orders") * 0.05, 1).otherwise(0).as("orders_ok"),
           when(abs(col("__aq") - col("__em")) <=
-            abs(col("__em")) * 0.05, 1).otherwise(0).as("median_ok"))
+            abs(col("__em")) * 0.05, 1).otherwise(0).as("median_ok"),
+          round(col("__ad").cast("double") / col("exact_orders"), 1)
+            .as("orders_ratio_r1"),
+          round(col("__aq") / col("__em"), 1).as("median_ratio_r1"))
     }),
   )
 
@@ -771,7 +769,9 @@ object OpsCatalog extends Catalog {
     // sketch parameters give 2% rsd / n/10000 rank error)
     "approx_stats_bounds" ->
       """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-        |  1 AS orders_ok, 1 AS median_ok
+        |  1 AS orders_ok, 1 AS median_ok,
+        |  CAST(1.0 AS DOUBLE) AS orders_ratio_r1,
+        |  CAST(1.0 AS DOUBLE) AS median_ratio_r1
         |FROM lineitem""".stripMargin,
 
     // the same tie-block rank arithmetic, spelled with DuckDB windows —

@@ -407,6 +407,10 @@ object Relational {
     * `localCheckpoint` pins the already-aggregated block frame (the small
     * side — distinct values, not rows) so every branch reads the
     * materialized blocks instead of re-running their lineage.
+    *
+    * `buckets` must be a power of two (> 1): the bucket assignment is an
+    * unrolled binary search whose probe-index bound (k + step ≤ B − 1)
+    * only holds for B = 2^m. Callers with another B should round up.
     */
   def prefixCounts(blocks: DataFrame, v: String, cnts: Seq[String],
                    buckets: Int = 64, totals: Boolean = false): DataFrame = {

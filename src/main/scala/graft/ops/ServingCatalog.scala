@@ -171,6 +171,31 @@ object ServingCatalog extends Catalog {
         .orderBy("event_id")
     }),
 
+    // the COMPOSED layout proof (round-5 stretch): hive partitioning by
+    // day + per-day Z-order on (user_id, floor(value)), read through a
+    // runtime dim join AND a conjunctive range box — one plan in which
+    // the DPP subquery prunes partition directories and the pushed range
+    // filters skip row groups inside the survivors (LayoutSpec asserts
+    // both prunings on this exact shape). Flat oracle: layout invisible.
+    "zorder_dpp_scan" -> ((s, d) => {
+      val dir = graft.engine.FixtureDirs("zorder-day", d)(tmp =>
+        graft.engine.Layout.writePartitionedZOrdered(
+          Tables(s, d).events
+            .withColumn("event_day", to_date(col("ts")))
+            .select("event_id", "user_id", "event_type", "value", "event_day"),
+          tmp, "event_day", col("user_id"), floor(col("value")), bits = 11))
+      val errorDays = Tables(s, d).events
+        .filter(col("event_type") === "error" && col("value") > 200)
+        .select(to_date(col("ts")).as("event_day")).distinct()
+      s.read.parquet(dir)
+        .filter(col("user_id").between(100L, 199L) &&
+          col("value").between(100.0, 200.0))
+        .join(broadcast(errorDays), Seq("event_day"))
+        .select(date_format(col("event_day"), "yyyy-MM-dd").as("event_day"),
+          col("event_id"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // small-file compaction through the gate: a 64-file "streaming sink"
     // layout compacted to 4 files must read back row-identical (the flat
     // oracle) — the maintenance op is invisible to query results
@@ -411,6 +436,17 @@ object ServingCatalog extends Catalog {
         |FROM events
         |WHERE user_id BETWEEN 100 AND 199 AND value BETWEEN 100.0 AND 200.0
         |ORDER BY event_id""".stripMargin,
+
+    "zorder_dpp_scan" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS event_day FROM events
+        |  WHERE event_type = 'error' AND value > 200)
+        |SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS event_day,
+        |  e.event_id, e.user_id, e.value
+        |FROM events e JOIN ed ON CAST(e.ts AS DATE) = ed.event_day
+        |WHERE e.user_id BETWEEN 100 AND 199
+        |  AND e.value BETWEEN 100.0 AND 200.0
+        |ORDER BY e.event_id""".stripMargin,
 
     "compacted_scan" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,

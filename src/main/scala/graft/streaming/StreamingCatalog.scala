@@ -397,7 +397,11 @@ object StreamingCatalog extends Catalog {
         val dst = new java.io.File(tmp, name)
         Files.move(part.toPath, dst.toPath)
         stage.listFiles().foreach(_.delete()); stage.delete()
-        dst.setLastModified(mtime)
+        // the file-source reads staged files in mtime order, so a
+        // filesystem that rejects the update would silently break the
+        // events→flush1→flush2 ordering (watermark advances before real
+        // events arrive) — fail loudly at staging time instead
+        require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
       }
       val t0 = System.currentTimeMillis() - 240000
       writeOne(ev, "events.parquet", t0)
@@ -525,6 +529,48 @@ object StreamingCatalog extends Catalog {
         "customer_segment", 3)
       .withColumn("top_categories", concat_ws(",", col("top_categories")))
 
+  /** Run a replay under the RocksDB state store as a GATE configuration
+    * (round-5 punch list: the provider was spec-only): set the session
+    * confs, capture streaming progress through a listener, and REQUIRE
+    * that RocksDB-specific state-store metrics actually appeared — a
+    * typo'd provider class or an ignored conf fails the query rather than
+    * silently running on the default heap store. Confs are restored so
+    * the base variants keep the default provider.
+    */
+  private def withRocksDb[A](s: SparkSession)(body: => A): A = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val confs = Streams.RocksDbStateStore
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    val seen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.stateOperators.exists(_.customMetrics.keySet().asScala
+            .exists(_.toLowerCase.contains("rocksdb")))) seen.set(true)
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    try {
+      val r = body
+      // progress events post asynchronously on the listener bus; the
+      // replay's query has already terminated, so just drain briefly
+      val deadline = System.currentTimeMillis() + 30000
+      while (!seen.get() && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      require(seen.get(),
+        "RocksDB state-store metrics never appeared in streaming progress " +
+          "— provider not engaged")
+      r
+    } finally {
+      s.streams.removeListener(listener)
+      prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_enriched_replay"  -> ((s, d) => replayEnriched(s, d)),
     "stream_view_refresh"     -> ((s, d) => replayViewRefresh(s, d)),
@@ -538,6 +584,17 @@ object StreamingCatalog extends Catalog {
     "stream_range_join"       -> ((s, d) => replayRangeJoin(s, d)),
     "stream_session_windows"  -> ((s, d) => replaySessionWindows(s, d)),
 
+    // the three heaviest-state replays again under the RocksDB provider
+    // (disk-backed state, the 100 TB posture where state outgrows the
+    // heap): same results, same oracles, provider engagement asserted in
+    // the gate path itself (withRocksDb)
+    "stream_incremental_view_rocksdb" ->
+      ((s, d) => withRocksDb(s)(replayIncrementalView(s, d))),
+    "stream_simhash_dedup_rocksdb" ->
+      ((s, d) => withRocksDb(s)(replaySimHashDedup(s, d))),
+    "stream_session_windows_rocksdb" ->
+      ((s, d) => withRocksDb(s)(replaySessionWindows(s, d))),
+
     // the sliding-window aggregate through the SAME code path streaming
     // uses (withWatermark is a declared no-op on batch input): each event
     // lands in size/slide = 4 overlapping windows
@@ -548,12 +605,24 @@ object StreamingCatalog extends Catalog {
         .orderBy("bucket")),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    base ++ Map(
+      "stream_incremental_view_rocksdb" -> base("stream_incremental_view"),
+      "stream_simhash_dedup_rocksdb" -> base("stream_simhash_dedup"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     // identical semantics to the batch path — reuse its oracle verbatim
     "stream_enriched_replay" -> EnrichCatalog.oracleSql("enriched_orders"),
 
     // append-mode sessionization drains to exactly the batch session set
     "stream_session_windows" -> graft.ops.ServingCatalog.oracleSql("user_sessions"),
+
+    // the RocksDB-provider variants compute identical results — the state
+    // store is an execution detail — so each reuses its base oracle
+    "stream_session_windows_rocksdb" ->
+      graft.ops.ServingCatalog.oracleSql("user_sessions"),
 
     // the stream-static join: same modulo mapping, plain batch join
     "stream_dim_join" ->

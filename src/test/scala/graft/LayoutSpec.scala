@@ -98,4 +98,43 @@ class LayoutSpec extends SparkSpec {
       .filter(col("user_id").between(100L, 199L) && col("value").between(100.0, 200.0))
       .count())
   }
+
+  test("composed layout: DPP and z-order pushdown engage in ONE plan") {
+    // the zorder_dpp_scan gate shape: hive-partition by day, z-order
+    // within each day on (user_id, floor(value)); read via a runtime dim
+    // join + a conjunctive range box. The same plan must show (a) the
+    // fact scan pruned by a dynamicpruning subquery and (b) both range
+    // predicates pushed to parquet.
+    val dir = Files.createTempDirectory("graft-layout-zdpp").toString
+    Layout.writePartitionedZOrdered(
+      Tables(spark, sf).events
+        .withColumn("event_day", to_date(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "event_day"),
+      dir, "event_day", col("user_id"), floor(col("value")), bits = 11)
+    val errorDays = Tables(spark, sf).events
+      .filter(col("event_type") === "error" && col("value") > 200)
+      .select(to_date(col("ts")).as("event_day")).distinct()
+    val q = spark.read.parquet(dir)
+      .filter(col("user_id").between(100L, 199L) && col("value").between(100.0, 200.0))
+      .join(broadcast(errorDays), Seq("event_day"))
+    val plan = q.queryExecution.executedPlan
+    assert(plan.toString.contains("dynamicpruning"),
+      s"fact scan pruned by a runtime subquery, got:\n${plan.toString.take(2000)}")
+    // the join makes this plan adaptive, and collect() does not descend
+    // into AdaptiveSparkPlanExec — read the scans off the pre-AQE
+    // physical plan (pushdown is decided at planning, not at runtime)
+    val pushed = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(user_id,100)") &&
+      pushed.contains("GreaterThanOrEqual(value,100.0)"),
+      s"both range predicates must reach the parquet scan: $pushed")
+    val expected = Tables(spark, sf).events
+      .withColumn("event_day", to_date(col("ts")))
+      .join(errorDays, Seq("event_day"))
+      .filter(col("user_id").between(100L, 199L) && col("value").between(100.0, 200.0))
+      .count()
+    assert(q.count() === expected)
+  }
 }

@@ -112,6 +112,35 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs hot-shingle guard equals brute force on a boilerplate-saturated corpus") {
+    // every doc carries the same 12-token boilerplate footer, so each
+    // footer shingle has df = corpus size; docs 61-80 are PURE boilerplate,
+    // which puts the over-cap shingles inside their prefixes — the exact
+    // degenerate shape the df-cap guard exists for. dfCap=4 forces every
+    // footer shingle down the salted hot branch.
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = ((1 to 60).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d $boiler")) ++
+      (61 to 80).map(i => (i.toLong, boiler))).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .filter(size(col("s")) > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
+          size(col("a.s"))).as("c"))
+    for (t <- Seq(0.5, 0.9)) {
+      val expected = brute.filter(col("c") >= t).collect().map(key).toSet
+      val guarded = Dedup.containmentPairs(docs, "doc_id", "text", t,
+        dfCap = 4, salts = 4).collect().map(key).toSet
+      assert(guarded === expected, s"threshold $t (hot path)")
+      // and the guard engaging changes nothing vs the all-cold default
+      val cold = Dedup.containmentPairs(docs, "doc_id", "text", t)
+        .collect().map(key).toSet
+      assert(cold === expected, s"threshold $t (cold path)")
+    }
+  }
+
   test("containmentPairs flags an excerpt that symmetric Jaccard misses") {
     // doc 2 is a verbatim 6-token excerpt of the 40-token doc 1:
     // containment(2→1) = 1.0 but Jaccard ≈ 4/38 — invisible to any

@@ -110,6 +110,22 @@ class SkewSpec extends SparkSpec {
     assert(spread >= 6, s"only $spread of 8 buckets populated")
   }
 
+  test("containment hot branch spreads an over-cap shingle's bucket across salts") {
+    // per-bucket candidate count in the hot branch is |prefix entries for
+    // the shingle| × |per-(shingle,salt) index entries| — with the prefix
+    // side fixed, bounding the salt bucket bounds the candidates one task
+    // sees. Pin the saltOf contract on a df-80 hot shingle at salts=4:
+    // every salt bucket is used and none holds more than half the df
+    // (i.e. the single 80-entry bucket the unguarded join would build is
+    // genuinely split).
+    val ids = (1L to 80L).toDF("id_b")
+    val spread = ids.select(graft.llm.Dedup.saltOf(col("id_b"), 4).as("salt"))
+      .groupBy("salt").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(spread.keySet === Set(0, 1, 2, 3), s"all 4 salt buckets used: $spread")
+    assert(spread.values.max <= 40, s"no salt bucket holds > half the df: $spread")
+  }
+
   test("salted ops refuse inputs that already carry the reserved __salt column") {
     val tainted = Seq((1L, 0)).toDF("k", "__salt")
     val clean = Seq((1L, "x")).toDF("dk", "label")

@@ -61,17 +61,16 @@ class ViewsSpec extends SparkSpec {
 
   test("every query has an oracle except the declared rows-only set") {
     val rowsOnly = Set(
-      "approx_stats",        // sketches are approximate by design
       "ivf_kmeans_assign",   // oracle appears only after the fit captures
       "kmeans_label_purity", // its centroids (same capture mechanism)
-      "semantic_dedup_auto") // same capture mechanism (adaptive-k fit)
+      "semantic_dedup_auto", // same capture mechanism (adaptive-k fit)
+      "embedding_near_dup_auto") // same capture mechanism (shared auto fit)
     // subset, not equality: the capture-based oracles APPEAR once another
     // test in the same JVM has run their fit, so `missing` legitimately
     // shrinks below the declared set mid-suite
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert((missing -- rowsOnly).isEmpty,
       s"un-oracled queries beyond the declared set: ${missing -- rowsOnly}")
-    assert(missing.contains("approx_stats"), "approx_stats stays rows-only")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
   }

@@ -10,18 +10,46 @@ text gets a per-copy suffix token (so copies are NEAR-duplicates, not
 byte-exact — keeps the dedup tiers honest); embeddings get a small
 per-copy component shift (copies cluster tightly, the ANN worst case).
 
-Usage: python3 tools/gen_sf1.py [dstDir]
+With --constrate, copies are perturbed PAST the dedup thresholds instead
+of staying near-duplicates: every document token gets a per-copy suffix
+(cross-copy Jaccard/containment -> 0 while in-copy duplicate families
+keep their sf0.1 structure), customer names get a per-copy suffix longer
+than the fuzzy tier's edit distance (in-copy distance-1 pairs preserved),
+and copy i>0 embeddings are fresh hash-derived draws. Duplicate-family
+size then stays CONSTANT as sf grows, so the output-bound pair queries
+(jaccard_prefix_pairs, containment_pairs, fuzzy_customer_pairs,
+embedding_contamination) should scale ~linearly -- the measurement that
+separates "query is super-linear" from "fixture's output is".
+
+With --src=<dir> --base=<m>, the source is a previously generated dir
+whose key domains are m x the sf0.1 ones (e.g. --src=testdata_sf1
+--base=10 stacks another 10 copies on sf1 -> sf10); key offsets scale by
+m so FK consistency is preserved. Timestamp shifts use i*m seconds and
+copy markers use i*m so stacked generations never collide.
+
+Usage: python3 tools/gen_sf1.py [dstDir] [--constrate] [--copies=N]
+                                [--src=dir] [--base=m]
 """
 import duckdb, os, sys
 
-SRC = "/root/testdata/sf0.1"
-DST = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
-N = 10
+CONST = "--constrate" in sys.argv
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+def flag(name, default):
+    hits = [a for a in sys.argv[1:] if a.startswith(f"--{name}=")]
+    return hits[0].split("=", 1)[1] if hits else default
+
+SRC = flag("src", "/root/testdata/sf0.1")
+DST = args[0] if args else "/root/repo/testdata_sf1"
+N = int(flag("copies", "10"))
+BASE = int(flag("base", "1"))  # source key-domain multiple of sf0.1
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
 def gen(table, tmpl):
-    parts = " UNION ALL ".join(tmpl.format(i=i) for i in range(N))
+    # substituting i*BASE everywhere scales the key offsets to the source's
+    # domain width AND keeps copy markers / time shifts distinct across
+    # stacked generations (copy 0 stays the identity copy)
+    parts = " UNION ALL ".join(tmpl.format(i=i * BASE) for i in range(N))
     con.execute(f"COPY ({parts}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
     n = con.execute(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
     print(table, n)
@@ -32,9 +60,11 @@ for t in ("region", "nation"):
                 f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
     print(t, "copied")
 
+cname = ("CASE WHEN {i} = 0 THEN c_name ELSE c_name || '~f{i}' END"
+         if CONST else "c_name")
 gen("customer",
-    f"SELECT c_custkey + {{i}}*15000 AS c_custkey, c_name, c_nationkey, "
-    f"c_acctbal, c_mktsegment FROM '{SRC}/customer.parquet'")
+    f"SELECT c_custkey + {{i}}*15000 AS c_custkey, {cname} AS c_name, "
+    f"c_nationkey, c_acctbal, c_mktsegment FROM '{SRC}/customer.parquet'")
 gen("supplier",
     f"SELECT s_suppkey + {{i}}*1000 AS s_suppkey, s_name, s_nationkey, "
     f"s_acctbal FROM '{SRC}/supplier.parquet'")
@@ -58,13 +88,32 @@ gen("events",
     f"ts + INTERVAL ({{i}}) SECOND AS ts, "
     f"user_id + {{i}}*1500 AS user_id, event_type, value, props "
     f"FROM '{SRC}/events.parquet'")
-gen("documents",
-    f"SELECT doc_id + {{i}}*5000 AS doc_id, "
-    f"CASE WHEN {{i}} = 0 THEN text ELSE text || ' rep{{i}}' END AS text, "
-    f"lang, source, n_chars + CASE WHEN {{i}} = 0 THEN 0 ELSE 5 END AS n_chars "
-    f"FROM '{SRC}/documents.parquet'")
-gen("embeddings",
-    f"SELECT vec_id + {{i}}*2000 AS vec_id, "
-    f"list_transform(embedding, x -> CAST(x + {{i}}*0.001 AS FLOAT)) AS embedding, "
-    f"label FROM '{SRC}/embeddings.parquet'")
+if CONST:
+    # per-copy token suffix: cross-copy shingle sets are disjoint, in-copy
+    # duplicate structure identical to sf0.1 -> family size constant
+    ctext = ("CASE WHEN {i} = 0 THEN text ELSE array_to_string("
+             "list_transform(string_split(text, ' '), t -> t || 'x{i}'), ' ') END")
+    gen("documents",
+        f"SELECT doc_id + {{i}}*5000 AS doc_id, {ctext} AS text, "
+        f"lang, source, length({ctext}) AS n_chars "
+        f"FROM '{SRC}/documents.parquet'")
+    # copy i>0 embeddings are fresh deterministic draws (hash-derived in
+    # [-1, 1]) -- no cross-copy near-identical vectors
+    cemb = ("CASE WHEN {i} = 0 THEN embedding ELSE "
+            "list_transform(range(0, len(embedding)), d -> "
+            "CAST((CAST(hash(vec_id * 131 + d * 7 + {i} * 1000003) % 2001 "
+            "AS DOUBLE) - 1000.0) / 1000.0 AS FLOAT)) END")
+    gen("embeddings",
+        f"SELECT vec_id + {{i}}*2000 AS vec_id, {cemb} AS embedding, "
+        f"label FROM '{SRC}/embeddings.parquet'")
+else:
+    gen("documents",
+        f"SELECT doc_id + {{i}}*5000 AS doc_id, "
+        f"CASE WHEN {{i}} = 0 THEN text ELSE text || ' rep{{i}}' END AS text, "
+        f"lang, source, n_chars + CASE WHEN {{i}} = 0 THEN 0 ELSE 5 END AS n_chars "
+        f"FROM '{SRC}/documents.parquet'")
+    gen("embeddings",
+        f"SELECT vec_id + {{i}}*2000 AS vec_id, "
+        f"list_transform(embedding, x -> CAST(x + {{i}}*0.001 AS FLOAT)) AS embedding, "
+        f"label FROM '{SRC}/embeddings.parquet'")
 print("done ->", DST)
