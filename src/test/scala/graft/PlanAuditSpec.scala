@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
         "embedding_contamination",
         "kmeans_label_purity", // broadcast centroid set in the fit/assign
         "semantic_dedup_auto", // same broadcast centroid set (adaptive-k fit)
+        "embedding_near_dup_auto", // same shared adaptive-k centroid broadcast
         "tfidf_top_terms",  // broadcast of the 1-row corpus-count aggregate
         "bm25_top_terms",   // broadcast of the 1-row (n_docs, total_dl) stats
         "bm25_retrieval",   // same 1-row stats broadcast as bm25_top_terms

@@ -33,7 +33,9 @@ val picks = Seq(
   "containment_pairs" -> "k-prefix inverted-index containment join: rarest-first k-prefixes probe the FULL shingle index, candidates need >= min(k, need) matched prefix shingles (prunes the 1-shared-shingle flood: 206k -> ~1k candidates for 512 pairs), relational overlap verify only on survivors.",
   "dpp_scan" -> "Dynamic partition pruning: the day-partitioned fact scan carries a dynamicpruning subquery fed from the broadcast dim (days with a high-value error) - partition directories are listed at execution time, not planning time.",
   "pca_projection" -> "The power-iteration fit is memoized control-plane state; the projection itself is ONE narrow codegen pass - dot_q against the broadcast-literal component, exact integer numerator, one double division.",
-  "stream_session_windows" -> "Append-mode session aggregation (batch plan shown): watermark -> session_window merge -> state-evicting emit; the streaming replay drains via the two-sentinel watermark flush.")
+  "stream_session_windows" -> "Append-mode session aggregation (batch plan shown): watermark -> session_window merge -> state-evicting emit; the streaming replay drains via the two-sentinel watermark flush.",
+  "zorder_dpp_scan" -> "The composed 100 TB scan posture: hive day-partitioning pruned by a dynamicpruning subquery (runtime dim) AND the per-day Z-order layout's two range predicates pushed to parquet - both prunings in ONE plan.",
+  "embedding_near_dup_auto" -> "Scale-adaptive near-dup pair search: k-proportional-to-n k-means cells (shared memoized fit) block the within-cell self-join, so candidate volume stays linear on scale-up; exact quantized cosine verifies.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
