@@ -154,17 +154,16 @@ object Similarity {
     * any embedding frame with its nearest cell (broadcast join, narrow).
     */
   final case class KMeansModel(centroids: Seq[(Int, Seq[Long])], id: String, vec: String) {
-    def assign(df: DataFrame): DataFrame = {
-      val spark = df.sparkSession
-      import spark.implicits._
-      val c = broadcast(centroids.toDF("cid", "cq").withColumn("cn2", norm2Q(col("cq"))))
+    def assign(df: DataFrame): DataFrame =
+      // one narrow codegen'd projection ([[graft.functions.NearestCellQ]]):
+      // the same exact integer argmin + lowest-cid tie-break the former
+      // crossJoin→groupBy shape computed, without exploding n·k dist rows
+      // through a shuffle — the term the sf1-constrate run measured as the
+      // whole auto-dedup tier's super-linear cost (k ∝ n makes it n²/target
+      // SHUFFLED ROWS; as a projection the k·dim flops stay in-register)
       prepare(df, id, vec)
-        .crossJoin(c)
-        .select(col(id), col("cid"),
-          (col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")).as("dist"))
-        .groupBy(col(id))
-        .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cluster"))
-    }
+        .select(col(id),
+          graft.functions.NearestCellQ(col("q"), centroids).as("cluster"))
 
     /** Margin-based adaptive probe set: every cell whose squared distance
       * is within `alpha`× the nearest cell's, capped at `maxProbes` (the
@@ -285,12 +284,25 @@ object Similarity {
 
     // deterministic sample-based init (k-means||-style): ONE hash-sampled
     // pass pulls ~max(64k, 4096) vectors to the driver (bounded: sample ×
-    // dim longs), then farthest-point selection runs driver-local on the
-    // sample — geometry-aware like the k-means++ seeding it replaces, but
-    // O(1) corpus scans instead of the previous k-1 sequential full scans
-    // (the build's scale bottleneck at 100 TB). xxhash64(id) sampling is
-    // partitioning-independent, so the init — and therefore the whole fit —
-    // is run-deterministic.
+    // dim longs), then MASS-PROPORTIONAL selection runs driver-local on the
+    // sample: seeds are the first k distinct vectors in scrambled-id order,
+    // i.e. a uniform draw from the data distribution. This replaced
+    // farthest-point seeding after the sf1-constrate measurement:
+    // farthest-point picks extreme outliers as seeds, and on
+    // structure-free data the central mass then collapses into a handful
+    // of cells (measured max cell 6,313 of n=20,000 — 31% of the corpus in
+    // ONE cell, 9.1 s of within-cell pair verification producing zero
+    // pairs). Mass-proportional seeding puts seeds where the data is:
+    // max cell 1,247, pair verify 1.8 s on the same fixture, and on the
+    // adversarially-CLUSTERED fixture it is indistinguishable from
+    // farthest-point (max cell 150 vs 160, pair set ±0.04%) because a
+    // uniform draw lands seeds in every cluster with mass ≥ n/k. For a
+    // balance-sensitive blocking fit (SemDeDup cells, IVF lists), balance
+    // is the objective — coverage of isolated outliers is not (an outlier
+    // in a big cell costs one verify; a seed ON the outlier costs a
+    // near-empty cell). O(1) corpus scans as before; xxhash64(id) sampling
+    // + the scramble order are partitioning-independent, so the init — and
+    // therefore the whole fit — stays run-deterministic.
     val n = p.count()
     val cap = math.max(64L * k, 4096L)
     var every = math.max(1L, n / cap)
@@ -307,35 +319,28 @@ object Similarity {
     }
     require(sample.length >= k, s"sampled ${sample.length} vectors < k=$k")
 
-    def dist2(a: Array[Long], b: Array[Long]): Long = {
-      var s = 0L; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    // farthest-point over the id-sorted sample; strict improvement keeps
-    // the lowest id on ties
-    val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2)
-    val minD = Array.fill(sample.length)(Long.MaxValue)
-    while (chosen.size < k) {
-      var bestI = 0; var bestD = -1L
-      var i = 0
-      while (i < sample.length) {
-        val d = dist2(sample(i)._2, chosen.last)
-        if (d < minD(i)) minD(i) = d
-        if (minD(i) > bestD) { bestD = minD(i); bestI = i }
-        i += 1
-      }
-      chosen += sample(bestI)._2
-    }
+    // first k DISTINCT vectors in scrambled-id order (ties on the raw id):
+    // distinctness guards against duplicate embeddings seeding two
+    // identical centroids (which would waste a cell — the duplicate's
+    // points all tie to the lower cid)
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Long]]
+    val chosen = sample
+      .sortBy { case (sid, _) => (Dedup.scramble(sid), sid) }
+      .iterator
+      .map(_._2)
+      .filter(v => seen.add(v.toSeq))
+      .take(k)
+      .toArray
+    require(chosen.length >= k,
+      s"only ${chosen.length} distinct sampled vectors < k=$k")
     var centroids: Seq[(Int, Seq[Long])] =
       chosen.toSeq.zipWithIndex.map { case (v, i) => i -> v.toSeq }
 
     def assignment(): DataFrame =
-      p.crossJoin(centroidFrame(centroids))
-        .select(col(id), col("cid"),
-          (col("n2") - lit(2L) * dotQ(col("q"), col("cq")) + col("cn2")).as("dist"))
-        .groupBy(col(id))
-        .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cluster"))
+      // same narrow nearest-cell projection as KMeansModel.assign — each
+      // Lloyd round scans n rows instead of shuffling n·k dist rows
+      p.select(col(id),
+        graft.functions.NearestCellQ(col("q"), centroids).as("cluster"))
 
     for (_ <- 1 to iters) {
       val sums = assignment()

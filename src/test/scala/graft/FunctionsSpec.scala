@@ -70,4 +70,54 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
     assert(out === Map(1L -> null, 2L -> null, 3L -> null))
   }
+
+  /** The crossJoin→groupBy argmin shape NearestCellQ replaced stays here
+    * as its executable spec: exact integer distances, argmin, lowest-cid
+    * tie-break.
+    */
+  private def crossJoinAssign(df: org.apache.spark.sql.DataFrame,
+                              centroids: Seq[(Int, Seq[Long])]) = {
+    val c = broadcast(centroids.toDF("cid", "cq")
+      .withColumn("cn2", hofDot(col("cq"), col("cq"))))
+    df.crossJoin(c)
+      .select(col("id"), col("cid"),
+        (hofDot(col("q"), col("q")) - lit(2L) * Similarity.dotQ(col("q"), col("cq"))
+          + col("cn2")).as("dist"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cluster"))
+  }
+
+  test("NearestCellQ equals the crossJoin argmin, including exact-tie rows") {
+    val rnd = new scala.util.Random(17)
+    val dim = 8
+    val cents: Seq[(Int, Seq[Long])] =
+      (0 until 7).map(c => c -> Seq.fill(dim)((rnd.nextLong() % 1000L) * 4L))
+    // mix random vectors with EXACT copies of centroids 2 and 5, plus the
+    // midpoint of centroids 0 and 1 (equidistant -> the tie must break to
+    // cid 0 on both paths)
+    val mid = (0 until dim).map(i => (cents(0)._2(i) + cents(1)._2(i)) / 2)
+    val vecs: Seq[(Long, Seq[Long])] =
+      (0 until 200).map(i => i.toLong -> Seq.fill(dim)(rnd.nextLong() % 4000L)) ++
+        Seq(900L -> cents(2)._2, 901L -> cents(5)._2, 902L -> mid)
+    val df = vecs.toDF("id", "q")
+    val fast = df.select(col("id"),
+        graft.functions.NearestCellQ(col("q"), cents).as("cluster"))
+    val ref = crossJoinAssign(df, cents)
+    assert(fast.join(ref.withColumnRenamed("cluster", "ref"), Seq("id"))
+      .filter(not(col("cluster") <=> col("ref"))).count() === 0)
+    // the deliberate tie: midpoint must land on the LOWER cid
+    assert(fast.filter(col("id") === 902L).head.getInt(1) === 0)
+  }
+
+  test("NearestCellQ nulls out on dim mismatch and null elements") {
+    val cents: Seq[(Int, Seq[Long])] = Seq(0 -> Seq(1L, 2L), 1 -> Seq(3L, 4L))
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L)),
+      (2L, Seq[java.lang.Long](1L, null)),
+      (3L, null)).toDF("id", "q")
+    val out = df.select(col("id"),
+        graft.functions.NearestCellQ(col("q"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(out === Map(1L -> null, 2L -> null, 3L -> null))
+  }
 }
