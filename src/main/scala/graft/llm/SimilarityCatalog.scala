@@ -177,6 +177,18 @@ object SimilarityCatalog extends Catalog {
           Dim, NearDupCos)
         .orderBy("vec_id")),
 
+    // the same pipeline at a scale-adaptive band width (bucket count
+    // tracks n — the fixed 4-bit banding holds 16 buckets per band forever
+    // and its spurious-collision verify cost grows quadratically; measured
+    // 56 s at sf1-constrate vs ~3 s for this form). The chosen width is
+    // captured for the oracle like the auto fits' centroids.
+    "semantic_dedup_srp_auto" -> ((s, d) => {
+      val (rpb, out) = Srp.semanticDedupSrpAuto(Tables(s, d).embeddings,
+        "vec_id", "embedding", Dim, NearDupCos)
+      srpAutoWidth = Some(rpb)
+      out.orderBy("vec_id")
+    }),
+
     // multi-probe IVF at full probe width: probing every cell must
     // reproduce the brute-force result EXACTLY, so the entire fit →
     // assignTop → replicate → cell-join → dedup machinery is oracled by
@@ -204,6 +216,11 @@ object SimilarityCatalog extends Catalog {
     * [[autoFit]]).
     */
   @volatile private var nearDupAutoCentroids: Option[Seq[(Int, Seq[Long])]] = None
+
+  /** Captured band width of the last `semantic_dedup_srp_auto` run (rows
+    * per band) — the oracle replays the identical banding at this width.
+    */
+  @volatile private var srpAutoWidth: Option[Int] = None
 
   /** Once-per-(JVM, sfDir) memo of the scale-adaptive k ∝ n k-means fit
     * consumed by `semantic_dedup_auto` and `embedding_near_dup_auto` —
@@ -409,14 +426,17 @@ object SimilarityCatalog extends Catalog {
     * the ANN and SRP-dedup oracles — exact mirror of [[Srp.sketches]] /
     * [[Srp.bandRows]].
     */
-  private def srpSketchCtes: String = {
-    val projCols = (0 until Srp.Bits).map(j => s"s_$j").mkString(", ")
-    val projValues = Srp.signs(Dim)
+  private def srpSketchCtes: String = srpSketchCtesWidth(Srp.RowsPerBand)
+
+  private def srpSketchCtesWidth(rowsPerBand: Int): String = {
+    val nBits = Srp.Bands * rowsPerBand
+    val projCols = (0 until nBits).map(j => s"s_$j").mkString(", ")
+    val projValues = Srp.signs(Dim, nBits)
       .map { case (d, ss) => s"($d, ${ss.mkString(", ")})" }
       .mkString(",\n    ")
-    val sums = (0 until Srp.Bits)
+    val sums = (0 until nBits)
       .map(j => s"CAST(sum(x * s_$j) AS BIGINT) AS p_$j").mkString(",\n    ")
-    val bits = (0 until Srp.Bits)
+    val bits = (0 until nBits)
       .map(j => s"(CASE WHEN p_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     s"""proj(dim, $projCols) AS (VALUES
@@ -428,9 +448,35 @@ object SimilarityCatalog extends Catalog {
        |  FROM ex JOIN proj USING (dim) GROUP BY vec_id),
        |sk AS (SELECT vec_id, $bits AS sketch FROM sm),
        |bands AS (SELECT vec_id, b,
-       |    (sketch >> (CAST(b AS INTEGER) * ${Srp.RowsPerBand}))
-       |      & ${(1L << Srp.RowsPerBand) - 1} AS bv
+       |    (sketch >> (CAST(b AS INTEGER) * $rowsPerBand))
+       |      & ${(1L << rowsPerBand) - 1} AS bv
        |  FROM sk CROSS JOIN (SELECT unnest(range(0, ${Srp.Bands})) AS b))""".stripMargin
+  }
+
+  /** semantic_dedup_srp_auto oracle: the srp-dedup SQL at the CAPTURED
+    * band width — same sketch formula, wider band keys.
+    */
+  private def srpAutoOracle: Option[(String, String)] = srpAutoWidth.map { rpb =>
+    "semantic_dedup_srp_auto" ->
+      s"""WITH $prepSql,
+         |${srpSketchCtesWidth(rpb)},
+         |scand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+         |    AND a.vec_id < b.vec_id),
+         |ssc AS (
+         |  SELECT scand.id_a, scand.id_b, x.n2 AS na, y.n2 AS nb,
+         |    (SELECT CAST(sum(xx * yy) AS BIGINT)
+         |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+         |  FROM scand
+         |  JOIN pn x ON x.vec_id = scand.id_a
+         |  JOIN pn y ON y.vec_id = scand.id_b),
+         |sdup AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM ssc
+         |  WHERE CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+         |  GROUP BY id_b)
+         |SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS is_kept
+         |FROM embeddings e LEFT JOIN sdup d USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
   }
 
   private def srpOracle: String = {
@@ -450,7 +496,7 @@ object SimilarityCatalog extends Catalog {
 
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
-      nearDupAutoOracle.toMap ++ Map(
+      nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ Map(
     "semantic_dedup_srp" ->
       s"""WITH $prepSql,
          |$srpSketchCtes,

@@ -38,6 +38,28 @@ object Srp {
   val Bands = 4
   val RowsPerBand = 4
 
+  /** Scale-adaptive band width: bits per band so that a band's bucket
+    * count tracks the corpus (`2^bits ≈ n / targetBucket`), floored at the
+    * fixed default and capped so [[Bands]] bands still pack into one long.
+    * The fixed 4-bit default gives 16 buckets per band FOREVER — bucket
+    * occupancy, and therefore spurious-candidate volume, then grows
+    * linearly (quadratically in pair terms) with the corpus: the
+    * sf1-constrate run measured 56 s of exact-cosine verification on
+    * structure-free data, almost all of it refuting random 4-bit
+    * collisions. Near-identical vectors (θ → 0, the SemDeDup regime)
+    * still collide on a wider band with probability (1 − θ/π)^bits per
+    * band, OR'd over [[Bands]] bands — the S-curve keeps its knee at
+    * near-duplicate angles while random directions fall off exponentially
+    * in the width.
+    */
+  def rowsPerBandFor(n: Long, targetBucket: Long, bands: Int = Bands): Int = {
+    require(targetBucket >= 1 && bands >= 1)
+    val maxBits = 63 / bands // all bands must pack into one non-negative long
+    var bits = RowsPerBand
+    while (bits < math.min(16, maxBits) && (n >> bits) > targetBucket) bits += 1
+    bits
+  }
+
   /** Rademacher sign of hyperplane bit `j` at dimension `d` (declared,
     * deterministic; 4096 > any real j keeps (j, d) collision-free).
     */
@@ -45,43 +67,37 @@ object Srp {
     if ((Dedup.scramble(j.toLong * 4096L + d.toLong) & 1L) == 1L) 1 else -1
 
   /** The projection table for a `dim`-dimensional space:
-    * `(d, sign_0 … sign_{Bits-1})`.
+    * `(d, sign_0 … sign_{bits-1})`.
     */
-  def signs(dim: Int): Seq[(Int, Seq[Int])] =
-    (0 until dim).map(d => d -> (0 until Bits).map(j => sign(j, d)))
+  def signs(dim: Int, bits: Int = Bits): Seq[(Int, Seq[Int])] =
+    (0 until dim).map(d => d -> (0 until bits).map(j => sign(j, d)))
 
-  /** `(id, sketch)`: the [[Bits]]-bit SRP sketch of each vector. Bit j is
+  /** `(id, sketch)`: the `bits`-bit SRP sketch of each vector. Bit j is
     * set iff `sum_d q_d · sign(j, d) > 0` (exact integer sums over the
     * 24-bit-quantized components; the zero tie is declared to clear the
-    * bit, identically in the oracle).
+    * bit, identically in the oracle). One narrow codegen'd projection
+    * ([[graft.functions.SrpSketchQ]] — the former posexplode → broadcast
+    * sign join → `bits`-sum aggregate shuffled n·dim rows to compute the
+    * same longs).
     */
-  def sketches(df: DataFrame, id: String, vec: String, dim: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val proj = broadcast(
-      signs(dim).toDF("dim", "sgn")
-        .select(col("dim") +:
-          (0 until Bits).map(j => element_at(col("sgn"), j + 1).as(s"s_$j")): _*))
-    val sums = (0 until Bits).map(j => sum(col("x") * col(s"s_$j")).as(s"p_$j"))
-    val sketch = (0 until Bits)
-      .map(j => when(col(s"p_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  def sketches(df: DataFrame, id: String, vec: String, dim: Int,
+               bits: Int = Bits): DataFrame = {
+    val byBit = (0 until bits).map(j => (0 until dim).map(d => sign(j, d)))
     Similarity.prepare(df, id, vec)
-      .select(col(id), posexplode(col("q")).as(Seq("dim", "x")))
-      .join(proj, Seq("dim"))
-      .groupBy(col(id)).agg(sums.head, sums.tail: _*)
-      .select(col(id), sketch.as("sketch"))
+      .select(col(id),
+        graft.functions.SrpSketchQ(col("q"), byBit).as("sketch"))
   }
 
   /** `(id, band)` rows: band b's key packs the band index with its
-    * [[RowsPerBand]] sketch bits; vectors agreeing on any full band share a
+    * `rowsPerBand` sketch bits; vectors agreeing on any full band share a
     * bucket.
     */
-  def bandRows(sk: DataFrame, id: String): DataFrame = {
+  def bandRows(sk: DataFrame, id: String,
+               rowsPerBand: Int = RowsPerBand): DataFrame = {
     val keys = (0 until Bands).map { b =>
       concat_ws(":", lit(b),
-        shiftright(col("sketch"), b * RowsPerBand)
-          .bitwiseAND(lit((1L << RowsPerBand) - 1L)))
+        shiftright(col("sketch"), b * rowsPerBand)
+          .bitwiseAND(lit((1L << rowsPerBand) - 1L)))
     }
     sk.select(col(id), explode(array(keys: _*)).as("band"))
   }
@@ -106,10 +122,28 @@ object Srp {
     * sketch → band → verify pipeline bit-for-bit.
     */
   def semanticDedupSrp(df: DataFrame, id: String, vec: String, dim: Int,
-                       threshold: Double): DataFrame = {
+                       threshold: Double): DataFrame =
+    semanticDedupSrpWidth(df, id, vec, dim, threshold, RowsPerBand)
+
+  /** [[semanticDedupSrp]] at a scale-adaptive band width
+    * ([[rowsPerBandFor]]): bucket count tracks n, so bucket occupancy —
+    * and spurious-candidate volume — stays ~constant per vector as the
+    * corpus grows. Returns the chosen width with the verdict frame so the
+    * gate oracle can replay the identical banding.
+    */
+  def semanticDedupSrpAuto(df: DataFrame, id: String, vec: String, dim: Int,
+                           threshold: Double,
+                           targetBucket: Long = 64L): (Int, DataFrame) = {
+    val rpb = rowsPerBandFor(df.count(), targetBucket)
+    (rpb, semanticDedupSrpWidth(df, id, vec, dim, threshold, rpb))
+  }
+
+  def semanticDedupSrpWidth(df: DataFrame, id: String, vec: String, dim: Int,
+                            threshold: Double, rowsPerBand: Int): DataFrame = {
     val p = Similarity.prepare(df, id, vec)
       .select(col(id), col("q"), col("n2")).localCheckpoint(false)
-    val bands = bandRows(sketches(p, id, vec, dim), id)
+    val bands = bandRows(sketches(p, id, vec, dim, Bands * rowsPerBand), id,
+      rowsPerBand)
     val cand = bands.select(col(id).as("id_a"), col("band"))
       .join(bands.select(col(id).as("id_b"), col("band")), Seq("band"))
       .filter(col("id_a") < col("id_b"))

@@ -178,6 +178,63 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.values.forall(s => s >= 0 && s < (1L << Srp.Bits)))
   }
 
+  test("SrpSketchQ equals the posexplode -> sign-join -> sum reference shape") {
+    import org.apache.spark.sql.functions.{broadcast, element_at, posexplode, sum, when, lit}
+    // the former relational sketch pipeline, kept as the executable spec
+    def refSketches(df: org.apache.spark.sql.DataFrame, bits: Int) = {
+      val proj = broadcast(
+        Srp.signs(64, bits).toDF("dim", "sgn")
+          .select(col("dim") +:
+            (0 until bits).map(j => element_at(col("sgn"), j + 1).as(s"s_$j")): _*))
+      val sums = (0 until bits).map(j => sum(col("x") * col(s"s_$j")).as(s"p_$j"))
+      val sketch = (0 until bits)
+        .map(j => when(col(s"p_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      Similarity.prepare(df, "vec_id", "embedding")
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "x")))
+        .join(proj, Seq("dim"))
+        .groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+        .select(col("vec_id"), sketch.as("sketch"))
+    }
+    for (bits <- Seq(16, 36)) {
+      val fast = Srp.sketches(emb, "vec_id", "embedding", 64, bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ref = refSketches(emb, bits)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === ref, s"bits=$bits")
+    }
+  }
+
+  test("rowsPerBandFor tracks corpus size between its floor and cap") {
+    assert(Srp.rowsPerBandFor(100L, 64L) === Srp.RowsPerBand, "floor for tiny corpora")
+    assert(Srp.rowsPerBandFor(1024L, 64L) === 4)
+    assert(Srp.rowsPerBandFor(2048L, 64L) === 5)
+    assert(Srp.rowsPerBandFor(20000L, 64L) === 9)
+    assert(Srp.rowsPerBandFor(Long.MaxValue, 1L) === 15, "cap keeps 4 bands in a long")
+    // wider bands only ever shrink buckets: auto ≡ fixed on small corpora
+    assert(Srp.rowsPerBandFor(500L, 64L) === Srp.RowsPerBand)
+  }
+
+  test("adaptive-width SRP dedup still collapses identical vectors") {
+    val df = (0 until 40).map { i =>
+      // 40 distinct directions (0.15 rad apart, no 2π wrap in range), each
+      // duplicated once (ids i and i+100)
+      val base = Seq(math.cos(i * 0.15).toFloat, math.sin(i * 0.15).toFloat,
+        (i % 7) * 0.1f, 0.5f)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val dup = df.select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    val (rpb, out) = Srp.semanticDedupSrpAuto(df.union(dup), "vec_id",
+      "embedding", 4, 0.999, targetBucket = 4L)
+    assert(rpb >= Srp.RowsPerBand)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    (0 until 40).foreach { i =>
+      assert(rows(i + 100L) === i.toLong, s"copy of $i collapses to it")
+      assert(rows(i.toLong) === -1L, s"$i is the keeper")
+    }
+  }
+
   test("a duplicated vector collides in every band and ranks first") {
     val dup = emb.filter(col("vec_id") === 7)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     val intended =
       Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk", "sql_cosine_topk",
         "embedding_contamination",
+        "embedding_contamination_fixed", // fixed benchmark set broadcast
         "kmeans_label_purity", // broadcast centroid set in the fit/assign
         "semantic_dedup_auto", // same broadcast centroid set (adaptive-k fit)
         "embedding_near_dup_auto", // same shared adaptive-k centroid broadcast

@@ -64,7 +64,8 @@ class ViewsSpec extends SparkSpec {
       "ivf_kmeans_assign",   // oracle appears only after the fit captures
       "kmeans_label_purity", // its centroids (same capture mechanism)
       "semantic_dedup_auto", // same capture mechanism (adaptive-k fit)
-      "embedding_near_dup_auto") // same capture mechanism (shared auto fit)
+      "embedding_near_dup_auto", // same capture mechanism (shared auto fit)
+      "semantic_dedup_srp_auto") // captures its chosen band width
     // subset, not equality: the capture-based oracles APPEAR once another
     // test in the same JVM has run their fit, so `missing` legitimately
     // shrinks below the declared set mid-suite

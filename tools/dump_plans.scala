@@ -35,7 +35,9 @@ val picks = Seq(
   "pca_projection" -> "The power-iteration fit is memoized control-plane state; the projection itself is ONE narrow codegen pass - dot_q against the broadcast-literal component, exact integer numerator, one double division.",
   "stream_session_windows" -> "Append-mode session aggregation (batch plan shown): watermark -> session_window merge -> state-evicting emit; the streaming replay drains via the two-sentinel watermark flush.",
   "zorder_dpp_scan" -> "The composed 100 TB scan posture: hive day-partitioning pruned by a dynamicpruning subquery (runtime dim) AND the per-day Z-order layout's two range predicates pushed to parquet - both prunings in ONE plan.",
-  "embedding_near_dup_auto" -> "Scale-adaptive near-dup pair search: k-proportional-to-n k-means cells (shared memoized fit) block the within-cell self-join, so candidate volume stays linear on scale-up; exact quantized cosine verifies.")
+  "embedding_near_dup_auto" -> "Scale-adaptive near-dup pair search: k-proportional-to-n k-means cells (shared memoized fit) block the within-cell self-join, so candidate volume stays linear on scale-up; exact quantized cosine verifies. Assignment is ONE narrow codegen projection (nearest_cell_q) - no n*k exploded rows, no shuffle.",
+  "semantic_dedup_srp_auto" -> "Training-free SemDeDup at scale-adaptive band width: srp_sketch_q computes the whole sketch per row in one codegen pass (no posexplode/sign-join/aggregate), band bits track log2(n) so bucket occupancy - and spurious-candidate volume - stays constant per vector.",
+  "embedding_contamination_fixed" -> "Production decontamination shape: the FIXED benchmark set broadcasts into one narrow max-cosine pass over the corpus - linear in the corpus, no quadratic fixture artifact.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
