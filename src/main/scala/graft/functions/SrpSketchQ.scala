@@ -42,16 +42,21 @@ case class SrpSketchQ(child: Expression, signs: Array[Array[Int]])
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     if (x.numElements() != dim) return null
+    // validating copy to a primitive array once per row, pure long[]
+    // math after — same accessor-hoist as NearestCellQ
+    val xs = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i)) return null
+      xs(i) = x.getLong(i)
+      i += 1
+    }
     var sketch = 0L
     var j = 0
     while (j < signs.length) {
       val sj = signs(j)
-      var s = 0L; var i = 0
-      while (i < dim) {
-        if (x.isNullAt(i)) return null
-        s += x.getLong(i) * sj(i)
-        i += 1
-      }
+      var s = 0L; var d = 0
+      while (d < dim) { s += xs(d) * sj(d); d += 1 }
       if (s > 0L) sketch |= (1L << j)
       j += 1
     }
@@ -61,24 +66,30 @@ case class SrpSketchQ(child: Expression, signs: Array[Array[Int]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val signsRef = ctx.addReferenceObj("signs", signs, "int[][]")
+      val xs = ctx.addMutableState("long[]", "srpSketchScratch",
+        v => s"$v = new long[$dim];")
       val sketch = ctx.freshName("sketch")
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
       val s = ctx.freshName("s")
       val sj = ctx.freshName("sj")
       s"""
          |if ($a.numElements() != $dim) {
          |  ${ev.isNull} = true;
          |} else {
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $xs[$i] = $a.getLong($i);
+         |  }
          |  long $sketch = 0L;
-         |  for (int $j = 0; $j < ${signs.length} && !${ev.isNull}; $j++) {
-         |    final int[] $sj = $signsRef[$j];
-         |    long $s = 0L;
-         |    for (int $i = 0; $i < $dim; $i++) {
-         |      if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |      $s += $a.getLong($i) * $sj[$i];
+         |  if (!${ev.isNull}) {
+         |    for (int $j = 0; $j < ${signs.length}; $j++) {
+         |      final int[] $sj = $signsRef[$j];
+         |      long $s = 0L;
+         |      for (int $d = 0; $d < $dim; $d++) $s += $xs[$d] * $sj[$d];
+         |      if ($s > 0L) $sketch |= (1L << $j);
          |    }
-         |    if (!${ev.isNull} && $s > 0L) $sketch |= (1L << $j);
          |  }
          |  ${ev.value} = $sketch;
          |}

@@ -46,6 +46,25 @@ object CdcCatalog extends Catalog {
           col("o_orderpriority"))
         .orderBy("o_orderkey")),
 
+    // the production-contract measurement: the change batch held at its
+    // sf0.1 size (keys < 150000 — the sf0.1 order-key domain; dense keys
+    // make this a constant ~45k-row batch at every sf >= 0.1) while the
+    // snapshot grows, so the measured cost is linear in the SNAPSHOT scan
+    // + output sort — the "batch <= snapshot" contract mergeUpsert's
+    // broadcast shape is designed for. The unfiltered merge_upsert above
+    // keeps the batch at 30% of the table, a broadcast-side stress shape
+    // whose cost grows with the batch, not the operator's contract.
+    "merge_upsert_smallbatch" -> ((s, d) => {
+      val o = Tables(s, d).orders
+      Cdc.mergeUpsert(o, changeBatch(o.filter(col("o_orderkey") < 150000L)),
+          "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          Relational.tsStr(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
     // CDF-style audit: diffing the snapshot against its merged successor
     // must recover exactly the applied change batch
     "snapshot_diff" -> ((s, d) => {
@@ -70,21 +89,23 @@ object CdcCatalog extends Catalog {
         .orderBy("user_id", "valid_from", "event_id")),
   )
 
-  private val changesSql =
-    """changes AS (
-      |  SELECT o_orderkey, o_custkey, o_orderstatus,
-      |         o_totalprice + 1.0 AS o_totalprice, o_orderdate,
-      |         o_orderpriority, false AS is_delete
-      |  FROM orders WHERE o_orderkey % 10 = 3
-      |  UNION ALL
-      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-      |         o_orderdate, o_orderpriority, true
-      |  FROM orders WHERE o_orderkey % 10 = 7
-      |  UNION ALL
-      |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
-      |         o_totalprice, o_orderdate, o_orderpriority, false
-      |  FROM orders WHERE o_orderkey % 10 = 1
-      |)""".stripMargin
+  private def changesSqlWhere(extra: String) =
+    s"""changes AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |         o_totalprice + 1.0 AS o_totalprice, o_orderdate,
+       |         o_orderpriority, false AS is_delete
+       |  FROM orders WHERE o_orderkey % 10 = 3$extra
+       |  UNION ALL
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         o_orderdate, o_orderpriority, true
+       |  FROM orders WHERE o_orderkey % 10 = 7$extra
+       |  UNION ALL
+       |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+       |         o_totalprice, o_orderdate, o_orderpriority, false
+       |  FROM orders WHERE o_orderkey % 10 = 1$extra
+       |)""".stripMargin
+
+  private val changesSql = changesSqlWhere("")
 
   private val afterSql =
     """after AS (
@@ -101,6 +122,13 @@ object CdcCatalog extends Catalog {
   def oracleSql: Map[String, String] = Map(
     "merge_upsert" ->
       s"""WITH $changesSql, $afterSql
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         |  o_orderpriority
+         |FROM after ORDER BY o_orderkey""".stripMargin,
+
+    "merge_upsert_smallbatch" ->
+      s"""WITH ${changesSqlWhere(" AND o_orderkey < 150000")}, $afterSql
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
          |  o_orderpriority
