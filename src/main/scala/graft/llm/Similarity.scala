@@ -588,6 +588,115 @@ object Similarity {
     (model, out)
   }
 
+  /** A fitted two-level hierarchical quantizer: coarse centroids plus
+    * per-coarse-cell sub-centroid tables, with leaf cell ids
+    * `coarse·k₂ + j` (ascending within a cell — the tie-break order).
+    * `assign` is ONE narrow projection chaining the two native argmin
+    * kernels ([[graft.functions.NearestCellQ]] →
+    * [[graft.functions.NearestSubCellQ]]): n·(k₁+k₂) dots per pass
+    * instead of the flat fit's n·k — for k ∝ n leaf cells that is the
+    * difference between n²/target flops (measured 12× on 10× data at the
+    * sf1cr→sf10cr decade) and n·2√(n/target).
+    */
+  final case class HierKMeansModel(coarse: Seq[(Int, Seq[Long])],
+                                   sub: Seq[(Int, Int, Seq[Long])],
+                                   id: String, vec: String) {
+    def assign(df: DataFrame): DataFrame =
+      prepare(df, id, vec).select(col(id),
+        graft.functions.NearestSubCellQ(col("q"),
+          graft.functions.NearestCellQ(col("q"), coarse),
+          sub).as("cluster"))
+  }
+
+  /** Two-level hierarchical k-means at a scale-adaptive LEAF count
+    * (k = [[cellCountFor]], split √k × √k): fit the coarse level with
+    * [[kmeansFit]], then fit every coarse cell's k₂ sub-centroids
+    * SIMULTANEOUSLY — each grouped-Lloyd round is one corpus scan through
+    * the [[graft.functions.NearestSubCellQ]] kernel (each row argmins
+    * only its own cell's sub-table) plus one `(leaf, dim)` aggregate,
+    * exactly like the flat fit's rounds but at √k dots per row. This is
+    * the coarse-quantizer build a 100 TB corpus needs: constant leaf
+    * occupancy (so downstream pair volume stays linear, the SemDeDup
+    * requirement) WITHOUT the flat auto-k fit's n·k assignment flops.
+    *
+    * Determinism: the coarse fit is [[kmeansFit]]'s deterministic
+    * integer pipeline; sub-seeding takes each cell's first k₂ DISTINCT
+    * vectors in `(xxhash64(id), id)` order (partitioning-independent);
+    * updates are integer floor-divided sums; empty leaves keep their
+    * centroid. The driver sees only bounded control-plane data: the
+    * seeding collect is ≤ 4·k rows of dim longs (proportional to the
+    * centroid table itself), each Lloyd collect is ≤ k·dim rows.
+    */
+  def hierarchicalFit(df: DataFrame, id: String, vec: String,
+                      targetCellSize: Long = 64L, iters: Int = 3): HierKMeansModel = {
+    val n = df.count()
+    val kTotal = cellCountFor(n, targetCellSize)
+    val k1 = math.max(2, math.ceil(math.sqrt(kTotal.toDouble)).toInt)
+    val k2 = math.max(1L, (kTotal + k1 - 1L) / k1).toInt
+    val coarseModel = kmeansFit(df, id, vec, k1, iters)
+    // coarse assignment rides with the vector for every sub-Lloyd round —
+    // pin it once (the same diamond-reuse reason kmeansFit pins `p`)
+    val p = prepare(df, id, vec)
+      .select(col(id), col("q"),
+        graft.functions.NearestCellQ(col("q"), coarseModel.centroids).as("coarse"))
+      .localCheckpoint(false)
+    val dim = p.select(size(col("q"))).head().getInt(0)
+
+    // per-cell mass-proportional seeding (kmeansFit's rationale, scoped to
+    // the cell): first k₂ distinct vectors per coarse cell in scrambled-id
+    // order; the 4× candidate buffer absorbs duplicate embeddings. A cell
+    // whose candidates hold fewer distinct vectors seeds fewer leaves —
+    // balance degrades gracefully, exactness is unaffected.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("coarse")
+      .orderBy(xxhash64(col(id)), col(id))
+    val cand = p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k2 * 4)
+      .select(col("coarse"), col("rn"), col("q"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq))
+    var sub: Seq[(Int, Int, Seq[Long])] = cand.groupBy(_._1).toSeq.flatMap {
+      case (c, rows) =>
+        val seen = scala.collection.mutable.HashSet.empty[Seq[Long]]
+        rows.sortBy(_._2).iterator.map(_._3).filter(v => seen.add(v)).take(k2)
+          .zipWithIndex.map { case (v, j) => (c, c * k2 + j, v: Seq[Long]) }.toSeq
+    }.sortBy(t => (t._1, t._2))
+
+    for (_ <- 1 to iters) {
+      val sums = p.select(
+          graft.functions.NearestSubCellQ(col("q"), col("coarse"), sub).as("cluster"),
+          posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("nn"))
+        .collect()
+      val byLeaf = sums.groupBy(_.getInt(0))
+      sub = sub.map { case (c, leaf, prev) =>
+        byLeaf.get(leaf) match {
+          case Some(rows) =>
+            val comps = rows.map(r =>
+              r.getInt(1) -> Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
+            (c, leaf, (0 until dim).map(comps))
+          case None => (c, leaf, prev) // empty leaf keeps its centroid
+        }
+      }
+    }
+    HierKMeansModel(coarseModel.centroids, sub, id, vec)
+  }
+
+  /** [[semanticDedup]] over a [[hierarchicalFit]] quantizer — the same
+    * constant-occupancy leaf cells as [[semanticDedupAuto]] (so candidate
+    * pair volume stays linear in n) with assignment at n·2√k dots instead
+    * of n·k. Returns the model so the gate oracle can replay both argmin
+    * levels from the captured centroids.
+    */
+  def semanticDedupHier(df: DataFrame, id: String, vec: String,
+                        threshold: Double, targetCellSize: Long = 64L,
+                        iters: Int = 3): (HierKMeansModel, DataFrame) = {
+    val model = hierarchicalFit(df, id, vec, targetCellSize, iters)
+    val out = semanticDedup(df.join(model.assign(df), Seq(id)), id, vec,
+      "cluster", threshold)
+    (model, out)
+  }
+
   def semanticDedup(df: DataFrame, id: String, vec: String, cell: String,
                     threshold: Double): DataFrame = {
     val dupOf = cellNearDupPairs(df, id, vec, cell, threshold)

@@ -120,4 +120,68 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
     assert(out === Map(1L -> null, 2L -> null, 3L -> null))
   }
+
+  /** The per-coarse-cell crossJoin argmin stays as NearestSubCellQ's
+    * executable spec: join each row with ONLY its coarse cell's sub
+    * table, exact integer distances, lowest-sub-cid tie-break.
+    */
+  private def subCrossJoinAssign(df: org.apache.spark.sql.DataFrame,
+                                 sub: Seq[(Int, Int, Seq[Long])]) = {
+    val c = broadcast(sub.toDF("coarse", "cid", "cq")
+      .withColumn("cn2", hofDot(col("cq"), col("cq"))))
+    df.join(c, Seq("coarse"))
+      .select(col("id"), col("cid"),
+        (hofDot(col("q"), col("q")) - lit(2L) * Similarity.dotQ(col("q"), col("cq"))
+          + col("cn2")).as("dist"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cluster"))
+  }
+
+  test("NearestSubCellQ equals the per-cell join argmin, including exact ties") {
+    val rnd = new scala.util.Random(19)
+    val dim = 8
+    // 3 coarse cells × 3 sub-centroids; leaf ids globally unique, ascending
+    // within each cell (the tie-break contract)
+    val sub: Seq[(Int, Int, Seq[Long])] = for {
+      c <- 0 until 3; j <- 0 until 3
+    } yield (c, c * 3 + j, Seq.fill(dim)((rnd.nextLong() % 1000L) * 4L))
+    // midpoint of coarse cell 1's first two subs: equidistant inside its
+    // cell → must break to the LOWER leaf id (3) on both paths
+    val s10 = sub.find(t => t._1 == 1 && t._2 == 3).get._3
+    val s11 = sub.find(t => t._1 == 1 && t._2 == 4).get._3
+    val mid = (0 until dim).map(i => (s10(i) + s11(i)) / 2)
+    val vecs: Seq[(Long, Int, Seq[Long])] =
+      (0 until 200).map(i =>
+        (i.toLong, i % 3, Seq.fill(dim)(rnd.nextLong() % 4000L))) ++
+        Seq((900L, 1, mid), (901L, 2, sub.find(_._2 == 8).get._3))
+    val df = vecs.toDF("id", "coarse", "q")
+    val fast = df.select(col("id"),
+        graft.functions.NearestSubCellQ(col("q"), col("coarse"), sub).as("cluster"))
+    val ref = subCrossJoinAssign(df, sub)
+    assert(fast.join(ref.withColumnRenamed("cluster", "ref"), Seq("id"))
+      .filter(not(col("cluster") <=> col("ref"))).count() === 0)
+    assert(fast.filter(col("id") === 900L).head.getInt(1) === 3,
+      "equidistant sub-centroids break to the lower leaf id")
+    assert(fast.filter(col("id") === 901L).head.getInt(1) === 8,
+      "an exact sub-centroid copy lands on it")
+  }
+
+  test("NearestSubCellQ nulls out on bad vectors and out-of-range coarse ids") {
+    val sub: Seq[(Int, Int, Seq[Long])] =
+      Seq((0, 0, Seq(1L, 2L)), (0, 1, Seq(3L, 4L)), (1, 2, Seq(5L, 6L)))
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L), Integer.valueOf(0)), // dim mismatch
+      (2L, Seq[java.lang.Long](1L, null), Integer.valueOf(0)),   // null element
+      (3L, null, Integer.valueOf(0)),                            // null vector
+      (4L, Seq[java.lang.Long](1L, 2L), null),                   // null coarse
+      (5L, Seq[java.lang.Long](1L, 2L), Integer.valueOf(7)),     // no such cell
+      (6L, Seq[java.lang.Long](1L, 2L), Integer.valueOf(-1)),    // negative
+      (7L, Seq[java.lang.Long](1L, 2L), Integer.valueOf(1))      // valid → 2
+    ).toDF("id", "q", "coarse")
+    val out = df.select(col("id"),
+        graft.functions.NearestSubCellQ(col("q"), col("coarse"), sub).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getInt(1))).toMap
+    assert(out === Map(1L -> null, 2L -> null, 3L -> null, 4L -> null,
+      5L -> null, 6L -> null, 7L -> 2))
+  }
 }

@@ -377,6 +377,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(model.centroids.size === Similarity.cellCountFor(e.count(), 64L))
   }
 
+  test("semanticDedupHier matches semanticDedup over its own fitted leaves") {
+    val t = graft.engine.Tables(spark, sf)
+    val e = t.embeddings
+    val (model, hier) = Similarity.semanticDedupHier(e, "vec_id", "embedding", 0.35)
+    val manual = Similarity.semanticDedup(
+      e.join(model.assign(e), Seq("vec_id")), "vec_id", "embedding", "cluster", 0.35)
+    assert(hier.orderBy("vec_id").collect().toSeq
+      === manual.orderBy("vec_id").collect().toSeq)
+    // the two-level split reaches the same leaf-count regime as the flat
+    // auto fit (k₁·k₂ ≥ k leaves available) at √k-sized argmin tables
+    val kTotal = Similarity.cellCountFor(e.count(), 64L)
+    val k1 = math.max(2, math.ceil(math.sqrt(kTotal.toDouble)).toInt)
+    assert(model.coarse.size === k1)
+    assert(model.sub.map(_._1).distinct.forall(c => c >= 0 && c < k1))
+    assert(model.sub.map(_._2).distinct.size === model.sub.size,
+      "leaf ids are globally unique")
+    // every assigned leaf is a fitted leaf (no nulls escape the assign)
+    val assigned = model.assign(e)
+    assert(assigned.filter(col("cluster").isNull).count() === 0)
+    val leaves = model.sub.map(_._2).toSet
+    assert(assigned.select("cluster").distinct().collect()
+      .forall(r => leaves(r.getInt(0))))
+  }
+
+  test("hierarchical dedup collapses identical vectors across a real fit") {
+    // 60 vectors in 3 tight direction families + one exact duplicate pair:
+    // whatever leaves the fit lands on, the exact duplicates MUST share a
+    // leaf (identical input → identical two-level argmin) and dedup
+    val rnd = new scala.util.Random(23)
+    val base = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val df = ((0 until 60).map { i =>
+      val b = base(i % 3)
+      (i.toLong, b.map(x => x + rnd.nextFloat() * 0.01f))
+    } ++ Seq((100L, Seq(0.7f, 0.7f, 0f, 0f)), (101L, Seq(0.7f, 0.7f, 0f, 0f))))
+      .toDF("vec_id", "embedding")
+    val (_, out) = Similarity.semanticDedupHier(df, "vec_id", "embedding", 0.999,
+      targetCellSize = 8L)
+    val got = out.filter(col("vec_id") >= 100L).orderBy("vec_id").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3))).toMap
+    assert(got(100L) === ((None, true)))
+    assert(got(101L) === ((Some(100L), false)), "exact duplicate collapses to the lower id")
+  }
+
   test("SRP-bucketed semantic dedup collapses identical vectors with no fit") {
     val df = Seq(
       (0L, Seq(1f, 0.2f, 0f, 0.5f)),   // keeper

@@ -65,6 +65,7 @@ class ViewsSpec extends SparkSpec {
       "kmeans_label_purity", // its centroids (same capture mechanism)
       "semantic_dedup_auto", // same capture mechanism (adaptive-k fit)
       "embedding_near_dup_auto", // same capture mechanism (shared auto fit)
+      "semantic_dedup_hier",     // same capture mechanism (two-level fit)
       "semantic_dedup_srp_auto") // captures its chosen band width
     // subset, not equality: the capture-based oracles APPEAR once another
     // test in the same JVM has run their fit, so `missing` legitimately
