@@ -697,6 +697,107 @@ object Similarity {
     (model, out)
   }
 
+  /** A fitted product quantizer: M per-subspace codebooks over the
+    * quantized vector's contiguous ds-dim slices, codes dense `0..ks−1`
+    * per subspace (Jégou et al., TPAMI 2011). `encode` is ONE narrow
+    * codegen'd projection — M sliced [[graft.functions.NearestCellQ]]
+    * argmins — producing the M-int code word: the STORED representation an
+    * ADC scan reads instead of the raw embedding (a 64-dim float vector
+    * becomes 8 ints; at 100 TB that is the difference between an ANN sweep
+    * bounded by raw-vector I/O and one bounded by the code column).
+    */
+  final case class PqModel(codebooks: Seq[(Int, Int, Seq[Long])],
+                           m: Int, ds: Int, id: String, vec: String) {
+    private def cbFor(mm: Int): Seq[(Int, Seq[Long])] =
+      codebooks.filter(_._1 == mm).map { case (_, code, cq) => (code, cq) }
+    /** The code-word column over a prepared frame's `q`. */
+    private[llm] def codesCol: Column =
+      array((0 until m).map { mm =>
+        graft.functions.NearestCellQ(slice(col("q"), mm * ds + 1, ds), cbFor(mm))
+      }: _*)
+    def encode(df: DataFrame): DataFrame =
+      prepare(df, id, vec).select(col(id), codesCol.as("codes"))
+  }
+
+  /** Product-quantizer build: M independent ks-means sub-fits run
+    * SIMULTANEOUSLY — each grouped-Lloyd round is one corpus scan through
+    * the M sliced argmin kernels plus one `(subspace, code, sub-dim)` hash
+    * aggregate (≤ m·ks·ds rows to the driver — codebook-sized control
+    * plane; corpus rows never leave the executors).
+    *
+    * Determinism (same contract as [[kmeansFit]]): seeding takes the first
+    * 4·ks vectors in `(xxhash64(id), id)` order — mass-proportional,
+    * partitioning-independent — then per subspace the first ks DISTINCT
+    * sub-vectors (duplicate sub-vectors seed once; a subspace with fewer
+    * distinct sub-vectors seeds fewer codes — balance degrades gracefully,
+    * exactness is unaffected); argmin ties break to the lower code id;
+    * updates are integer floor-divided sums; empty codes keep their
+    * centroid.
+    */
+  def pqFit(df: DataFrame, id: String, vec: String, m: Int = 8,
+            ks: Int = 16, iters: Int = 3): PqModel = {
+    val p = prepare(df, id, vec).select(col(id), col("q")).localCheckpoint(false)
+    val dim = p.select(size(col("q"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val ds = dim / m
+    val cand = p
+      .orderBy(xxhash64(col(id)), col(id))
+      .limit(4 * ks)
+      .select(col("q"))
+      .collect()
+      .map(_.getSeq[Long](0).toIndexedSeq)
+    var codebooks: Seq[(Int, Int, Seq[Long])] = (0 until m).flatMap { mm =>
+      val seen = scala.collection.mutable.HashSet.empty[IndexedSeq[Long]]
+      cand.iterator.map(v => v.slice(mm * ds, mm * ds + ds))
+        .filter(sv => seen.add(sv)).take(ks)
+        .zipWithIndex.map { case (sv, code) => (mm, code, sv: Seq[Long]) }.toSeq
+    }
+    require(codebooks.nonEmpty, "empty corpus: nothing to fit")
+    for (_ <- 1 to iters) {
+      val model = PqModel(codebooks, m, ds, id, vec)
+      val sums = p.select(model.codesCol.as("codes"),
+          posexplode(col("q")).as(Seq("d", "x")))
+        .select(floor(col("d") / lit(ds)).cast("int").as("mm"),
+          col("codes").getItem(floor(col("d") / lit(ds)).cast("int")).as("code"),
+          (col("d") % lit(ds)).as("j"), col("x"))
+        .groupBy("mm", "code", "j")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("nn"))
+        .collect()
+      val byCode = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      codebooks = codebooks.map { case (mm, code, prev) =>
+        byCode.get((mm, code)) match {
+          case Some(rows) =>
+            val comps = rows.map(r =>
+              r.getInt(2) -> Math.floorDiv(r.getLong(3), r.getLong(4))).toMap
+            (mm, code, (0 until ds).map(comps))
+          case None => (mm, code, prev) // empty code keeps its centroid
+        }
+      }
+    }
+    PqModel(codebooks, m, ds, id, vec)
+  }
+
+  /** ADC top-k over a PQ-coded corpus: broadcast the (small) query set at
+    * full quantized precision against the CODES frame — the corpus side of
+    * the scan reads only the M-int code word, never the embedding column
+    * (plan-asserted in `PipelineOpsSpec`: the PQ promise in a columnar
+    * engine). Distances are exact integers ([[graft.functions.PqAdcQ]]),
+    * per-query heaps via WindowGroupLimit, ties break on the lower
+    * neighbor id — deterministic and oracle-replayable.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, id: String, vec: String,
+             model: PqModel, k: Int): DataFrame = {
+    val c = codes.select(col(id).as("nn_id"), col("codes"))
+    val q = prepare(queries, id, vec)
+      .select(col(id).as("query_id"), col("q").as("qq"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        graft.functions.PqAdcQ(col("qq"), col("codes"), model.codebooks).as("adc_dist"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("adc_dist").asc, col("nn_id").asc), k)
+  }
+
   def semanticDedup(df: DataFrame, id: String, vec: String, cell: String,
                     threshold: Double): DataFrame = {
     val dupOf = cellNearDupPairs(df, id, vec, cell, threshold)

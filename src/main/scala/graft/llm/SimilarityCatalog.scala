@@ -20,6 +20,8 @@ object SimilarityCatalog extends Catalog {
   val Dim = 64             // embedding dimensionality of the fixture table
   val NearDupCos = 0.35    // embeddings are near-orthogonal; pairs over 0.35
                            // within a cell are the "suspiciously close" tier
+  val PqM = 8              // PQ subspaces (64-dim → 8×8-dim slices)
+  val PqKs = 16            // codes per subspace (4-bit codebooks)
 
   private def corpus(t: Tables) = t.embeddings
 
@@ -207,6 +209,34 @@ object SimilarityCatalog extends Catalog {
       out.orderBy("vec_id")
     }),
 
+    // product quantization (Jégou et al., TPAMI 2011): M per-subspace
+    // codebooks fitted by grouped Lloyd, each vector stored as an M-int
+    // code word. The codes table IS the 100 TB artifact — a 64-dim float
+    // embedding collapses to 8 ints, so every downstream ADC sweep reads
+    // ~32× less data. Oracle replays the captured codebooks' per-subspace
+    // argmin (list_slice + dense codebook VALUES) exactly.
+    "pq_codes" -> ((s, d) => {
+      val model = pqFit(s, d)
+      pqCapture = Some(model.codebooks)
+      model.encode(Tables(s, d).embeddings)
+        .select(col("vec_id"), col("codes").cast("array<bigint>").as("codes"))
+        .orderBy("vec_id")
+    }),
+
+    // ADC top-k over the code words: the corpus scan reads ONLY the codes
+    // column (never the embedding), queries stay full-precision — exact
+    // integer distances to each neighbor's RECONSTRUCTION, so the ranking
+    // is deterministic and the oracle replays it bit-exactly. Recall vs
+    // the exact scan is LlmSpec-style spec territory (PipelineOpsSpec).
+    "pq_topk" -> ((s, d) => {
+      val model = pqFit(s, d)
+      pqCapture = Some(model.codebooks)
+      val t = Tables(s, d)
+      Similarity.pqTopK(model.encode(t.embeddings), queriesDf(t), "vec_id",
+          "embedding", model, K)
+        .orderBy("query_id", "nn_id")
+    }),
+
     // multi-probe IVF at full probe width: probing every cell must
     // reproduce the brute-force result EXACTLY, so the entire fit →
     // assignTop → replicate → cell-join → dedup machinery is oracled by
@@ -269,6 +299,24 @@ object SimilarityCatalog extends Catalog {
     hierFits.getOrElseUpdate(d,
       Similarity.hierarchicalFit(Tables(s, d).embeddings, "vec_id", "embedding",
         targetCellSize = 64L, iters = 3))
+
+  /** Captured codebooks of the last PQ fit — the pq_codes/pq_topk oracles
+    * replay the per-subspace argmin and ADC scoring from them.
+    */
+  @volatile private var pqCapture: Option[Seq[(Int, Int, Seq[Long])]] = None
+
+  /** Once-per-(JVM, sfDir) memo of the PQ fit (same fit-once/consume-many
+    * shape as [[autoFit]] — bench repetitions measure encode + ADC sweep,
+    * not a re-fit). Only the MODEL is memoized: a checkpointed codes frame
+    * would not survive the gate harness's between-query unpersist hygiene,
+    * and encode is one narrow pass.
+    */
+  private val pqFits =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.PqModel]
+  private def pqFit(s: SparkSession, d: String): Similarity.PqModel =
+    pqFits.getOrElseUpdate(d,
+      Similarity.pqFit(Tables(s, d).embeddings, "vec_id", "embedding",
+        m = PqM, ks = PqKs, iters = 3))
 
   /** Centroids of the last `kmeans_label_purity` fit (captured separately so
     * either query oracles independently under a subset run).
@@ -534,6 +582,69 @@ object SimilarityCatalog extends Catalog {
          |ORDER BY pc.vec_id""".stripMargin
   }
 
+  /** pq_codes / pq_topk oracles: replay the captured per-subspace
+    * codebooks — the same sliced argmin (`list_slice`, exact-integer
+    * comparison key, lower-code tie-break) as
+    * [[graft.functions.NearestCellQ]] over slices, then for top-k the same
+    * ADC reconstruction distance as [[graft.functions.PqAdcQ]] summed over
+    * subspaces with the lower-nn_id tie-break.
+    */
+  private def pqOracles: Map[String, String] = pqCapture match {
+    case None => Map.empty
+    case Some(codebooks) =>
+      val ds = Dim / PqM
+      val cbValues = codebooks.map { case (m, code, cq) =>
+        s"($m, $code, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+      }.mkString(",\n    ")
+      val pqCtes =
+        s"""$prepSql,
+           |cb(m, code, cq) AS (VALUES
+           |    $cbValues),
+           |cbn AS (SELECT m, code, cq,
+           |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+           |  FROM cb),
+           |sub AS (SELECT vec_id, m, list_slice(q, m * $ds + 1, m * $ds + $ds) AS sq
+           |  FROM pn CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)),
+           |sub_scored AS (
+           |  SELECT s.vec_id, s.m, cbn.code,
+           |    cbn.cn2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+           |                   FROM (SELECT unnest(s.sq) AS x, unnest(cbn.cq) AS y)) AS dist
+           |  FROM sub s JOIN cbn USING (m)),
+           |assigned AS (
+           |  SELECT vec_id, m, code FROM sub_scored
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+           |    ORDER BY dist ASC, code ASC) = 1)""".stripMargin
+      Map(
+        "pq_codes" ->
+          s"""WITH $pqCtes
+             |SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY m) AS codes
+             |FROM assigned GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        "pq_topk" ->
+          s"""WITH $pqCtes,
+             |qsub AS (SELECT vec_id AS query_id, m,
+             |    list_slice(q, m * $ds + 1, m * $ds + $ds) AS sq
+             |  FROM pn CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)
+             |  WHERE vec_id < $NumQueries),
+             |qpart AS (SELECT query_id, m, sq,
+             |    CAST((SELECT sum(x * x) FROM (SELECT unnest(sq) AS x)) AS BIGINT) AS qn2m
+             |  FROM qsub),
+             |partial AS (
+             |  SELECT qp.query_id, a.vec_id AS nn_id,
+             |    qp.qn2m - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+             |                   FROM (SELECT unnest(qp.sq) AS x, unnest(cbn.cq) AS y))
+             |      + cbn.cn2 AS pd
+             |  FROM qpart qp
+             |  JOIN assigned a USING (m)
+             |  JOIN cbn ON cbn.m = a.m AND cbn.code = a.code
+             |  WHERE a.vec_id <> qp.query_id),
+             |adc AS (SELECT query_id, nn_id, CAST(sum(pd) AS BIGINT) AS adc_dist
+             |  FROM partial GROUP BY query_id, nn_id)
+             |SELECT query_id, nn_id, adc_dist FROM adc
+             |QUALIFY row_number() OVER (PARTITION BY query_id
+             |  ORDER BY adc_dist ASC, nn_id ASC) <= $K
+             |ORDER BY query_id, nn_id""".stripMargin)
+  }
+
   /** semantic_dedup_srp_auto oracle: the srp-dedup SQL at the CAPTURED
     * band width — same sketch formula, wider band keys.
     */
@@ -577,7 +688,8 @@ object SimilarityCatalog extends Catalog {
 
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
-      nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ hierOracle.toMap ++ Map(
+      nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ hierOracle.toMap ++
+      pqOracles ++ Map(
     "semantic_dedup_srp" ->
       s"""WITH $prepSql,
          |$srpSketchCtes,

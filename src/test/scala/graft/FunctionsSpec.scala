@@ -184,4 +184,50 @@ class FunctionsSpec extends SparkSpec {
     assert(out === Map(1L -> null, 2L -> null, 3L -> null, 4L -> null,
       5L -> null, 6L -> null, 7L -> 2))
   }
+
+  test("PqAdcQ equals the squared distance to the code-word reconstruction") {
+    val rnd = new scala.util.Random(31)
+    // 2 subspaces × 3 codes over 4-dim vectors (ds = 2): the ADC identity
+    // qn2 − 2·dot + cn2 must equal Σ(x−y)² computed independently
+    val cb: Seq[(Int, Int, Seq[Long])] = for {
+      m <- 0 until 2; c <- 0 until 3
+    } yield (m, c, Seq.fill(2)(rnd.nextLong() % 1000L))
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Seq.fill(4)(rnd.nextLong() % 4000L),
+        Seq(rnd.nextInt(3), rnd.nextInt(3)))
+    }
+    val df = rows.toDF("id", "q", "codes")
+    val fast = df.select(col("id"),
+        graft.functions.PqAdcQ(col("q"), col("codes"), cb).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cbMap = cb.map { case (m, c, v) => (m, c) -> v }.toMap
+    rows.foreach { case (id, q, codes) =>
+      val want = (0 until 2).map { m =>
+        val cq = cbMap((m, codes(m)))
+        q.slice(m * 2, m * 2 + 2).zip(cq)
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      assert(fast(id) === want, s"id $id")
+    }
+  }
+
+  test("PqAdcQ nulls out on bad vectors and code words") {
+    val cb: Seq[(Int, Int, Seq[Long])] = Seq((0, 0, Seq(1L, 2L)),
+      (0, 1, Seq(3L, 4L)), (1, 0, Seq(5L, 6L)), (1, 1, Seq(7L, 8L)))
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L), Seq[Integer](0, 0)),      // dim mismatch
+      (2L, Seq[java.lang.Long](1L, null, 3L, 4L), Seq[Integer](0, 0)), // null element
+      (3L, null, Seq[Integer](0, 0)),                                  // null vector
+      (4L, Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[Integer](0)),      // short codes
+      (5L, Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[Integer](0, 5)),   // bad code
+      (6L, Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[Integer](0, null)), // null code
+      // valid: (1−3)²+(2−4)² + (3−7)²+(4−8)² = 8 + 32 = 40
+      (7L, Seq[java.lang.Long](1L, 2L, 3L, 4L), Seq[Integer](1, 1))
+    ).toDF("id", "q", "codes")
+    val out = df.select(col("id"),
+        graft.functions.PqAdcQ(col("q"), col("codes"), cb).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(out === Map(1L -> null, 2L -> null, 3L -> null, 4L -> null,
+      5L -> null, 6L -> null, 7L -> 40L))
+  }
 }

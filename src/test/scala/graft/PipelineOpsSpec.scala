@@ -421,6 +421,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(101L) === ((Some(100L), false)), "exact duplicate collapses to the lower id")
   }
 
+  // -- Product quantization -------------------------------------------------
+
+  test("pq encode equals the per-subspace sliced crossJoin argmin") {
+    val model = Similarity.pqFit(emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2)
+    val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qq"))
+    val ref = (0 until 8).map { mm =>
+      val cbn = broadcast(
+        model.codebooks.filter(_._1 == mm).map { case (_, c, v) => (c, v) }
+          .toDF("code", "cq")
+          .withColumn("cn2", Similarity.dotQ(col("cq"), col("cq"))))
+      q.select(col("vec_id"), slice(col("qq"), mm * 8 + 1, 8).as("sq"))
+        .crossJoin(cbn)
+        .select(col("vec_id"), col("code"),
+          (Similarity.dotQ(col("sq"), col("sq"))
+            - lit(2L) * Similarity.dotQ(col("sq"), col("cq")) + col("cn2")).as("dist"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("code"))).getField("code").as(s"c$mm"))
+    }.reduce(_.join(_, Seq("vec_id")))
+      .select(col("vec_id"), array((0 until 8).map(mm => col(s"c$mm")): _*).as("ref"))
+    assert(model.encode(emb).join(ref, Seq("vec_id"))
+      .filter(not(col("codes") <=> col("ref"))).count() === 0)
+  }
+
+  test("pqFit is partitioning-invariant") {
+    val a = Similarity.pqFit(emb, "vec_id", "embedding", m = 4, ks = 8, iters = 2)
+    val b = Similarity.pqFit(emb.repartition(7), "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2)
+    assert(a.codebooks === b.codebooks)
+  }
+
+  test("pqTopK scans only the code column and stays within the query's cluster") {
+    // 3 far-apart direction clusters; PQ codes must keep cluster structure:
+    // every ADC neighbor of a cluster-A query is a cluster-A member, and
+    // the STORED-codes scan never reads the embedding column
+    val rnd = new scala.util.Random(41)
+    val base = Seq(Seq.fill(16)(1f), Seq.fill(16)(-1f),
+      (0 until 16).map(i => if (i % 2 == 0) 1f else -1f))
+    val df = (0 until 120).map { i =>
+      val b = base(i / 40)
+      (i.toLong, b.map(x => x + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.pqFit(df, "vec_id", "embedding", m = 4, ks = 8, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    model.encode(df).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val out = Similarity.pqTopK(stored, df.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", model, 5)
+    val plan = out.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(scans.nonEmpty && scans.forall(s =>
+      s.contains("codes") && !s.contains("embedding")),
+      s"stored-code scan must not read the embedding column:\n$plan")
+    val got = out.collect().map(_.getLong(1))
+    assert(got.length === 5)
+    assert(got.forall(id => id < 40L && id != 0L),
+      s"ADC neighbors of a cluster-A query must be cluster-A members: ${got.toSeq}")
+  }
+
   test("SRP-bucketed semantic dedup collapses identical vectors with no fit") {
     val df = Seq(
       (0L, Seq(1f, 0.2f, 0f, 0.5f)),   // keeper

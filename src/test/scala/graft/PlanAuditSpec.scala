@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     // centroid set against the corpus; everything else must hash-join
     val intended =
       Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk", "sql_cosine_topk",
+        "pq_topk",          // broadcast query set × coded corpus (ADC sweep)
         "embedding_contamination",
         "embedding_contamination_fixed", // fixed benchmark set broadcast
         "kmeans_label_purity", // broadcast centroid set in the fit/assign
