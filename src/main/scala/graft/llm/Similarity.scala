@@ -737,6 +737,15 @@ object Similarity {
   def pqFit(df: DataFrame, id: String, vec: String, m: Int = 8,
             ks: Int = 16, iters: Int = 3): PqModel = {
     val p = prepare(df, id, vec).select(col(id), col("q")).localCheckpoint(false)
+    pqFitCore(p, id, vec, m, ks, iters)
+  }
+
+  /** The grouped-Lloyd PQ fit over an already-quantized `(id, q)` frame
+    * (callers pin `p` — the fit scans it `iters + 2` times). Split out so
+    * the IVF-PQ build can fit codebooks on RESIDUAL vectors.
+    */
+  private def pqFitCore(p: DataFrame, id: String, vec: String, m: Int,
+                        ks: Int, iters: Int): PqModel = {
     val dim = p.select(size(col("q"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val ds = dim / m
@@ -796,6 +805,71 @@ object Similarity {
         graft.functions.PqAdcQ(col("qq"), col("codes"), model.codebooks).as("adc_dist"))
     Relational.topKPerGroup(scored, Seq("query_id"),
       Seq(col("adc_dist").asc, col("nn_id").asc), k)
+  }
+
+  /** A fitted IVF-PQ index (faiss's serving shape): a coarse quantizer
+    * that localizes each vector to a cell, plus PQ codebooks fitted on the
+    * RESIDUALS `q − c[cell]` — the codebooks spend their resolution on the
+    * within-cell geometry, where it matters once the coarse level has done
+    * the localizing. The stored artifact per vector is `(cell, M-int code
+    * word)`; a probe-p query touches only p cells' code lists and scores
+    * them in the compressed domain.
+    */
+  final case class IvfPqModel(coarse: Seq[(Int, Seq[Long])], pq: PqModel,
+                              id: String, vec: String) {
+    /** `(id, cell, codes)` — one narrow codegen'd projection chaining
+      * coarse argmin → residual → M sliced sub-argmins.
+      */
+    def encode(df: DataFrame): DataFrame =
+      prepare(df, id, vec)
+        .select(col(id),
+          graft.functions.NearestCellQ(col("q"), coarse).as("cell"), col("q"))
+        .withColumn("q", graft.functions.ResidualQ(col("q"), col("cell"), coarse))
+        .select(col(id), col("cell"), pq.codesCol.as("codes"))
+
+    /** ADC top-k over the coded corpus: each query probes its `probes`
+      * nearest cells (replicated broadcast rows — queries are small), its
+      * residual is taken AGAINST EACH PROBED CELL, and only that cell's
+      * code list is scored ([[graft.functions.PqAdcQ]] over the residual).
+      * Each corpus vector lives in exactly one cell, so no duplicate
+      * results. `probes = k₁` degenerates to exact brute force over the
+      * reconstructions — which is how the spec pins this machinery.
+      */
+    def topK(codes: DataFrame, queries: DataFrame, probes: Int, k: Int): DataFrame = {
+      val km = KMeansModel(coarse, id, vec)
+      val pq2 = prepare(queries, id, vec)
+      val probed = pq2.join(km.assignTop(pq2, probes), Seq(id))
+        .select(col(id).as("query_id"), col("cluster").as("cell"),
+          graft.functions.ResidualQ(col("q"), col("cluster"), coarse).as("rq"))
+      val scored = codes
+        .select(col(id).as("nn_id"), col("cell"), col("codes"))
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("nn_id") =!= col("query_id"))
+        .select(col("query_id"), col("nn_id"),
+          graft.functions.PqAdcQ(col("rq"), col("codes"), pq.codebooks).as("adc_dist"))
+      Relational.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("adc_dist").asc, col("nn_id").asc), k)
+    }
+  }
+
+  /** IVF-PQ build: coarse [[kmeansFit]], then [[pqFitCore]] on the pinned
+    * residual frame — both fits are the deterministic integer pipelines,
+    * so the whole index replays exactly in the oracle. Control plane stays
+    * codebook-sized; corpus rows never reach the driver.
+    */
+  def ivfPqFit(df: DataFrame, id: String, vec: String, cells: Int,
+               m: Int = 8, ks: Int = 16, iters: Int = 3): IvfPqModel = {
+    val p = prepare(df, id, vec)
+    val coarseModel = kmeansFit(p, id, vec, cells, iters)
+    val r = p
+      .select(col(id),
+        graft.functions.NearestCellQ(col("q"), coarseModel.centroids).as("cell"),
+        col("q"))
+      .select(col(id),
+        graft.functions.ResidualQ(col("q"), col("cell"), coarseModel.centroids).as("q"))
+      .localCheckpoint(false)
+    IvfPqModel(coarseModel.centroids,
+      pqFitCore(r, id, vec, m, ks, iters), id, vec)
   }
 
   def semanticDedup(df: DataFrame, id: String, vec: String, cell: String,

@@ -22,6 +22,7 @@ object SimilarityCatalog extends Catalog {
                            // within a cell are the "suspiciously close" tier
   val PqM = 8              // PQ subspaces (64-dim → 8×8-dim slices)
   val PqKs = 16            // codes per subspace (4-bit codebooks)
+  val IvfPqProbes = 2      // probed coarse cells per IVF-PQ query
 
   private def corpus(t: Tables) = t.embeddings
 
@@ -237,6 +238,21 @@ object SimilarityCatalog extends Catalog {
         .orderBy("query_id", "nn_id")
     }),
 
+    // the full faiss serving shape: coarse quantizer localizes each vector
+    // to a cell, PQ codebooks fitted on the RESIDUALS q − c[cell], stored
+    // artifact = (cell, M-int code word). A probe-2 query touches only two
+    // cells' code lists and scores them in the compressed domain — at
+    // 100 TB that is cell pruning × ~32× less bytes per scored row. The
+    // oracle replays coarse argmin, per-subspace residual encoding, probe
+    // selection, and ADC scoring — all exact integers.
+    "ivfpq_topk" -> ((s, d) => {
+      val model = ivfPqFit(s, d)
+      ivfPqCapture = Some((model.coarse, model.pq.codebooks))
+      val t = Tables(s, d)
+      model.topK(model.encode(corpus(t)), queriesDf(t), IvfPqProbes, K)
+        .orderBy("query_id", "nn_id")
+    }),
+
     // multi-probe IVF at full probe width: probing every cell must
     // reproduce the brute-force result EXACTLY, so the entire fit →
     // assignTop → replicate → cell-join → dedup machinery is oracled by
@@ -317,6 +333,26 @@ object SimilarityCatalog extends Catalog {
     pqFits.getOrElseUpdate(d,
       Similarity.pqFit(Tables(s, d).embeddings, "vec_id", "embedding",
         m = PqM, ks = PqKs, iters = 3))
+
+  /** Captured (coarse centroids, residual codebooks) of the last IVF-PQ
+    * fit — the ivfpq_topk oracle replays the whole index from them.
+    */
+  @volatile private var ivfPqCapture:
+    Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])] = None
+
+  /** Once-per-(JVM, sfDir) memo of the IVF-PQ fit (model only — same
+    * hygiene rationale as [[pqFit]]). Coarse cell count is scale-adaptive
+    * (k ∝ n at constant target occupancy) like the dedup fits.
+    */
+  private val ivfPqFits =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfPqModel]
+  private def ivfPqFit(s: SparkSession, d: String): Similarity.IvfPqModel =
+    ivfPqFits.getOrElseUpdate(d, {
+      val df = Tables(s, d).embeddings
+      Similarity.ivfPqFit(df, "vec_id", "embedding",
+        cells = Similarity.cellCountFor(df.count(), 64L),
+        m = PqM, ks = PqKs, iters = 3)
+    })
 
   /** Centroids of the last `kmeans_label_purity` fit (captured separately so
     * either query oracles independently under a subset run).
@@ -645,6 +681,77 @@ object SimilarityCatalog extends Catalog {
              |ORDER BY query_id, nn_id""".stripMargin)
   }
 
+  /** ivfpq_topk oracle: replay the ENTIRE captured index — coarse argmin
+    * (exact key, lower-cid ties), per-subspace residual code assignment
+    * (the argmin over Σ((x−c)−y)² ≡ the kernel's cn2−2·dot key up to a
+    * per-(vec,m) constant), probe-P cell selection per query, and ADC
+    * partial sums over the probed cells — every step exact integers.
+    */
+  private def ivfPqOracle: Option[(String, String)] =
+    ivfPqCapture.map { case (coarse, codebooks) =>
+      val ds = Dim / PqM
+      val coarseValues = coarse.map { case (cid, cq) =>
+        s"($cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+      }.mkString(",\n    ")
+      val cbValues = codebooks.map { case (m, code, cq) =>
+        s"($m, $code, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+      }.mkString(",\n    ")
+      "ivfpq_topk" ->
+        s"""WITH $prepSql,
+           |c(cid, cq) AS (VALUES
+           |    $coarseValues),
+           |cn AS (SELECT cid, cq,
+           |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+           |  FROM c),
+           |cscored AS (
+           |  SELECT pn.vec_id, cn.cid,
+           |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+           |                 FROM (SELECT unnest(pn.q) AS x, unnest(cn.cq) AS y))
+           |      + cn.cn2 AS dist
+           |  FROM pn CROSS JOIN cn),
+           |ca AS (
+           |  SELECT vec_id, cid AS cell FROM cscored
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dist ASC, cid ASC) = 1),
+           |cb(m, code, cq) AS (VALUES
+           |    $cbValues),
+           |enc_scored AS (
+           |  SELECT pn.vec_id, cb.m, cb.code,
+           |    (SELECT CAST(sum((x - cc - y) * (x - cc - y)) AS BIGINT)
+           |     FROM (SELECT unnest(list_slice(pn.q, cb.m * $ds + 1, cb.m * $ds + $ds)) AS x,
+           |                  unnest(list_slice(c.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
+           |                  unnest(cb.cq) AS y)) AS dist
+           |  FROM pn JOIN ca USING (vec_id) JOIN c ON c.cid = ca.cell CROSS JOIN cb),
+           |enc AS (
+           |  SELECT vec_id, m, code FROM enc_scored
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+           |    ORDER BY dist ASC, code ASC) = 1),
+           |qa AS (
+           |  SELECT vec_id AS query_id, cid AS cell FROM cscored
+           |  WHERE vec_id < $NumQueries
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dist ASC, cid ASC) <= $IvfPqProbes),
+           |partial AS (
+           |  SELECT qa.query_id, ca.vec_id AS nn_id,
+           |    (SELECT CAST(sum((x - cc - y) * (x - cc - y)) AS BIGINT)
+           |     FROM (SELECT unnest(list_slice(qp.q, cb.m * $ds + 1, cb.m * $ds + $ds)) AS x,
+           |                  unnest(list_slice(c.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
+           |                  unnest(cb.cq) AS y)) AS pd
+           |  FROM qa
+           |  JOIN pn qp ON qp.vec_id = qa.query_id
+           |  JOIN c ON c.cid = qa.cell
+           |  JOIN ca ON ca.cell = qa.cell
+           |  JOIN enc e ON e.vec_id = ca.vec_id
+           |  JOIN cb ON cb.m = e.m AND cb.code = e.code
+           |  WHERE ca.vec_id <> qa.query_id),
+           |adc AS (SELECT query_id, nn_id, CAST(sum(pd) AS BIGINT) AS adc_dist
+           |  FROM partial GROUP BY query_id, nn_id)
+           |SELECT query_id, nn_id, adc_dist FROM adc
+           |QUALIFY row_number() OVER (PARTITION BY query_id
+           |  ORDER BY adc_dist ASC, nn_id ASC) <= $K
+           |ORDER BY query_id, nn_id""".stripMargin
+    }
+
   /** semantic_dedup_srp_auto oracle: the srp-dedup SQL at the CAPTURED
     * band width — same sketch formula, wider band keys.
     */
@@ -689,7 +796,7 @@ object SimilarityCatalog extends Catalog {
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
       nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ hierOracle.toMap ++
-      pqOracles ++ Map(
+      pqOracles ++ ivfPqOracle.toMap ++ Map(
     "semantic_dedup_srp" ->
       s"""WITH $prepSql,
          |$srpSketchCtes,

@@ -185,6 +185,32 @@ class FunctionsSpec extends SparkSpec {
       5L -> null, 6L -> null, 7L -> 2))
   }
 
+  test("ResidualQ equals elementwise HOF subtraction, nulls on bad input") {
+    val centroids: Seq[(Int, Seq[Long])] =
+      Seq((0, Seq(10L, 20L)), (1, Seq(-5L, 7L)), (2, Seq(0L, 0L)))
+    val rnd = new scala.util.Random(17)
+    val good = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(2)(rnd.nextLong() % 5000L), i % 3))
+    val df = good.toDF("id", "q", "cell")
+    val fast = df.select(col("id"),
+        graft.functions.ResidualQ(col("q"), col("cell"), centroids).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val cMap = centroids.toMap
+    good.foreach { case (id, q, cell) =>
+      assert(fast(id) === q.zip(cMap(cell)).map { case (x, c) => x - c }, s"id $id")
+    }
+    val bad = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L), Integer.valueOf(0)), // dim mismatch
+      (2L, Seq[java.lang.Long](1L, null), Integer.valueOf(0)),   // null element
+      (3L, null, Integer.valueOf(0)),                            // null vector
+      (4L, Seq[java.lang.Long](1L, 2L), null),                   // null cell
+      (5L, Seq[java.lang.Long](1L, 2L), Integer.valueOf(9)),     // no such cell
+      (6L, Seq[java.lang.Long](1L, 2L), Integer.valueOf(-1))     // negative
+    ).toDF("id", "q", "cell")
+    assert(bad.select(graft.functions.ResidualQ(col("q"), col("cell"), centroids))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("PqAdcQ equals the squared distance to the code-word reconstruction") {
     val rnd = new scala.util.Random(31)
     // 2 subspaces × 3 codes over 4-dim vectors (ds = 2): the ADC identity

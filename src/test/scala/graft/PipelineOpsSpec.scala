@@ -479,6 +479,43 @@ class PipelineOpsSpec extends SparkSpec {
       s"ADC neighbors of a cluster-A query must be cluster-A members: ${got.toSeq}")
   }
 
+  test("ivfPqFit is partitioning-invariant (coarse AND residual codebooks)") {
+    val a = Similarity.ivfPqFit(emb, "vec_id", "embedding", cells = 8,
+      m = 4, ks = 8, iters = 2)
+    val b = Similarity.ivfPqFit(emb.repartition(7), "vec_id", "embedding",
+      cells = 8, m = 4, ks = 8, iters = 2)
+    assert(a.coarse === b.coarse)
+    assert(a.pq.codebooks === b.pq.codebooks)
+  }
+
+  test("ivfPq topK prunes to probed cells and keeps cluster structure") {
+    // 3 far-apart direction clusters: the coarse quantizer must separate
+    // them, so a single-probe query's ADC neighbors all come from its own
+    // cluster, and raising probes to every cell must not change the top-k
+    // (no true neighbor lives across a cell boundary on this fixture)
+    val rnd = new scala.util.Random(43)
+    val base = Seq(Seq.fill(16)(1f), Seq.fill(16)(-1f),
+      (0 until 16).map(i => if (i % 2 == 0) 1f else -1f))
+    val df = (0 until 120).map { i =>
+      val b = base(i / 40)
+      (i.toLong, b.map(x => x + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val model = Similarity.ivfPqFit(df, "vec_id", "embedding", cells = 3,
+      m = 4, ks = 8, iters = 2)
+    val codes = model.encode(df)
+    assert(codes.count() === 120)
+    assert(codes.filter(col("cell").isNull || col("codes").isNull).count() === 0)
+    val queries = df.filter(col("vec_id") === 0L)
+    val single = model.topK(codes, queries, probes = 1, k = 5)
+      .orderBy("nn_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(single.map(_._1).forall(id => id < 40L && id != 0L),
+      s"single-probe neighbors of a cluster-A query stay in cluster A: $single")
+    val full = model.topK(codes, queries, probes = 3, k = 5)
+      .orderBy("nn_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(full === single,
+      "full probe changes nothing when clusters are well separated")
+  }
+
   test("SRP-bucketed semantic dedup collapses identical vectors with no fit") {
     val df = Seq(
       (0L, Seq(1f, 0.2f, 0f, 0.5f)),   // keeper

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     val intended =
       Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk", "sql_cosine_topk",
         "pq_topk",          // broadcast query set × coded corpus (ADC sweep)
+        "ivfpq_topk",       // broadcast centroid set in the probe selection
         "embedding_contamination",
         "embedding_contamination_fixed", // fixed benchmark set broadcast
         "kmeans_label_purity", // broadcast centroid set in the fit/assign

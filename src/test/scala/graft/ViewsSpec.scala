@@ -67,6 +67,7 @@ class ViewsSpec extends SparkSpec {
       "embedding_near_dup_auto", // same capture mechanism (shared auto fit)
       "semantic_dedup_hier",     // same capture mechanism (two-level fit)
       "pq_codes", "pq_topk",     // same capture mechanism (PQ codebooks)
+      "ivfpq_topk",              // same capture mechanism (coarse + codebooks)
       "semantic_dedup_srp_auto") // captures its chosen band width
     // subset, not equality: the capture-based oracles APPEAR once another
     // test in the same JVM has run their fit, so `missing` legitimately
