@@ -807,6 +807,41 @@ object Similarity {
       Seq(col("adc_dist").asc, col("nn_id").asc), k)
   }
 
+  /** Brute-force EXACT squared-L2 top-k (the ANN ground truth): same
+    * broadcast-queries narrow-pass shape as [[cosineTopK]], but ranking by
+    * the exact integer distance `n2q − 2·dot + n2c` — directly comparable
+    * to the ADC approximations, which estimate this same quantity from
+    * the code-word reconstruction.
+    */
+  def l2TopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+             k: Int): DataFrame = {
+    val c = prepare(corpus, id, vec)
+      .select(col(id).as("nn_id"), col("q").as("cq"), col("n2").as("cn2"))
+    val q = prepare(queries, id, vec)
+      .select(col(id).as("query_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        (col("qn2") - lit(2L) * dotQ(col("qq"), col("cq")) + col("cn2")).as("l2_dist"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("l2_dist").asc, col("nn_id").asc), k)
+  }
+
+  /** Recall of an approximate top-k against the exact one: per query, how
+    * many of the approximate neighbors are true neighbors. The eval every
+    * ANN index build needs before it ships — and the honest form: queries
+    * the approximate pass missed entirely still appear, with `n_hits` 0.
+    * Both inputs are `(query_id, nn_id, …)` ranking frames.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.select("query_id", "nn_id")
+      .join(exact.select("query_id", "nn_id"), Seq("query_id", "nn_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("n_hits"))
+  }
+
   /** A fitted IVF-PQ index (faiss's serving shape): a coarse quantizer
     * that localizes each vector to a cell, plus PQ codebooks fitted on the
     * RESIDUALS `q − c[cell]` — the codebooks spend their resolution on the

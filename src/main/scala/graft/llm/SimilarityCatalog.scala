@@ -238,6 +238,36 @@ object SimilarityCatalog extends Catalog {
         .orderBy("query_id", "nn_id")
     }),
 
+    // exact squared-L2 top-k: the ANN ground truth the compressed-domain
+    // rankings are judged against (integer-exact, statically oracled)
+    "l2_topk" -> ((s, d) => {
+      val t = Tables(s, d)
+      Similarity.l2TopK(corpus(t), queriesDf(t), "vec_id", "embedding", K)
+        .orderBy("query_id", "nn_id")
+    }),
+
+    // the index-eval operator: recall@K of BOTH compressed-domain rankings
+    // (flat PQ and IVF-PQ) against the exact-L2 ground truth, zero-hit
+    // queries preserved — the accept/reject gate a production ANN build
+    // runs before swapping an index in. The oracle replays all three
+    // pipelines side by side in one statement.
+    "ann_recall" -> ((s, d) => {
+      val t = Tables(s, d)
+      val pqModel = pqFit(s, d)
+      pqCapture = Some(pqModel.codebooks)
+      val ivf = ivfPqFit(s, d)
+      ivfPqCapture = Some((ivf.coarse, ivf.pq.codebooks))
+      val exact = Similarity.l2TopK(corpus(t), queriesDf(t), "vec_id", "embedding", K)
+      val pqR = Similarity.recallAtK(
+        Similarity.pqTopK(pqModel.encode(corpus(t)), queriesDf(t), "vec_id",
+          "embedding", pqModel, K), exact)
+        .select(lit("pq").as("method"), col("query_id"), col("n_hits"))
+      val ivfR = Similarity.recallAtK(
+        ivf.topK(ivf.encode(corpus(t)), queriesDf(t), IvfPqProbes, K), exact)
+        .select(lit("ivfpq").as("method"), col("query_id"), col("n_hits"))
+      pqR.unionAll(ivfR).orderBy("method", "query_id")
+    }),
+
     // the full faiss serving shape: coarse quantizer localizes each vector
     // to a cell, PQ codebooks fitted on the RESIDUALS q − c[cell], stored
     // artifact = (cell, M-int code word). A probe-2 query touches only two
@@ -625,56 +655,80 @@ object SimilarityCatalog extends Catalog {
     * ADC reconstruction distance as [[graft.functions.PqAdcQ]] summed over
     * subspaces with the lower-nn_id tie-break.
     */
+  /** The PQ encode chain (codebook VALUES → per-subspace sliced argmin),
+    * CTE names prefixed with `p` so independently-parameterized chains can
+    * share one statement (ann_recall). Depends on prepSql's `pn`; ends in
+    * `${p}assigned(vec_id, m, code)`.
+    */
+  private def pqAssignCtes(codebooks: Seq[(Int, Int, Seq[Long])], p: String): String = {
+    val ds = Dim / PqM
+    val cbValues = codebooks.map { case (m, code, cq) =>
+      s"($m, $code, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+    }.mkString(",\n    ")
+    s"""${p}cb(m, code, cq) AS (VALUES
+       |    $cbValues),
+       |${p}cbn AS (SELECT m, code, cq,
+       |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+       |  FROM ${p}cb),
+       |${p}sub AS (SELECT vec_id, m, list_slice(q, m * $ds + 1, m * $ds + $ds) AS sq
+       |  FROM pn CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)),
+       |${p}sub_scored AS (
+       |  SELECT s.vec_id, s.m, cbn.code,
+       |    cbn.cn2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+       |                   FROM (SELECT unnest(s.sq) AS x, unnest(cbn.cq) AS y)) AS dist
+       |  FROM ${p}sub s JOIN ${p}cbn cbn USING (m)),
+       |${p}assigned AS (
+       |  SELECT vec_id, m, code FROM ${p}sub_scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist ASC, code ASC) = 1)""".stripMargin
+  }
+
+  /** The flat-PQ ADC scoring chain over `${p}assigned`: query sub-slices,
+    * per-subspace partials, summed distances — ends in
+    * `${p}adc(query_id, nn_id, adc_dist)`.
+    */
+  private def pqAdcCtes(p: String): String = {
+    val ds = Dim / PqM
+    s"""${p}qsub AS (SELECT vec_id AS query_id, m,
+       |    list_slice(q, m * $ds + 1, m * $ds + $ds) AS sq
+       |  FROM pn CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)
+       |  WHERE vec_id < $NumQueries),
+       |${p}qpart AS (SELECT query_id, m, sq,
+       |    CAST((SELECT sum(x * x) FROM (SELECT unnest(sq) AS x)) AS BIGINT) AS qn2m
+       |  FROM ${p}qsub),
+       |${p}partial AS (
+       |  SELECT qp.query_id, a.vec_id AS nn_id,
+       |    qp.qn2m - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+       |                   FROM (SELECT unnest(qp.sq) AS x, unnest(cbn.cq) AS y))
+       |      + cbn.cn2 AS pd
+       |  FROM ${p}qpart qp
+       |  JOIN ${p}assigned a USING (m)
+       |  JOIN ${p}cbn cbn ON cbn.m = a.m AND cbn.code = a.code
+       |  WHERE a.vec_id <> qp.query_id),
+       |${p}adc AS (SELECT query_id, nn_id, CAST(sum(pd) AS BIGINT) AS adc_dist
+       |  FROM ${p}partial GROUP BY query_id, nn_id)""".stripMargin
+  }
+
+  /** pq_codes / pq_topk oracles: replay the captured per-subspace
+    * codebooks — the same sliced argmin (`list_slice`, exact-integer
+    * comparison key, lower-code tie-break) as
+    * [[graft.functions.NearestCellQ]] over slices, then for top-k the same
+    * ADC reconstruction distance as [[graft.functions.PqAdcQ]] summed over
+    * subspaces with the lower-nn_id tie-break.
+    */
   private def pqOracles: Map[String, String] = pqCapture match {
     case None => Map.empty
     case Some(codebooks) =>
-      val ds = Dim / PqM
-      val cbValues = codebooks.map { case (m, code, cq) =>
-        s"($m, $code, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
-      }.mkString(",\n    ")
-      val pqCtes =
-        s"""$prepSql,
-           |cb(m, code, cq) AS (VALUES
-           |    $cbValues),
-           |cbn AS (SELECT m, code, cq,
-           |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
-           |  FROM cb),
-           |sub AS (SELECT vec_id, m, list_slice(q, m * $ds + 1, m * $ds + $ds) AS sq
-           |  FROM pn CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)),
-           |sub_scored AS (
-           |  SELECT s.vec_id, s.m, cbn.code,
-           |    cbn.cn2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
-           |                   FROM (SELECT unnest(s.sq) AS x, unnest(cbn.cq) AS y)) AS dist
-           |  FROM sub s JOIN cbn USING (m)),
-           |assigned AS (
-           |  SELECT vec_id, m, code FROM sub_scored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-           |    ORDER BY dist ASC, code ASC) = 1)""".stripMargin
       Map(
         "pq_codes" ->
-          s"""WITH $pqCtes
+          s"""WITH $prepSql,
+             |${pqAssignCtes(codebooks, "")}
              |SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY m) AS codes
              |FROM assigned GROUP BY vec_id ORDER BY vec_id""".stripMargin,
         "pq_topk" ->
-          s"""WITH $pqCtes,
-             |qsub AS (SELECT vec_id AS query_id, m,
-             |    list_slice(q, m * $ds + 1, m * $ds + $ds) AS sq
-             |  FROM pn CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m)
-             |  WHERE vec_id < $NumQueries),
-             |qpart AS (SELECT query_id, m, sq,
-             |    CAST((SELECT sum(x * x) FROM (SELECT unnest(sq) AS x)) AS BIGINT) AS qn2m
-             |  FROM qsub),
-             |partial AS (
-             |  SELECT qp.query_id, a.vec_id AS nn_id,
-             |    qp.qn2m - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
-             |                   FROM (SELECT unnest(qp.sq) AS x, unnest(cbn.cq) AS y))
-             |      + cbn.cn2 AS pd
-             |  FROM qpart qp
-             |  JOIN assigned a USING (m)
-             |  JOIN cbn ON cbn.m = a.m AND cbn.code = a.code
-             |  WHERE a.vec_id <> qp.query_id),
-             |adc AS (SELECT query_id, nn_id, CAST(sum(pd) AS BIGINT) AS adc_dist
-             |  FROM partial GROUP BY query_id, nn_id)
+          s"""WITH $prepSql,
+             |${pqAssignCtes(codebooks, "")},
+             |${pqAdcCtes("")}
              |SELECT query_id, nn_id, adc_dist FROM adc
              |QUALIFY row_number() OVER (PARTITION BY query_id
              |  ORDER BY adc_dist ASC, nn_id ASC) <= $K
@@ -687,69 +741,127 @@ object SimilarityCatalog extends Catalog {
     * per-(vec,m) constant), probe-P cell selection per query, and ADC
     * partial sums over the probed cells — every step exact integers.
     */
+  /** The complete IVF-PQ chain (coarse argmin → residual encode → probe
+    * selection → ADC partials), CTE names prefixed with `p` — ends in
+    * `${p}adc(query_id, nn_id, adc_dist)`.
+    */
+  private def ivfPqChainCtes(coarse: Seq[(Int, Seq[Long])],
+                             codebooks: Seq[(Int, Int, Seq[Long])],
+                             p: String): String = {
+    val ds = Dim / PqM
+    val coarseValues = coarse.map { case (cid, cq) =>
+      s"($cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+    }.mkString(",\n    ")
+    val cbValues = codebooks.map { case (m, code, cq) =>
+      s"($m, $code, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+    }.mkString(",\n    ")
+    s"""${p}c(cid, cq) AS (VALUES
+       |    $coarseValues),
+       |${p}cn AS (SELECT cid, cq,
+       |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+       |  FROM ${p}c),
+       |${p}cscored AS (
+       |  SELECT pn.vec_id, cn.cid,
+       |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+       |                 FROM (SELECT unnest(pn.q) AS x, unnest(cn.cq) AS y))
+       |      + cn.cn2 AS dist
+       |  FROM pn CROSS JOIN ${p}cn cn),
+       |${p}ca AS (
+       |  SELECT vec_id, cid AS cell FROM ${p}cscored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist ASC, cid ASC) = 1),
+       |${p}cb(m, code, cq) AS (VALUES
+       |    $cbValues),
+       |${p}enc_scored AS (
+       |  SELECT pn.vec_id, cb.m, cb.code,
+       |    (SELECT CAST(sum((x - cc - y) * (x - cc - y)) AS BIGINT)
+       |     FROM (SELECT unnest(list_slice(pn.q, cb.m * $ds + 1, cb.m * $ds + $ds)) AS x,
+       |                  unnest(list_slice(c.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
+       |                  unnest(cb.cq) AS y)) AS dist
+       |  FROM pn JOIN ${p}ca ca USING (vec_id) JOIN ${p}c c ON c.cid = ca.cell
+       |  CROSS JOIN ${p}cb cb),
+       |${p}enc AS (
+       |  SELECT vec_id, m, code FROM ${p}enc_scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist ASC, code ASC) = 1),
+       |${p}qa AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM ${p}cscored
+       |  WHERE vec_id < $NumQueries
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist ASC, cid ASC) <= $IvfPqProbes),
+       |${p}partial AS (
+       |  SELECT qa.query_id, ca.vec_id AS nn_id,
+       |    (SELECT CAST(sum((x - cc - y) * (x - cc - y)) AS BIGINT)
+       |     FROM (SELECT unnest(list_slice(qp.q, cb.m * $ds + 1, cb.m * $ds + $ds)) AS x,
+       |                  unnest(list_slice(c.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
+       |                  unnest(cb.cq) AS y)) AS pd
+       |  FROM ${p}qa qa
+       |  JOIN pn qp ON qp.vec_id = qa.query_id
+       |  JOIN ${p}c c ON c.cid = qa.cell
+       |  JOIN ${p}ca ca ON ca.cell = qa.cell
+       |  JOIN ${p}enc e ON e.vec_id = ca.vec_id
+       |  JOIN ${p}cb cb ON cb.m = e.m AND cb.code = e.code
+       |  WHERE ca.vec_id <> qa.query_id),
+       |${p}adc AS (SELECT query_id, nn_id, CAST(sum(pd) AS BIGINT) AS adc_dist
+       |  FROM ${p}partial GROUP BY query_id, nn_id)""".stripMargin
+  }
+
   private def ivfPqOracle: Option[(String, String)] =
     ivfPqCapture.map { case (coarse, codebooks) =>
-      val ds = Dim / PqM
-      val coarseValues = coarse.map { case (cid, cq) =>
-        s"($cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
-      }.mkString(",\n    ")
-      val cbValues = codebooks.map { case (m, code, cq) =>
-        s"($m, $code, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
-      }.mkString(",\n    ")
       "ivfpq_topk" ->
         s"""WITH $prepSql,
-           |c(cid, cq) AS (VALUES
-           |    $coarseValues),
-           |cn AS (SELECT cid, cq,
-           |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
-           |  FROM c),
-           |cscored AS (
-           |  SELECT pn.vec_id, cn.cid,
-           |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
-           |                 FROM (SELECT unnest(pn.q) AS x, unnest(cn.cq) AS y))
-           |      + cn.cn2 AS dist
-           |  FROM pn CROSS JOIN cn),
-           |ca AS (
-           |  SELECT vec_id, cid AS cell FROM cscored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY dist ASC, cid ASC) = 1),
-           |cb(m, code, cq) AS (VALUES
-           |    $cbValues),
-           |enc_scored AS (
-           |  SELECT pn.vec_id, cb.m, cb.code,
-           |    (SELECT CAST(sum((x - cc - y) * (x - cc - y)) AS BIGINT)
-           |     FROM (SELECT unnest(list_slice(pn.q, cb.m * $ds + 1, cb.m * $ds + $ds)) AS x,
-           |                  unnest(list_slice(c.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
-           |                  unnest(cb.cq) AS y)) AS dist
-           |  FROM pn JOIN ca USING (vec_id) JOIN c ON c.cid = ca.cell CROSS JOIN cb),
-           |enc AS (
-           |  SELECT vec_id, m, code FROM enc_scored
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-           |    ORDER BY dist ASC, code ASC) = 1),
-           |qa AS (
-           |  SELECT vec_id AS query_id, cid AS cell FROM cscored
-           |  WHERE vec_id < $NumQueries
-           |  QUALIFY row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY dist ASC, cid ASC) <= $IvfPqProbes),
-           |partial AS (
-           |  SELECT qa.query_id, ca.vec_id AS nn_id,
-           |    (SELECT CAST(sum((x - cc - y) * (x - cc - y)) AS BIGINT)
-           |     FROM (SELECT unnest(list_slice(qp.q, cb.m * $ds + 1, cb.m * $ds + $ds)) AS x,
-           |                  unnest(list_slice(c.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
-           |                  unnest(cb.cq) AS y)) AS pd
-           |  FROM qa
-           |  JOIN pn qp ON qp.vec_id = qa.query_id
-           |  JOIN c ON c.cid = qa.cell
-           |  JOIN ca ON ca.cell = qa.cell
-           |  JOIN enc e ON e.vec_id = ca.vec_id
-           |  JOIN cb ON cb.m = e.m AND cb.code = e.code
-           |  WHERE ca.vec_id <> qa.query_id),
-           |adc AS (SELECT query_id, nn_id, CAST(sum(pd) AS BIGINT) AS adc_dist
-           |  FROM partial GROUP BY query_id, nn_id)
+           |${ivfPqChainCtes(coarse, codebooks, "")}
            |SELECT query_id, nn_id, adc_dist FROM adc
            |QUALIFY row_number() OVER (PARTITION BY query_id
            |  ORDER BY adc_dist ASC, nn_id ASC) <= $K
            |ORDER BY query_id, nn_id""".stripMargin
+    }
+
+  /** ann_recall oracle: BOTH captured indexes replayed side by side (the
+    * flat-PQ chain under `p_`, the IVF-PQ chain under `i_`), the exact-L2
+    * ground truth as one scored self-join, hits counted per query with
+    * zero-hit queries preserved — the same contract as
+    * [[Similarity.recallAtK]].
+    */
+  private def annRecallOracle: Option[(String, String)] =
+    for { codebooks <- pqCapture; (coarse, rcb) <- ivfPqCapture } yield {
+      "ann_recall" ->
+        s"""WITH $prepSql,
+           |${pqAssignCtes(codebooks, "p_")},
+           |${pqAdcCtes("p_")},
+           |${ivfPqChainCtes(coarse, rcb, "i_")},
+           |ex_scored AS (
+           |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id,
+           |    qv.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+           |                 FROM (SELECT unnest(qv.q) AS x, unnest(cv.q) AS y))
+           |      + cv.n2 AS l2_dist
+           |  FROM pn qv JOIN pn cv ON cv.vec_id <> qv.vec_id
+           |  WHERE qv.vec_id < $NumQueries),
+           |ex_top AS (
+           |  SELECT query_id, nn_id FROM ex_scored
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY l2_dist ASC, nn_id ASC) <= $K),
+           |p_top AS (
+           |  SELECT query_id, nn_id FROM p_adc
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc_dist ASC, nn_id ASC) <= $K),
+           |i_top AS (
+           |  SELECT query_id, nn_id FROM i_adc
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc_dist ASC, nn_id ASC) <= $K),
+           |qlist AS (SELECT DISTINCT query_id FROM ex_top),
+           |p_hits AS (SELECT query_id, count(*) AS n FROM p_top
+           |  JOIN ex_top USING (query_id, nn_id) GROUP BY query_id),
+           |i_hits AS (SELECT query_id, count(*) AS n FROM i_top
+           |  JOIN ex_top USING (query_id, nn_id) GROUP BY query_id)
+           |SELECT 'pq' AS method, q.query_id,
+           |  CAST(coalesce(p_hits.n, 0) AS BIGINT) AS n_hits
+           |FROM qlist q LEFT JOIN p_hits USING (query_id)
+           |UNION ALL
+           |SELECT 'ivfpq' AS method, q.query_id,
+           |  CAST(coalesce(i_hits.n, 0) AS BIGINT) AS n_hits
+           |FROM qlist q LEFT JOIN i_hits USING (query_id)
+           |ORDER BY method, query_id""".stripMargin
     }
 
   /** semantic_dedup_srp_auto oracle: the srp-dedup SQL at the CAPTURED
@@ -796,7 +908,7 @@ object SimilarityCatalog extends Catalog {
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
       nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ hierOracle.toMap ++
-      pqOracles ++ ivfPqOracle.toMap ++ Map(
+      pqOracles ++ ivfPqOracle.toMap ++ annRecallOracle.toMap ++ Map(
     "semantic_dedup_srp" ->
       s"""WITH $prepSql,
          |$srpSketchCtes,
@@ -878,6 +990,21 @@ object SimilarityCatalog extends Catalog {
          |FROM scored
          |QUALIFY row_number() OVER (PARTITION BY query_id
          |  ORDER BY cosine DESC, nn_id ASC) <= $K
+         |ORDER BY query_id, nn_id""".stripMargin,
+
+    // exact integer squared-L2 distances — the ANN ground-truth ranking
+    "l2_topk" ->
+      s"""WITH $prepSql,
+         |scored AS (
+         |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id,
+         |    qv.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+         |                 FROM (SELECT unnest(qv.q) AS x, unnest(cv.q) AS y))
+         |      + cv.n2 AS l2_dist
+         |  FROM pn qv JOIN pn cv ON cv.vec_id <> qv.vec_id
+         |  WHERE qv.vec_id < $NumQueries)
+         |SELECT query_id, nn_id, l2_dist FROM scored
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY l2_dist ASC, nn_id ASC) <= $K
          |ORDER BY query_id, nn_id""".stripMargin,
 
     // SQL surface ≡ DataFrame surface ≡ oracle: same brute-force SQL

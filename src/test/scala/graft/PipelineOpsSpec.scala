@@ -516,6 +516,16 @@ class PipelineOpsSpec extends SparkSpec {
       "full probe changes nothing when clusters are well separated")
   }
 
+  test("recallAtK counts per-query hits and keeps zero-hit queries") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (3L, 30L)).toDF("query_id", "nn_id")
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 98L), (2L, 97L),
+      (3L, 30L)).toDF("query_id", "nn_id")
+    val got = Similarity.recallAtK(approx, exact).orderBy("query_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === Seq(1L -> 2L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("SRP-bucketed semantic dedup collapses identical vectors with no fit") {
     val df = Seq(
       (0L, Seq(1f, 0.2f, 0f, 0.5f)),   // keeper
