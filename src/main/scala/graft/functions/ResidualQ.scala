@@ -73,7 +73,7 @@ case class ResidualQ(left: Expression, right: Expression,
          |    $out[$i] = $a.getLong($i) - $c[$i];
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($out);
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          |  }
          |}
        """.stripMargin

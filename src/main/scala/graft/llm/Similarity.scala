@@ -842,40 +842,64 @@ object Similarity {
       .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("n_hits"))
   }
 
-  /** A fitted IVF-PQ index (faiss's serving shape): a coarse quantizer
-    * that localizes each vector to a cell, plus PQ codebooks fitted on the
-    * RESIDUALS `q − c[cell]` — the codebooks spend their resolution on the
-    * within-cell geometry, where it matters once the coarse level has done
-    * the localizing. The stored artifact per vector is `(cell, M-int code
-    * word)`; a probe-p query touches only p cells' code lists and scores
-    * them in the compressed domain.
+  /** A fitted IVF-PQ index (faiss's serving shape, with the inverted-
+    * multi-index twist): the TWO-LEVEL hierarchical quantizer is the
+    * coarse quantizer — corpus-side cell assignment costs n·2√k dots
+    * instead of the flat n·k = n²/target that the sf1→sf10 decade
+    * measured at 38× on 10× data — plus PQ codebooks fitted on the
+    * RESIDUALS `q − c[leaf]`, so the codebooks spend their resolution on
+    * the within-leaf geometry. The stored artifact per vector is
+    * `(leaf, M-int code word)`; a probe-p query touches only p leaves'
+    * code lists and scores them in the compressed domain.
     */
-  final case class IvfPqModel(coarse: Seq[(Int, Seq[Long])], pq: PqModel,
+  final case class IvfPqModel(hier: HierKMeansModel, pq: PqModel,
                               id: String, vec: String) {
+    /** The REAL fitted leaves `(leaf id, centroid)` — probe ranking runs
+      * over these, and `leaves.size` is the exact-search probe width.
+      */
+    def leaves: Seq[(Int, Seq[Long])] =
+      hier.sub.map { case (_, leaf, cq) => (leaf, cq) }
+
+    /** Dense leaf-centroid table for [[graft.functions.ResidualQ]]: leaf
+      * ids are `coarse·k₂ + j`, so a coarse cell that seeded fewer than k₂
+      * leaves leaves gaps — filled with zero placeholders that no argmin
+      * can ever produce (they are not in `sub`), purely to satisfy the
+      * dense-indexing contract.
+      */
+    private[llm] def leafTable: Seq[(Int, Seq[Long])] = {
+      val dim = hier.sub.head._3.length
+      val byLeaf = leaves.toMap
+      (0 to leaves.map(_._1).max).map(l =>
+        (l, byLeaf.getOrElse(l, Seq.fill(dim)(0L))))
+    }
+
+    /** The two-level corpus-side leaf assignment — one narrow projection. */
+    private def leafCol: Column =
+      graft.functions.NearestSubCellQ(col("q"),
+        graft.functions.NearestCellQ(col("q"), hier.coarse), hier.sub)
+
     /** `(id, cell, codes)` — one narrow codegen'd projection chaining
-      * coarse argmin → residual → M sliced sub-argmins.
+      * coarse argmin → sub argmin → residual → M sliced code argmins.
       */
     def encode(df: DataFrame): DataFrame =
       prepare(df, id, vec)
-        .select(col(id),
-          graft.functions.NearestCellQ(col("q"), coarse).as("cell"), col("q"))
-        .withColumn("q", graft.functions.ResidualQ(col("q"), col("cell"), coarse))
+        .select(col(id), leafCol.as("cell"), col("q"))
+        .withColumn("q", graft.functions.ResidualQ(col("q"), col("cell"), leafTable))
         .select(col(id), col("cell"), pq.codesCol.as("codes"))
 
-    /** ADC top-k over the coded corpus: each query probes its `probes`
-      * nearest cells (replicated broadcast rows — queries are small), its
-      * residual is taken AGAINST EACH PROBED CELL, and only that cell's
-      * code list is scored ([[graft.functions.PqAdcQ]] over the residual).
-      * Each corpus vector lives in exactly one cell, so no duplicate
-      * results. `probes = k₁` degenerates to exact brute force over the
-      * reconstructions — which is how the spec pins this machinery.
+    /** ADC top-k over the coded corpus: each query ranks ALL real leaves
+      * exactly (queries are the small broadcast side — k dots per query is
+      * nothing there) and probes its `probes` nearest; its residual is
+      * taken AGAINST EACH PROBED LEAF, and only that leaf's code list is
+      * scored ([[graft.functions.PqAdcQ]] over the residual). Each corpus
+      * vector lives in exactly one leaf, so no duplicate results.
       */
     def topK(codes: DataFrame, queries: DataFrame, probes: Int, k: Int): DataFrame = {
-      val km = KMeansModel(coarse, id, vec)
+      val km = KMeansModel(leaves, id, vec)
       val pq2 = prepare(queries, id, vec)
       val probed = pq2.join(km.assignTop(pq2, probes), Seq(id))
         .select(col(id).as("query_id"), col("cluster").as("cell"),
-          graft.functions.ResidualQ(col("q"), col("cluster"), coarse).as("rq"))
+          graft.functions.ResidualQ(col("q"), col("cluster"), leafTable).as("rq"))
       val scored = codes
         .select(col(id).as("nn_id"), col("cell"), col("codes"))
         .join(broadcast(probed), Seq("cell"))
@@ -887,24 +911,27 @@ object Similarity {
     }
   }
 
-  /** IVF-PQ build: coarse [[kmeansFit]], then [[pqFitCore]] on the pinned
-    * residual frame — both fits are the deterministic integer pipelines,
-    * so the whole index replays exactly in the oracle. Control plane stays
+  /** IVF-PQ build: two-level [[hierarchicalFit]] (leaf count k ∝ n at
+    * constant target occupancy), then [[pqFitCore]] on the pinned residual
+    * frame — all three fits are the deterministic integer pipelines, so
+    * the whole index replays exactly in the oracle. Control plane stays
     * codebook-sized; corpus rows never reach the driver.
     */
-  def ivfPqFit(df: DataFrame, id: String, vec: String, cells: Int,
-               m: Int = 8, ks: Int = 16, iters: Int = 3): IvfPqModel = {
+  def ivfPqFit(df: DataFrame, id: String, vec: String,
+               targetCellSize: Long = 64L, m: Int = 8, ks: Int = 16,
+               iters: Int = 3): IvfPqModel = {
     val p = prepare(df, id, vec)
-    val coarseModel = kmeansFit(p, id, vec, cells, iters)
+    val hier = hierarchicalFit(p, id, vec, targetCellSize, iters)
+    val stub = IvfPqModel(hier, null, id, vec) // leafTable/leafCol only
     val r = p
       .select(col(id),
-        graft.functions.NearestCellQ(col("q"), coarseModel.centroids).as("cell"),
+        graft.functions.NearestSubCellQ(col("q"),
+          graft.functions.NearestCellQ(col("q"), hier.coarse), hier.sub).as("cell"),
         col("q"))
       .select(col(id),
-        graft.functions.ResidualQ(col("q"), col("cell"), coarseModel.centroids).as("q"))
+        graft.functions.ResidualQ(col("q"), col("cell"), stub.leafTable).as("q"))
       .localCheckpoint(false)
-    IvfPqModel(coarseModel.centroids,
-      pqFitCore(r, id, vec, m, ks, iters), id, vec)
+    IvfPqModel(hier, pqFitCore(r, id, vec, m, ks, iters), id, vec)
   }
 
   def semanticDedup(df: DataFrame, id: String, vec: String, cell: String,

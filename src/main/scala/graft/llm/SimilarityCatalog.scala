@@ -256,7 +256,7 @@ object SimilarityCatalog extends Catalog {
       val pqModel = pqFit(s, d)
       pqCapture = Some(pqModel.codebooks)
       val ivf = ivfPqFit(s, d)
-      ivfPqCapture = Some((ivf.coarse, ivf.pq.codebooks))
+      ivfPqCapture = Some((ivf.hier.coarse, ivf.hier.sub, ivf.pq.codebooks))
       val exact = Similarity.l2TopK(corpus(t), queriesDf(t), "vec_id", "embedding", K)
       val pqR = Similarity.recallAtK(
         Similarity.pqTopK(pqModel.encode(corpus(t)), queriesDf(t), "vec_id",
@@ -268,16 +268,19 @@ object SimilarityCatalog extends Catalog {
       pqR.unionAll(ivfR).orderBy("method", "query_id")
     }),
 
-    // the full faiss serving shape: coarse quantizer localizes each vector
-    // to a cell, PQ codebooks fitted on the RESIDUALS q − c[cell], stored
-    // artifact = (cell, M-int code word). A probe-2 query touches only two
-    // cells' code lists and scores them in the compressed domain — at
-    // 100 TB that is cell pruning × ~32× less bytes per scored row. The
-    // oracle replays coarse argmin, per-subspace residual encoding, probe
-    // selection, and ADC scoring — all exact integers.
+    // the full faiss serving shape (with the inverted-multi-index twist):
+    // the TWO-LEVEL hierarchical quantizer is the coarse quantizer — the
+    // flat k ∝ n coarse assignment measured 38× on 10× data at the
+    // sf1→sf10 decade because encode pays n·k dots; two-level pays n·2√k
+    // for the same leaf count. PQ codebooks are fitted on the RESIDUALS
+    // q − c[leaf]; stored artifact = (leaf, M-int code word); a probe-2
+    // query touches two leaves' code lists and scores them in the
+    // compressed domain — cell pruning × ~32× less bytes per scored row.
+    // The oracle replays the two-level argmin, per-subspace residual
+    // encoding, leaf-ranked probe selection, and ADC — all exact integers.
     "ivfpq_topk" -> ((s, d) => {
       val model = ivfPqFit(s, d)
-      ivfPqCapture = Some((model.coarse, model.pq.codebooks))
+      ivfPqCapture = Some((model.hier.coarse, model.hier.sub, model.pq.codebooks))
       val t = Tables(s, d)
       model.topK(model.encode(corpus(t)), queriesDf(t), IvfPqProbes, K)
         .orderBy("query_id", "nn_id")
@@ -364,25 +367,25 @@ object SimilarityCatalog extends Catalog {
       Similarity.pqFit(Tables(s, d).embeddings, "vec_id", "embedding",
         m = PqM, ks = PqKs, iters = 3))
 
-  /** Captured (coarse centroids, residual codebooks) of the last IVF-PQ
-    * fit — the ivfpq_topk oracle replays the whole index from them.
+  /** Captured (coarse centroids, leaf sub-table, residual codebooks) of
+    * the last IVF-PQ fit — the ivfpq_topk oracle replays the whole index
+    * from them.
     */
   @volatile private var ivfPqCapture:
-    Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])] = None
+    Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])],
+            Seq[(Int, Int, Seq[Long])])] = None
 
   /** Once-per-(JVM, sfDir) memo of the IVF-PQ fit (model only — same
-    * hygiene rationale as [[pqFit]]). Coarse cell count is scale-adaptive
-    * (k ∝ n at constant target occupancy) like the dedup fits.
+    * hygiene rationale as [[pqFit]]). The leaf count is scale-adaptive
+    * (k ∝ n at constant target occupancy) but the coarse quantizer is the
+    * TWO-LEVEL hierarchy, so corpus-side assignment stays n·2√k dots.
     */
   private val ivfPqFits =
     scala.collection.concurrent.TrieMap.empty[String, Similarity.IvfPqModel]
   private def ivfPqFit(s: SparkSession, d: String): Similarity.IvfPqModel =
-    ivfPqFits.getOrElseUpdate(d, {
-      val df = Tables(s, d).embeddings
-      Similarity.ivfPqFit(df, "vec_id", "embedding",
-        cells = Similarity.cellCountFor(df.count(), 64L),
-        m = PqM, ks = PqKs, iters = 3)
-    })
+    ivfPqFits.getOrElseUpdate(d,
+      Similarity.ivfPqFit(Tables(s, d).embeddings, "vec_id", "embedding",
+        targetCellSize = 64L, m = PqM, ks = PqKs, iters = 3))
 
   /** Centroids of the last `kmeans_label_purity` fit (captured separately so
     * either query oracles independently under a subset run).
@@ -741,16 +744,24 @@ object SimilarityCatalog extends Catalog {
     * per-(vec,m) constant), probe-P cell selection per query, and ADC
     * partial sums over the probed cells — every step exact integers.
     */
-  /** The complete IVF-PQ chain (coarse argmin → residual encode → probe
-    * selection → ADC partials), CTE names prefixed with `p` — ends in
-    * `${p}adc(query_id, nn_id, adc_dist)`.
+  /** The complete IVF-PQ chain (two-level leaf assignment → residual
+    * encode → leaf-ranked probe selection → ADC partials), CTE names
+    * prefixed with `p` — ends in `${p}adc(query_id, nn_id, adc_dist)`.
+    * Corpus leaves come from the HIERARCHICAL argmin (coarse, then that
+    * cell's sub-table — mirror of NearestCellQ → NearestSubCellQ); query
+    * probes rank ALL real leaves flat (the query side is tiny on the
+    * engine side too).
     */
   private def ivfPqChainCtes(coarse: Seq[(Int, Seq[Long])],
+                             sub: Seq[(Int, Int, Seq[Long])],
                              codebooks: Seq[(Int, Int, Seq[Long])],
                              p: String): String = {
     val ds = Dim / PqM
     val coarseValues = coarse.map { case (cid, cq) =>
       s"($cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+    }.mkString(",\n    ")
+    val leafValues = sub.map { case (c, leaf, cq) =>
+      s"($c, $leaf, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
     }.mkString(",\n    ")
     val cbValues = codebooks.map { case (m, code, cq) =>
       s"($m, $code, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
@@ -766,8 +777,24 @@ object SimilarityCatalog extends Catalog {
        |                 FROM (SELECT unnest(pn.q) AS x, unnest(cn.cq) AS y))
        |      + cn.cn2 AS dist
        |  FROM pn CROSS JOIN ${p}cn cn),
+       |${p}ca0 AS (
+       |  SELECT vec_id, cid AS coarse FROM ${p}cscored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist ASC, cid ASC) = 1),
+       |${p}lt(coarse, cid, cq) AS (VALUES
+       |    $leafValues),
+       |${p}ltn AS (SELECT coarse, cid, cq,
+       |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+       |  FROM ${p}lt),
+       |${p}lscored AS (
+       |  SELECT pn.vec_id, lt.cid,
+       |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+       |                 FROM (SELECT unnest(pn.q) AS x, unnest(lt.cq) AS y))
+       |      + lt.cn2 AS dist
+       |  FROM pn JOIN ${p}ca0 ca0 USING (vec_id)
+       |  JOIN ${p}ltn lt ON lt.coarse = ca0.coarse),
        |${p}ca AS (
-       |  SELECT vec_id, cid AS cell FROM ${p}cscored
+       |  SELECT vec_id, cid AS cell FROM ${p}lscored
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |    ORDER BY dist ASC, cid ASC) = 1),
        |${p}cb(m, code, cq) AS (VALUES
@@ -776,28 +803,34 @@ object SimilarityCatalog extends Catalog {
        |  SELECT pn.vec_id, cb.m, cb.code,
        |    (SELECT CAST(sum((x - cc - y) * (x - cc - y)) AS BIGINT)
        |     FROM (SELECT unnest(list_slice(pn.q, cb.m * $ds + 1, cb.m * $ds + $ds)) AS x,
-       |                  unnest(list_slice(c.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
+       |                  unnest(list_slice(lt.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
        |                  unnest(cb.cq) AS y)) AS dist
-       |  FROM pn JOIN ${p}ca ca USING (vec_id) JOIN ${p}c c ON c.cid = ca.cell
+       |  FROM pn JOIN ${p}ca ca USING (vec_id) JOIN ${p}ltn lt ON lt.cid = ca.cell
        |  CROSS JOIN ${p}cb cb),
        |${p}enc AS (
        |  SELECT vec_id, m, code FROM ${p}enc_scored
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
        |    ORDER BY dist ASC, code ASC) = 1),
+       |${p}qscored AS (
+       |  SELECT pn.vec_id, lt.cid,
+       |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+       |                 FROM (SELECT unnest(pn.q) AS x, unnest(lt.cq) AS y))
+       |      + lt.cn2 AS dist
+       |  FROM pn CROSS JOIN ${p}ltn lt
+       |  WHERE pn.vec_id < $NumQueries),
        |${p}qa AS (
-       |  SELECT vec_id AS query_id, cid AS cell FROM ${p}cscored
-       |  WHERE vec_id < $NumQueries
+       |  SELECT vec_id AS query_id, cid AS cell FROM ${p}qscored
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |    ORDER BY dist ASC, cid ASC) <= $IvfPqProbes),
        |${p}partial AS (
        |  SELECT qa.query_id, ca.vec_id AS nn_id,
        |    (SELECT CAST(sum((x - cc - y) * (x - cc - y)) AS BIGINT)
        |     FROM (SELECT unnest(list_slice(qp.q, cb.m * $ds + 1, cb.m * $ds + $ds)) AS x,
-       |                  unnest(list_slice(c.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
+       |                  unnest(list_slice(lt.cq, cb.m * $ds + 1, cb.m * $ds + $ds)) AS cc,
        |                  unnest(cb.cq) AS y)) AS pd
        |  FROM ${p}qa qa
        |  JOIN pn qp ON qp.vec_id = qa.query_id
-       |  JOIN ${p}c c ON c.cid = qa.cell
+       |  JOIN ${p}ltn lt ON lt.cid = qa.cell
        |  JOIN ${p}ca ca ON ca.cell = qa.cell
        |  JOIN ${p}enc e ON e.vec_id = ca.vec_id
        |  JOIN ${p}cb cb ON cb.m = e.m AND cb.code = e.code
@@ -807,10 +840,10 @@ object SimilarityCatalog extends Catalog {
   }
 
   private def ivfPqOracle: Option[(String, String)] =
-    ivfPqCapture.map { case (coarse, codebooks) =>
+    ivfPqCapture.map { case (coarse, sub, codebooks) =>
       "ivfpq_topk" ->
         s"""WITH $prepSql,
-           |${ivfPqChainCtes(coarse, codebooks, "")}
+           |${ivfPqChainCtes(coarse, sub, codebooks, "")}
            |SELECT query_id, nn_id, adc_dist FROM adc
            |QUALIFY row_number() OVER (PARTITION BY query_id
            |  ORDER BY adc_dist ASC, nn_id ASC) <= $K
@@ -824,12 +857,12 @@ object SimilarityCatalog extends Catalog {
     * [[Similarity.recallAtK]].
     */
   private def annRecallOracle: Option[(String, String)] =
-    for { codebooks <- pqCapture; (coarse, rcb) <- ivfPqCapture } yield {
+    for { codebooks <- pqCapture; (coarse, sub, rcb) <- ivfPqCapture } yield {
       "ann_recall" ->
         s"""WITH $prepSql,
            |${pqAssignCtes(codebooks, "p_")},
            |${pqAdcCtes("p_")},
-           |${ivfPqChainCtes(coarse, rcb, "i_")},
+           |${ivfPqChainCtes(coarse, sub, rcb, "i_")},
            |ex_scored AS (
            |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id,
            |    qv.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)

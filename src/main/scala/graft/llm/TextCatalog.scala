@@ -30,6 +30,8 @@ object TextCatalog extends Catalog {
   val ChunkSize = 32
   val ChunkStride = 24 // overlap 8
   val VocabK = 50
+  /** BPE training rounds for the bpe_train_merges gate query. */
+  val BpeRounds = 4
   /** Nearest-rank percentiles for the per-language length profile. */
   val Percentiles = Seq(0.25, 0.5, 0.75, 0.9)
 
@@ -148,6 +150,14 @@ object TextCatalog extends Catalog {
     "bpe_merge_round" -> ((s, d) =>
       TextOps.mergeRound(Tables(s, d).documents, "doc_id", "text")
         .orderBy("doc_id")),
+
+    // ...and the actual TRAINING loop: argmax → apply → re-count, four
+    // rounds, returning the learned merge table. The oracle re-derives
+    // every round from scratch (four unrolled window-chain blocks) — the
+    // merge sequence is proven, not captured.
+    "bpe_train_merges" -> ((s, d) =>
+      TextOps.bpeTrain(Tables(s, d).documents, "doc_id", "text", BpeRounds)
+        .orderBy("round")),
 
     // tokenizer sizing metric: what share of all token OCCURRENCES the
     // top-k vocabulary covers (and the OOV remainder) — the vocab frame
@@ -288,7 +298,54 @@ object TextCatalog extends Catalog {
        |    >= 0.5
        |ORDER BY doc_id""".stripMargin
 
+  /** bpe_train_merges oracle: the whole training loop re-derived from
+    * scratch — [[BpeRounds]] unrolled blocks, each one (pair argmax with
+    * the count-desc/(a,b)-lexicographic tie-break) → (run-parity greedy
+    * merge application) → (position rebuild), exactly mirroring
+    * [[TextOps.bpeTrain]]'s relational rule: a merged pair's second token
+    * is dropped via lag(selected), for a = b only odd run positions start
+    * a merge.
+    */
+  private def bpeTrainSql: String = {
+    val blocks = (1 to BpeRounds).map { r =>
+      s"""pr_$r AS (SELECT doc_id, pos, tok,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM t_${r - 1}),
+         |top_$r AS (SELECT a, b, n FROM (
+         |    SELECT tok AS a, nxt AS b, CAST(count(*) AS BIGINT) AS n
+         |    FROM pr_$r WHERE nxt IS NOT NULL GROUP BY tok, nxt)
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |st_$r AS (SELECT p.doc_id, p.pos, p.tok, p.nxt, tp.a, tp.b,
+         |    lag(p.tok) OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS prv
+         |  FROM pr_$r p CROSS JOIN top_$r tp),
+         |rn_$r AS (SELECT *, CASE WHEN prv IS NULL OR prv <> tok THEN 1 ELSE 0 END AS chg
+         |  FROM st_$r),
+         |ri_$r AS (SELECT *, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+         |  FROM rn_$r),
+         |rp_$r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, run_id ORDER BY pos) AS run_pos
+         |  FROM ri_$r),
+         |se_$r AS (SELECT *, (tok = a AND coalesce(nxt = b, false)
+         |    AND (a <> b OR run_pos % 2 = 1)) AS sel FROM rp_$r),
+         |de_$r AS (SELECT *, coalesce(lag(sel) OVER (PARTITION BY doc_id ORDER BY pos), false) AS del
+         |  FROM se_$r),
+         |t_$r AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+         |    CASE WHEN sel THEN a || b ELSE tok END AS tok
+         |  FROM de_$r WHERE NOT del)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, a, b, n AS n_pairs FROM top_$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS ($docTokens),
+       |t_0 AS (SELECT doc_id, pos, w[pos] AS tok
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM t)),
+       |$blocks
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_train_merges" -> bpeTrainSql,
     "tfidf_top_terms" ->
       s"""WITH t AS ($docTokens),
          |tok AS (SELECT doc_id, unnest(w) AS term FROM t),

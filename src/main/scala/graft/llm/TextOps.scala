@@ -433,6 +433,69 @@ object TextOps {
       .filter(col("n_merges") > 0)
   }
 
+  /** Exact greedy BPE TRAINING over the corpus: `rounds` iterations of
+    * (argmax adjacent pair → apply the merge corpus-wide), returning the
+    * learned merge table `(round, a, b, n_pairs)` — the actual tokenizer-
+    * training loop, not a single-round probe like [[mergeRound]].
+    *
+    * Everything is relational; the merge APPLICATION never re-scans
+    * strings: candidates are `(tok = a ∧ next = b)` rows, greedy
+    * left-to-right non-overlap is the run-parity rule (for `a = b`, only
+    * odd positions within a run of `a`s start a merge — ⌊L/2⌋ disjoint
+    * pairs from the left; for `a ≠ b` candidates can never overlap), a
+    * merged pair's second token is dropped via `lag(selected)`, the first
+    * rewrites to the concatenation, and positions rebuild with one
+    * row_number. Each round is window chains on the doc id plus one hash
+    * aggregate; the driver sees exactly ONE row per round (the argmax
+    * pair — count desc, then (a, b) lexicographic, binary collation in
+    * both engines). The per-round token frame is pinned
+    * (localCheckpoint) so round r+1 scans a materialized frame instead of
+    * replaying r rounds of windows — at 100 TB each round is one bounded
+    * shuffle-and-scan, the same shape per round regardless of r.
+    */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+               rounds: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy("pos")
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(id, "run_id").orderBy("pos")
+    var toks = df.select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = toks
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok"), col("nxt"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"), col("nxt"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every doc is a single token
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, n))
+        val prv = lag(col("tok"), 1).over(w)
+        toks = toks
+          .withColumn("nxt", lead(col("tok"), 1).over(w))
+          .withColumn("chg", when(prv.isNull || prv =!= col("tok"), 1).otherwise(0))
+          .withColumn("run_id", sum(col("chg")).over(w))
+          .withColumn("run_pos", row_number().over(wr))
+          .withColumn("sel", col("tok") === lit(a) &&
+            coalesce(col("nxt") === lit(b), lit(false)) &&
+            (lit(a != b) || col("run_pos") % 2 === 1))
+          .withColumn("del", coalesce(lag(col("sel"), 1).over(w), lit(false)))
+          .filter(!col("del"))
+          .select(col(id), row_number().over(w).as("pos"),
+            when(col("sel"), lit(a + b)).otherwise(col("tok")).as("tok"))
+          .localCheckpoint(false)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "a", "b", "n_pairs")
+  }
+
   /** Repetition quality signals (the Gopher-style "repetitive content"
     * tier): `(id, n_tokens, n_bigrams, top_bigram_frac, dup_bigram_frac,
     * max_run)` where

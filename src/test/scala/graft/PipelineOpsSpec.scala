@@ -31,6 +31,31 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, "a", "b", 4L, 1L, 3L)))
   }
 
+  test("bpeTrain learns the hand-computed merge sequence with exact tie-breaks") {
+    // round 1: (a,b)×3. round 2: all pairs tie at 1 → (ab,ab) wins the
+    // (a,b)-lexicographic tie-break. round 3: (ab,x) < (abab,c). round 4:
+    // (abab,c) is the only pair left in doc 1.
+    val df = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(df, "doc_id", "text", 4).orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "b", 3L), (2, "ab", "ab", 1L),
+      (3, "ab", "x", 1L), (4, "abab", "c", 1L)))
+  }
+
+  test("bpeTrain run-parity merges and early exhaustion on a single run") {
+    // "z z z z z": round 1 merges (1,2) and (3,4) → [zz, zz, z]; round 2
+    // tie (zz,z) vs (zz,zz) breaks on b → (zz,z)... but greedy applies at
+    // the FIRST candidate only if adjacency holds: [zz, zz, z] has (zz,zz)
+    // at pos 1 and (zz,z) at pos 2 — the chosen pair (zz,z) merges pos 2-3
+    // → [zz, zzz]; round 3 merges the rest; round 4 finds no pair → the
+    // trainer stops early with 3 rows.
+    val df = Seq((1L, "z z z z z")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(df, "doc_id", "text", 4).orderBy("round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "z", "z", 4L), (2, "zz", "z", 1L),
+      (3, "zz", "zzz", 1L)))
+  }
+
   test("mergeRound is greedy-exact on self-overlapping runs (a == b)") {
     // argmax pair is (z,z) ×5; greedy left-to-right merges floor(L/2) per
     // run: L=4 → 2, L=3 → 1 (NOT the 3 and 2 overlapping candidates)
@@ -479,20 +504,21 @@ class PipelineOpsSpec extends SparkSpec {
       s"ADC neighbors of a cluster-A query must be cluster-A members: ${got.toSeq}")
   }
 
-  test("ivfPqFit is partitioning-invariant (coarse AND residual codebooks)") {
-    val a = Similarity.ivfPqFit(emb, "vec_id", "embedding", cells = 8,
-      m = 4, ks = 8, iters = 2)
+  test("ivfPqFit is partitioning-invariant (both levels AND residual codebooks)") {
+    val a = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      targetCellSize = 64L, m = 4, ks = 8, iters = 2)
     val b = Similarity.ivfPqFit(emb.repartition(7), "vec_id", "embedding",
-      cells = 8, m = 4, ks = 8, iters = 2)
-    assert(a.coarse === b.coarse)
+      targetCellSize = 64L, m = 4, ks = 8, iters = 2)
+    assert(a.hier.coarse === b.hier.coarse)
+    assert(a.hier.sub === b.hier.sub)
     assert(a.pq.codebooks === b.pq.codebooks)
   }
 
-  test("ivfPq topK prunes to probed cells and keeps cluster structure") {
-    // 3 far-apart direction clusters: the coarse quantizer must separate
-    // them, so a single-probe query's ADC neighbors all come from its own
-    // cluster, and raising probes to every cell must not change the top-k
-    // (no true neighbor lives across a cell boundary on this fixture)
+  test("ivfPq topK prunes to probed leaves and keeps cluster structure") {
+    // 3 far-apart direction clusters: whatever leaves the two-level fit
+    // lands on, a cluster-A query's ADC neighbors must come from cluster A
+    // at ANY probe width — cross-cluster reconstruction distances dwarf
+    // within-cluster ones on this fixture
     val rnd = new scala.util.Random(43)
     val base = Seq(Seq.fill(16)(1f), Seq.fill(16)(-1f),
       (0 until 16).map(i => if (i % 2 == 0) 1f else -1f))
@@ -500,20 +526,20 @@ class PipelineOpsSpec extends SparkSpec {
       val b = base(i / 40)
       (i.toLong, b.map(x => x + rnd.nextFloat() * 0.05f))
     }.toDF("vec_id", "embedding")
-    val model = Similarity.ivfPqFit(df, "vec_id", "embedding", cells = 3,
-      m = 4, ks = 8, iters = 2)
+    val model = Similarity.ivfPqFit(df, "vec_id", "embedding",
+      targetCellSize = 16L, m = 4, ks = 8, iters = 2)
     val codes = model.encode(df)
     assert(codes.count() === 120)
     assert(codes.filter(col("cell").isNull || col("codes").isNull).count() === 0)
     val queries = df.filter(col("vec_id") === 0L)
-    val single = model.topK(codes, queries, probes = 1, k = 5)
-      .orderBy("nn_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
-    assert(single.map(_._1).forall(id => id < 40L && id != 0L),
+    val single = model.topK(codes, queries, probes = 1, k = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(single.nonEmpty && single.forall(id => id < 40L && id != 0L),
       s"single-probe neighbors of a cluster-A query stay in cluster A: $single")
-    val full = model.topK(codes, queries, probes = 3, k = 5)
-      .orderBy("nn_id").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
-    assert(full === single,
-      "full probe changes nothing when clusters are well separated")
+    val full = model.topK(codes, queries, probes = model.leaves.size, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(full.size === 5 && full.forall(id => id < 40L && id != 0L),
+      s"full-probe neighbors still come from cluster A: $full")
   }
 
   test("recallAtK counts per-query hits and keeps zero-hit queries") {

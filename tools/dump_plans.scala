@@ -37,7 +37,10 @@ val picks = Seq(
   "zorder_dpp_scan" -> "The composed 100 TB scan posture: hive day-partitioning pruned by a dynamicpruning subquery (runtime dim) AND the per-day Z-order layout's two range predicates pushed to parquet - both prunings in ONE plan.",
   "embedding_near_dup_auto" -> "Scale-adaptive near-dup pair search: k-proportional-to-n k-means cells (shared memoized fit) block the within-cell self-join, so candidate volume stays linear on scale-up; exact quantized cosine verifies. Assignment is ONE narrow codegen projection (nearest_cell_q) - no n*k exploded rows, no shuffle.",
   "semantic_dedup_srp_auto" -> "Training-free SemDeDup at scale-adaptive band width: srp_sketch_q computes the whole sketch per row in one codegen pass (no posexplode/sign-join/aggregate), band bits track log2(n) so bucket occupancy - and spurious-candidate volume - stays constant per vector.",
-  "embedding_contamination_fixed" -> "Production decontamination shape: the FIXED benchmark set broadcasts into one narrow max-cosine pass over the corpus - linear in the corpus, no quadratic fixture artifact.")
+  "embedding_contamination_fixed" -> "Production decontamination shape: the FIXED benchmark set broadcasts into one narrow max-cosine pass over the corpus - linear in the corpus, no quadratic fixture artifact.",
+  "semantic_dedup_hier" -> "Two-level hierarchical SemDeDup: assignment chains nearest_cell_q -> nearest_sub_cell_q in ONE narrow projection (n*2*sqrt(k) dots for the same leaf count the flat k-proportional fit reaches at n*k), then the standard leaf-blocked pair verify.",
+  "pq_topk" -> "Compressed-domain ANN: the corpus side carries only the M-int code word (encode is one narrow projection; a STORED codes table scans 8 ints, not 64 floats), the broadcast full-precision query set scores via pq_adc_q - exact integer reconstruction distances, WindowGroupLimit top-k.",
+  "ivfpq_topk" -> "The faiss serving shape: probe selection replicates each query to its 2 nearest cells (broadcast centroid frame), residual_q re-bases the query against EACH probed cell, and the cell equi-join prunes the coded corpus before pq_adc_q scores it - cell pruning times compressed rows in one plan.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
