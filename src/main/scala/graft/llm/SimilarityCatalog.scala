@@ -286,6 +286,18 @@ object SimilarityCatalog extends Catalog {
         .orderBy("query_id", "nn_id")
     }),
 
+    // the index's INGEST path: embeddings arrive through a real
+    // checkpointed file-source stream and the stored (leaf, code word)
+    // artifact is computed in-flight — encode is stateless per-row once
+    // the fit exists, which is exactly why an index build separates fit
+    // (batch control plane) from encode (stream data plane). Oracled
+    // against the same replayed index as the batch encode.
+    "stream_ivfpq_encode" -> ((s, d) => {
+      val model = ivfPqFit(s, d)
+      ivfPqCapture = Some((model.hier.coarse, model.hier.sub, model.pq.codebooks))
+      graft.streaming.StreamingCatalog.replayIvfPqEncode(s, d, model)
+    }),
+
     // multi-probe IVF at full probe width: probing every cell must
     // reproduce the brute-force result EXACTLY, so the entire fit →
     // assignTop → replicate → cell-join → dedup machinery is oracled by
@@ -839,16 +851,28 @@ object SimilarityCatalog extends Catalog {
        |  FROM ${p}partial GROUP BY query_id, nn_id)""".stripMargin
   }
 
-  private def ivfPqOracle: Option[(String, String)] =
-    ivfPqCapture.map { case (coarse, sub, codebooks) =>
-      "ivfpq_topk" ->
-        s"""WITH $prepSql,
-           |${ivfPqChainCtes(coarse, sub, codebooks, "")}
-           |SELECT query_id, nn_id, adc_dist FROM adc
-           |QUALIFY row_number() OVER (PARTITION BY query_id
-           |  ORDER BY adc_dist ASC, nn_id ASC) <= $K
-           |ORDER BY query_id, nn_id""".stripMargin
-    }
+  private def ivfPqOracle: Map[String, String] =
+    ivfPqCapture.toSeq.flatMap { case (coarse, sub, codebooks) =>
+      Seq(
+        "ivfpq_topk" ->
+          s"""WITH $prepSql,
+             |${ivfPqChainCtes(coarse, sub, codebooks, "")}
+             |SELECT query_id, nn_id, adc_dist FROM adc
+             |QUALIFY row_number() OVER (PARTITION BY query_id
+             |  ORDER BY adc_dist ASC, nn_id ASC) <= $K
+             |ORDER BY query_id, nn_id""".stripMargin,
+        // the streamed encode must land the SAME stored artifact as the
+        // batch replay: leaf + code word per vector (DuckDB computes only
+        // the CTEs this SELECT references — the probe/ADC tail is unused)
+        "stream_ivfpq_encode" ->
+          s"""WITH $prepSql,
+             |${ivfPqChainCtes(coarse, sub, codebooks, "")}
+             |SELECT ca.vec_id, ca.cell,
+             |  list(CAST(e.code AS BIGINT) ORDER BY e.m) AS codes
+             |FROM ca JOIN enc e USING (vec_id)
+             |GROUP BY ca.vec_id, ca.cell
+             |ORDER BY ca.vec_id""".stripMargin)
+    }.toMap
 
   /** ann_recall oracle: BOTH captured indexes replayed side by side (the
     * flat-PQ chain under `p_`, the IVF-PQ chain under `i_`), the exact-L2
@@ -941,7 +965,7 @@ object SimilarityCatalog extends Catalog {
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
       nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ hierOracle.toMap ++
-      pqOracles ++ ivfPqOracle.toMap ++ annRecallOracle.toMap ++ Map(
+      pqOracles ++ ivfPqOracle ++ annRecallOracle.toMap ++ Map(
     "semantic_dedup_srp" ->
       s"""WITH $prepSql,
          |$srpSketchCtes,

@@ -145,6 +145,40 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("doc_id")
   }
 
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** In-flight IVF-PQ encoding of an embedding stream: the 100 TB ingest
+    * shape — embeddings land continuously and the stored index artifact
+    * `(leaf cell, M-int code word)` is computed as they arrive, one
+    * stateless codegen'd projection per row (two-level argmin → residual
+    * → M sliced code argmins), appended exactly-once through the
+    * checkpointed file sink. No state store: encoding against a FITTED
+    * model is embarrassingly per-row, which is exactly why an index build
+    * separates fit (batch, control-plane) from encode (stream, data-plane).
+    */
+  def replayIvfPqEncode(s: SparkSession, d: String,
+                        model: graft.llm.Similarity.IvfPqModel,
+                        timeoutMs: Long = 300000): DataFrame = {
+    val base = Files.createTempDirectory("graft-ivfpq-stream").toString
+    val q = s.readStream.schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .transform(model.encode)
+      .select(col("vec_id"), col("cell"),
+        col("codes").cast("array<bigint>").as("codes"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    s.read.parquet(s"$base/sink").orderBy("vec_id")
+  }
+
   /** Durable snapshot-version pointer: `_LATEST` names the current version
     * dir, committed via write-temp-then-atomic-rename AFTER the version's
     * parquet lands. A crash between the two leaves `_LATEST` at the prior

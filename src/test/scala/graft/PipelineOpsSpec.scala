@@ -542,6 +542,17 @@ class PipelineOpsSpec extends SparkSpec {
       s"full-probe neighbors still come from cluster A: $full")
   }
 
+  test("streamed IVF-PQ encode lands the same artifact as the batch encode") {
+    val model = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      targetCellSize = 64L, m = 4, ks = 8, iters = 2)
+    val streamed = graft.streaming.StreamingCatalog.replayIvfPqEncode(spark, sf, model)
+    val batch = model.encode(emb)
+      .select(col("vec_id"), col("cell"),
+        col("codes").cast("array<bigint>").as("codes"))
+      .orderBy("vec_id")
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+  }
+
   test("recallAtK counts per-query hits and keeps zero-hit queries") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
       (3L, 30L)).toDF("query_id", "nn_id")

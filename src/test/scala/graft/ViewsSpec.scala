@@ -68,6 +68,7 @@ class ViewsSpec extends SparkSpec {
       "semantic_dedup_hier",     // same capture mechanism (two-level fit)
       "pq_codes", "pq_topk",     // same capture mechanism (PQ codebooks)
       "ivfpq_topk",              // same capture mechanism (coarse + codebooks)
+      "stream_ivfpq_encode",     // same capture mechanism (shared IVF-PQ fit)
       "ann_recall",              // needs BOTH pq and ivfpq captures
       "semantic_dedup_srp_auto") // captures its chosen band width
     // subset, not equality: the capture-based oracles APPEAR once another
