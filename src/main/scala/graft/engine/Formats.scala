@@ -50,6 +50,20 @@ object Formats {
       .json(dir)
   }
 
+  /** ORC round-trip: the other columnar interchange format (Hive/Trino
+    * ecosystems). Unlike the text formats it keeps column pruning and
+    * predicate pushdown (min/max stripe statistics, optional Bloom
+    * filters), so an ORC vendor drop scans like parquet — the read below
+    * surfaces `PushedFilters` in the plan exactly as the native layout
+    * does. Schema stays explicit on read for the same reasons as above
+    * (no inference pass, no sampled-schema drift).
+    */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
+  def readOrc(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
+
   def writeCsv(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(dir)
 

@@ -612,4 +612,84 @@ object Dedup {
       .withColumn("canonical_id", min(col(id)).over(w))
       .withColumn("is_duplicate", col(id) =!= col("canonical_id"))
   }
+
+  /** Every stride-1 `k`-token window occurrence whose exact content repeats
+    * anywhere in the corpus (another doc OR another position of the same
+    * doc): `(id, start, end, fp, n_occ)`, positions 1-based inclusive.
+    *
+    * This is the window layer of exact substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * suffix-array pass, re-expressed relationally): a length-≥k repeated
+    * substring is exactly a run of repeated k-windows, so stride-1 windows
+    * lose nothing that [[dupPassages]]' strided chunks can miss.
+    *
+    * Shape: posexplode → ONE window chain on the doc id building each
+    * k-window's text from k-1 codegen'd `lead`s (the file-head note:
+    * higher-order array slicing is CodegenFallback; this stays inside
+    * whole-stage codegen) → hash aggregate on the md5 fingerprint → join
+    * back on the fingerprint. Both the aggregate and the probe shuffle the
+    * SAME window subtree hash-partitioned on `fp`, which Spark's
+    * ReuseExchange collapses into one physical exchange. Shuffle rows are
+    * (fp, id, start) — window-width-independent.
+    */
+  private[graft] def dupSpanWindows(df: DataFrame, id: String, textCol: String,
+                                    k: Int): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2: $k")
+    val w = Window.partitionBy(id).orderBy("pos")
+    val parts = (0 until k).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(w))
+    val wins = df
+      .select(col(id), posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col(id), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      .select(col(id), col("pos").as("start"), (col("pos") + (k - 1)).as("end"),
+        concat_ws(" ", parts: _*).as("wtext"), parts.last.as("wlast"))
+      .filter(col("wlast").isNotNull) // only complete k-windows
+      .select(col(id), col("start"), col("end"), md5(col("wtext")).as("fp"))
+    val dups = wins.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    wins.join(dups, Seq("fp"))
+  }
+
+  /** Exact repeated-substring SPANS: per doc, the maximal runs of token
+    * positions covered by duplicated k-windows —
+    * `(id, span_id, span_start, span_end, span_tokens, n_windows)` with
+    * spans numbered 1..m in position order. Overlapping or touching
+    * duplicated windows merge (gaps-and-islands on the running max end), so
+    * a 40-token verbatim quote shows as ONE span, not 40-k+1 rows.
+    *
+    * Cost past [[dupSpanWindows]] is one exchange on the doc id; duplicated
+    * -window volume is bounded by actual duplication, never all-pairs.
+    */
+  def dupSpans(df: DataFrame, id: String, textCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(id).orderBy("start")
+    val prevEnd = max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    dupSpanWindows(df, id, textCol, k)
+      .withColumn("brk", when(prevEnd.isNull || col("start") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("span_id", sum(col("brk")).over(w))
+      .groupBy(col(id), col("span_id"))
+      .agg(min("start").as("span_start"), max("end").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(id), col("span_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_windows"))
+  }
+
+  /** Per-doc duplicated-substring coverage — the curation signal built on
+    * [[dupSpans]]: `(id, n_tokens, n_spans, dup_tokens, dup_frac)` where
+    * `dup_frac` is the fraction of the doc's tokens inside some repeated
+    * span (Lee et al.'s dedup-fraction, the threshold column a
+    * remove-or-trim pass filters on). Docs with no repeated window report
+    * 0 / 0.0 via the left join.
+    */
+  def dupSpanCoverage(df: DataFrame, id: String, textCol: String, k: Int): DataFrame = {
+    val perDoc = dupSpans(df, id, textCol, k)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    df.select(col(id), size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
 }

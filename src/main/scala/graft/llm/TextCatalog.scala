@@ -32,6 +32,16 @@ object TextCatalog extends Catalog {
   val VocabK = 50
   /** BPE training rounds for the bpe_train_merges gate query. */
   val BpeRounds = 4
+  /** Stride-1 window width for the exact repeated-substring span tier. */
+  val DupSpanK = 8
+  /** Count-Min sketch geometry + probe set for the frequency-sketch audit. */
+  val CmDepth = 4
+  val CmWidth = 512
+  val CmTopK = 20
+  /** Skip-gram lift ranking: forward window, pair-count floor, result size. */
+  val LiftWindow = 3
+  val LiftMinCount = 5L
+  val LiftTopK = 30
   /** Nearest-rank percentiles for the per-language length profile. */
   val Percentiles = Seq(0.25, 0.5, 0.75, 0.9)
 
@@ -201,6 +211,35 @@ object TextCatalog extends Catalog {
           ChunkSize, ChunkStride)
         .orderBy("doc_id", "chunk_id")),
 
+    // exact repeated-substring spans (Lee et al. suffix-array dedup,
+    // re-expressed on stride-1 windows): maximal duplicated runs per doc,
+    // and the per-doc duplicated-token fraction curation thresholds on
+    "dup_spans" -> ((s, d) =>
+      Dedup.dupSpans(Tables(s, d).documents, "doc_id", "text", DupSpanK)
+        .orderBy("doc_id", "span_id")),
+
+    "dup_span_coverage" -> ((s, d) =>
+      Dedup.dupSpanCoverage(Tables(s, d).documents, "doc_id", "text", DupSpanK)
+        .orderBy("doc_id")),
+
+    // the ENCODE side of the BPE tokenizer: per-doc token counts and
+    // compression under the bpe_train_merges vocabulary
+    "bpe_encode_stats" -> ((s, d) =>
+      TextOps.bpeEncodeStats(Tables(s, d).documents, "doc_id", "text", BpeRounds)
+        .orderBy("doc_id")),
+
+    // Count-Min frequency sketch vs exact truth for the head terms — the
+    // mergeable-sketch audit (estimate always >= exact; bound telemetry)
+    "countmin_term_bounds" -> ((s, d) =>
+      TextOps.countMinBounds(Tables(s, d).documents, "doc_id", "text",
+          CmDepth, CmWidth, CmTopK)
+        .orderBy(col("n_exact").desc, col("term"))),
+
+    // PMI ranking without the log: top skip-gram pairs by exact-ratio lift
+    "cooccurrence_lift" -> ((s, d) =>
+      TextOps.liftTopPairs(Tables(s, d).documents, "doc_id", "text",
+          LiftWindow, LiftMinCount, LiftTopK)),
+
     "quality_percentiles" -> ((s, d) =>
       graft.ops.Relational.exactPercentiles(
           Tables(s, d).documents.select(col("doc_id"), col("lang"),
@@ -307,7 +346,41 @@ object TextCatalog extends Catalog {
     * a merge.
     */
   private def bpeTrainSql: String = {
-    val blocks = (1 to BpeRounds).map { r =>
+    val blocks = bpeRoundBlocks
+    val union = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, a, b, n AS n_pairs FROM top_$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeTokCtes,
+       |$blocks
+       |$union
+       |ORDER BY round""".stripMargin
+  }
+
+  /** bpe_encode_stats oracle: the same [[bpeRoundBlocks]] training replay,
+    * then per-doc counts of the initial (`t_0`) vs final (`t_BpeRounds`)
+    * token state — encode ≡ the token state training leaves behind.
+    */
+  private def bpeEncodeSql: String =
+    s"""WITH $bpeTokCtes,
+       |$bpeRoundBlocks,
+       |raw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_raw
+       |  FROM t_0 GROUP BY doc_id),
+       |enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_bpe
+       |  FROM t_$BpeRounds GROUP BY doc_id)
+       |SELECT doc_id, n_tokens_raw, n_tokens_bpe,
+       |  n_tokens_raw - n_tokens_bpe AS n_merges_applied,
+       |  CAST(n_tokens_raw AS DOUBLE) / n_tokens_bpe AS compression
+       |FROM raw JOIN enc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** `t → t_0` CTE prefix shared by the two BPE oracles. */
+  private def bpeTokCtes: String =
+    s"""t AS ($docTokens),
+       |t_0 AS (SELECT doc_id, pos, w[pos] AS tok
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM t))""".stripMargin
+
+  private def bpeRoundBlocks: String = {
+    (1 to BpeRounds).map { r =>
       s"""pr_$r AS (SELECT doc_id, pos, tok,
          |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
          |  FROM t_${r - 1}),
@@ -333,19 +406,100 @@ object TextCatalog extends Catalog {
          |    CASE WHEN sel THEN a || b ELSE tok END AS tok
          |  FROM de_$r WHERE NOT del)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeRounds)
-      .map(r => s"SELECT $r AS round, a, b, n AS n_pairs FROM top_$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH t AS ($docTokens),
-       |t_0 AS (SELECT doc_id, pos, w[pos] AS tok
-       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM t)),
-       |$blocks
-       |$union
-       |ORDER BY round""".stripMargin
   }
+
+  /** CTE chain `t → ws → wn → dpw → fl` ending in the duplicated k-window
+    * occurrences `(doc_id, start, end, fp, n_occ)` — mirror of
+    * [[Dedup.dupSpanWindows]], shared by the two span oracles.
+    */
+  private lazy val dupSpanCtes: String =
+    s"""t AS ($docTokens),
+       |ws AS (SELECT doc_id, w, unnest(range(1, len(w) - $DupSpanK + 2)) AS start
+       |  FROM t WHERE len(w) >= $DupSpanK),
+       |wn AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+       |    CAST(start + $DupSpanK - 1 AS BIGINT) AS "end",
+       |    md5(array_to_string(w[start:(start + $DupSpanK - 1)], ' ')) AS fp
+       |  FROM ws),
+       |dpw AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM wn GROUP BY fp HAVING count(*) > 1),
+       |fl AS (SELECT wn.* , dpw.n_occ FROM wn JOIN dpw USING (fp)),
+       |pe AS (SELECT *, max("end") OVER (PARTITION BY doc_id ORDER BY start
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM fl),
+       |il AS (SELECT *, CAST(sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start) AS BIGINT)
+       |    AS span_id
+       |  FROM pe),
+       |sp AS (SELECT doc_id, span_id,
+       |    min(start) AS span_start, max("end") AS span_end,
+       |    max("end") - min(start) + 1 AS span_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM il GROUP BY doc_id, span_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "bpe_train_merges" -> bpeTrainSql,
+    "bpe_encode_stats" -> bpeEncodeSql,
+
+    "dup_spans" ->
+      s"""WITH $dupSpanCtes
+         |SELECT doc_id, span_id, span_start, span_end, span_tokens, n_windows
+         |FROM sp ORDER BY doc_id, span_id""".stripMargin,
+
+    "countmin_term_bounds" ->
+      s"""WITH t AS ($docTokens),
+         |terms AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(w) AS term FROM t) GROUP BY term),
+         |total AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM terms),
+         |ri AS (SELECT unnest(range(0, $CmDepth)) AS row_i),
+         |hr AS (SELECT term, n, row_i,
+         |    CAST(('0x' || substring(md5(term), 1 + 7 * row_i, 7)) AS BIGINT)
+         |      % $CmWidth AS bucket
+         |  FROM terms CROSS JOIN ri),
+         |sk AS (SELECT row_i, bucket, CAST(sum(n) AS BIGINT) AS cell
+         |  FROM hr GROUP BY row_i, bucket),
+         |top AS (SELECT term, n FROM terms ORDER BY n DESC, term LIMIT $CmTopK),
+         |pr AS (SELECT t2.term, t2.n, ri.row_i,
+         |    CAST(('0x' || substring(md5(t2.term), 1 + 7 * ri.row_i, 7)) AS BIGINT)
+         |      % $CmWidth AS bucket
+         |  FROM top t2 CROSS JOIN ri),
+         |est AS (SELECT term, n, min(cell) AS n_est
+         |  FROM pr JOIN sk USING (row_i, bucket) GROUP BY term, n)
+         |SELECT term, n AS n_exact, n_est, n_est - n AS overcount,
+         |  (n_est - n) <= ((3 * n_total + ${CmWidth - 1}) // $CmWidth) AS within_bound,
+         |  n_total
+         |FROM est CROSS JOIN total
+         |ORDER BY n_exact DESC, term""".stripMargin,
+
+    "cooccurrence_lift" ->
+      s"""WITH t AS ($docTokens),
+         |tok AS (SELECT doc_id, pos, w[pos] AS tok
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM t)),
+         |pr AS (SELECT least(x.tok, y.tok) AS a, greatest(x.tok, y.tok) AS b
+         |  FROM tok x JOIN tok y ON x.doc_id = y.doc_id
+         |    AND y.pos > x.pos AND y.pos <= x.pos + $LiftWindow),
+         |nab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM pr GROUP BY a, b HAVING count(*) >= $LiftMinCount),
+         |tc AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS n_term
+         |  FROM tok GROUP BY tok),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+         |SELECT a, b, n_ab, ta.n_term AS n_a, tb.n_term AS n_b,
+         |  (CAST(n_ab AS DOUBLE) * n_total) / (CAST(ta.n_term AS DOUBLE) * tb.n_term)
+         |    AS lift
+         |FROM nab JOIN tc ta ON nab.a = ta.term JOIN tc tb ON nab.b = tb.term
+         |CROSS JOIN tot
+         |ORDER BY lift DESC, a, b LIMIT $LiftTopK""".stripMargin,
+
+    "dup_span_coverage" ->
+      s"""WITH $dupSpanCtes,
+         |cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(span_tokens) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+         |  coalesce(cov.n_spans, 0) AS n_spans,
+         |  coalesce(cov.dup_tokens, 0) AS dup_tokens,
+         |  CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / len(t.w) AS dup_frac
+         |FROM t LEFT JOIN cov USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "tfidf_top_terms" ->
       s"""WITH t AS ($docTokens),
          |tok AS (SELECT doc_id, unnest(w) AS term FROM t),

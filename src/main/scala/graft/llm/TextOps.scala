@@ -369,6 +369,52 @@ object TextOps {
       .limit(k)
   }
 
+  /** Count-Min frequency-sketch audit for the corpus term distribution:
+    * build a `depth × width` Count-Min sketch, then report, for the top-`k`
+    * exact terms, the sketch estimate next to the truth —
+    * `(term, n_exact, n_est, overcount, within_bound, n_total)` where
+    * `within_bound` checks the estimate against the ⌈3·N/width⌉ overcount
+    * budget (the ε·N guarantee with ε = 3/width — telemetry, not an
+    * assertion: a cell that collides with a heavy hitter can exceed it, and
+    * the row says so).
+    *
+    * Scale shape (the part that matters at 100 TB): the sketch is built
+    * from the VOCABULARY frame, not the corpus — `groupBy(term)` combines
+    * map-side first, so the d hash rows explode vocab-sized rows, never
+    * corpus-sized ones, and the finished sketch is `depth × width` cells —
+    * broadcastable, mergeable across shards by cell-wise addition (the
+    * whole point of the sketch: per-shard sketches sum into the global
+    * one). Hashes are disjoint 7-hex-char md5 substrings (28 bits, < 2³¹)
+    * so the DuckDB oracle replays them bit-for-bit; everything is integer
+    * arithmetic.
+    */
+  def countMinBounds(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+                     depth: Int, width: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth in [1,4] (md5 yields 4 disjoint 28-bit rows): $depth")
+    require(width >= 2, s"width >= 2: $width")
+    def bucket(i: Int, c: Column): Column =
+      pmod(conv(substring(md5(c), 1 + 7 * i, 7), 16, 10).cast("long"), lit(width.toLong))
+    def hashRows(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      src.select(col("term"), col("n"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row_i"), bucket(i, col("term")).as("bucket"))): _*)).as("rb"))
+        .select(col("term"), col("n"), col("rb.row_i").as("row_i"), col("rb.bucket").as("bucket"))
+    // vocab frame, pinned: reused by the sketch build, the total, and the probe set
+    val terms = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val sketch = hashRows(terms).groupBy("row_i", "bucket").agg(sum("n").as("cell"))
+    val total = terms.agg(sum("n").as("n_total"))
+    val top = terms.orderBy(col("n").desc, col("term")).limit(k)
+    hashRows(top).join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy("term", "n").agg(min("cell").as("n_est"))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("n").as("n_exact"), col("n_est"),
+        (col("n_est") - col("n")).as("overcount"),
+        (col("n_est") - col("n") <=
+          expr(s"(3 * n_total + ${width - 1}) div $width")).as("within_bound"),
+        col("n_total"))
+  }
+
   /** Corpus-wide adjacent-token pair frequencies — the merge-candidate
     * table of one BPE vocabulary-induction round (the argmax pair is the
     * next merge). `(a, b, n_pairs, n_docs)`, top-k by pair count with a
@@ -388,6 +434,52 @@ object TextOps {
       .groupBy(col("tok").as("a"), col("nxt").as("b"))
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col(id)).as("n_docs"))
       .orderBy(col("n_pairs").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Top skip-gram co-occurrence pairs by LIFT — the PMI ranking made
+    * transcendental-free: lift = p(a,b)/(p(a)·p(b)) = n_ab·N/(n_a·n_b) is
+    * a monotone transform of PMI (log of it), so ranking by the exact
+    * ratio IS ranking by PMI with no log anywhere. Pairs are unordered
+    * token pairs within a forward window of `window` positions (each
+    * co-occurrence counted once, via leads — never a self-join on
+    * positions); `minCount` floors n_ab so one-off juxtapositions of two
+    * rare words don't dominate the ranking.
+    *
+    * Shape: posexplode → ONE window chain on the doc id emitting the
+    * `window` forward partners per position (codegen'd leads, same chain
+    * as [[pairCounts]]) → hash aggregate on the pair → two shuffle joins
+    * against the vocab counts (vocab-sized, map-side combined). Pair
+    * volume is `window`·Σ n_tokens — linear in the corpus. The one double
+    * division happens last, in declared operand order, mirrored in the
+    * oracle.
+    */
+  def liftTopPairs(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+                   window: Int, minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, s"window >= 1: $window")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy("pos")
+    val tok = df.select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val nab = tok
+      // windows must resolve in a Project before the Generate can explode them
+      .select(col("tok") +: (1 to window).map(j =>
+        lead(col("tok"), j).over(w).as(s"l_$j")): _*)
+      .select(col("tok"),
+        explode(array((1 to window).map(j => col(s"l_$j")): _*)).as("other"))
+      .filter(col("other").isNotNull)
+      .groupBy(least(col("tok"), col("other")).as("a"),
+        greatest(col("tok"), col("other")).as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val tc = tok.groupBy(col("tok").as("term")).agg(count(lit(1)).as("n_term"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    nab
+      .join(tc.select(col("term").as("a"), col("n_term").as("n_a")), Seq("a"))
+      .join(tc.select(col("term").as("b"), col("n_term").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") * col("n_total")) /
+          (col("n_a").cast("double") * col("n_b"))).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
       .limit(k)
   }
 
@@ -457,6 +549,38 @@ object TextOps {
                rounds: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    bpeLoop(df, id, textCol, rounds)._1.toDF("round", "a", "b", "n_pairs")
+  }
+
+  /** Per-doc tokenization stats under the `rounds`-merge BPE vocabulary:
+    * `(id, n_tokens_raw, n_tokens_bpe, n_merges_applied, compression)` —
+    * the ENCODE side of the tokenizer, defined as the corpus token state
+    * at the end of [[bpeTrain]]'s training transcript (each learned merge
+    * applied corpus-wide in rank order, greedy left-to-right), which is the
+    * exact state training itself leaves behind. `compression` = raw/bpe
+    * tokens, the chars-per-token proxy curation pipelines threshold on.
+    *
+    * Same per-round shape as training (the rounds re-run, each a window
+    * chain over the doc id plus one argmax); the final aggregate is one
+    * hash aggregate on the doc id. At 100 TB the encode is `rounds`
+    * bounded shuffle-and-scans — no per-word sequential loop anywhere.
+    */
+  def bpeEncodeStats(df: org.apache.spark.sql.DataFrame, id: String,
+                     textCol: String, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val toks = bpeLoop(df, id, textCol, rounds)._2
+    val raw = df.select(col(id), size(tokens(col(textCol))).cast("long").as("n_tokens_raw"))
+    val enc = toks.groupBy(col(id)).agg(count(lit(1)).as("n_tokens_bpe"))
+    raw.join(enc, Seq(id))
+      .select(col(id), col("n_tokens_raw"), col("n_tokens_bpe"),
+        (col("n_tokens_raw") - col("n_tokens_bpe")).as("n_merges_applied"),
+        (col("n_tokens_raw").cast("double") / col("n_tokens_bpe")).as("compression"))
+  }
+
+  /** Shared BPE training/encode loop: the learned merge table plus the
+    * final `(id, pos, tok)` corpus token state after all applied rounds.
+    */
+  private def bpeLoop(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+                      rounds: Int): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy("pos")
     val wr = org.apache.spark.sql.expressions.Window.partitionBy(id, "run_id").orderBy("pos")
     var toks = df.select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -493,7 +617,7 @@ object TextOps {
         r += 1
       }
     }
-    merges.toSeq.toDF("round", "a", "b", "n_pairs")
+    (merges.toSeq, toks)
   }
 
   /** Repetition quality signals (the Gopher-style "repetitive content"

@@ -263,6 +263,25 @@ object ServingCatalog extends Catalog {
         .orderBy("event_id")
     }),
 
+    // ORC source parity: the columnar interchange format round-trips with
+    // full type fidelity (no string staging like CSV), and the filtered
+    // read keeps predicate pushdown — plan-asserted in PlanAuditSpec
+    "orc_source_scan" -> ((s, d) => {
+      val dir = graft.engine.FixtureDirs("orc", d) { tmp =>
+        graft.engine.Formats.writeOrc(
+          Tables(s, d).events.select(col("event_id"), col("ts"),
+            col("user_id"), col("event_type"), col("value")),
+          s"$tmp/events")
+      }
+      graft.engine.Formats.readOrc(s, s"$dir/events",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"))
+        .filter(col("value") > 50)
+        .select(col("event_id"), Relational.tsStr(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // IN-list + boolean + display projection page (streamlit_app.py:998-1011)
     "filtered_display" -> ((s, d) =>
       Serving.displayPage(
@@ -471,6 +490,11 @@ object ServingCatalog extends Catalog {
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "orc_source_scan" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+        |  event_type, value
+        |FROM events WHERE value > 50 ORDER BY event_id""".stripMargin,
 
     "filtered_display" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value

@@ -358,6 +358,65 @@ object StreamingCatalog extends Catalog {
       .orderBy("doc_id")
   }
 
+  /** Stage `df` as a single parquet FILE named `name` inside `tmp` with a
+    * pinned mtime — the file stream source replays staged files in mtime
+    * order, so the pin is what makes multi-batch arrival deterministic.
+    * Fails loudly on filesystems that reject mtime updates (a silent
+    * refusal would reorder the replay and corrupt watermark semantics).
+    */
+  private def stageFile(tmp: String, df: DataFrame, name: String, mtime: Long): Unit = {
+    val stage = new java.io.File(tmp, s"__stage_$name")
+    df.coalesce(1).write.parquet(stage.toString)
+    val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(tmp, name)
+    Files.move(part.toPath, dst.toPath)
+    stage.listFiles().foreach(_.delete()); stage.delete()
+    require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
+  }
+
+  /** Streaming exact ingest dedup run as a REAL stream inside the gate:
+    * the corpus stages as two delivery batches — the second an exact
+    * re-delivery of the first (the at-least-once ingest shape) — replayed
+    * one file per micro-batch in mtime order, so every duplicate arrives
+    * in a LATER micro-batch and can only be dropped by
+    * [[Streams.dedupStream]]'s keyed state store, never by within-batch
+    * dedup. The output projection is delivery-invariant (doc_id + content
+    * hash), so the oracle is one row per document. Event times compress to
+    * a 10-minute spread: key state stays strictly inside the 1 h watermark
+    * horizon at every SF — the state-bound contract (a key's state expires
+    * once the watermark proves no duplicate can still collide with it).
+    */
+  def replayIngestDedup(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val dir = graft.engine.FixtureDirs("ingest-dedup", d) { tmp =>
+      val docs = graft.engine.Tables(s, d).documents
+        // +1: the initial watermark is epoch 0 with a strict late-row filter
+        .select(col("doc_id"),
+          timestamp_micros((col("doc_id") % 600 + 1) * 1000000L).as("ts"),
+          md5(col("text")).as("content_md5"))
+      val t0 = System.currentTimeMillis() - 240000
+      stageFile(tmp, docs, "delivery1.parquet", t0)
+      stageFile(tmp, docs, "delivery2.parquet", t0 + 60000)
+    }
+    val ingestSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("content_md5", StringType)))
+    val base = Files.createTempDirectory("graft-ingest-dedup").toString
+    val q = Streams.dedupStream(
+        s.readStream.schema(ingestSchema).option("maxFilesPerTrigger", "1")
+          .parquet(dir),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("content_md5"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/sink")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    s.read.parquet(s"$base/sink").orderBy("doc_id")
+  }
+
   /** The watermarked stream-stream interval join run as a REAL stream
     * inside the gate: clicks and errors replay as two independent
     * file-source streams, [[Streams.joinWithinWindow]] pairs each click
@@ -424,23 +483,10 @@ object StreamingCatalog extends Catalog {
             id, new java.sql.Timestamp(maxTs.getTime + offsetMs), -1L, "flush",
             0.0, "{}")),
           eventSchema)
-      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-        val stage = new java.io.File(tmp, s"__stage_$name")
-        df.coalesce(1).write.parquet(stage.toString)
-        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(tmp, name)
-        Files.move(part.toPath, dst.toPath)
-        stage.listFiles().foreach(_.delete()); stage.delete()
-        // the file-source reads staged files in mtime order, so a
-        // filesystem that rejects the update would silently break the
-        // events→flush1→flush2 ordering (watermark advances before real
-        // events arrive) — fail loudly at staging time instead
-        require(dst.setLastModified(mtime), s"cannot set mtime on $dst")
-      }
       val t0 = System.currentTimeMillis() - 240000
-      writeOne(ev, "events.parquet", t0)
-      writeOne(sentinel(-1L, 2L * 3600 * 1000), "flush1.parquet", t0 + 60000)
-      writeOne(sentinel(-2L, 4L * 3600 * 1000), "flush2.parquet", t0 + 120000)
+      stageFile(tmp, ev, "events.parquet", t0)
+      stageFile(tmp, sentinel(-1L, 2L * 3600 * 1000), "flush1.parquet", t0 + 60000)
+      stageFile(tmp, sentinel(-2L, 4L * 3600 * 1000), "flush2.parquet", t0 + 120000)
     }
 
   /** Normalized event schema of the staged session-replay files. */
@@ -615,6 +661,7 @@ object StreamingCatalog extends Catalog {
     "stream_upsert_snapshot"  -> ((s, d) => replayUpsertSnapshot(s, d)),
     "stream_dim_join"         -> ((s, d) => replayDimJoin(s, d)),
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
+    "stream_ingest_dedup"     -> ((s, d) => replayIngestDedup(s, d)),
     "stream_range_join"       -> ((s, d) => replayRangeJoin(s, d)),
     "stream_session_windows"  -> ((s, d) => replaySessionWindows(s, d)),
 
@@ -704,6 +751,12 @@ object StreamingCatalog extends Catalog {
 
     // identical semantics to the batch redaction — reuse its oracle
     "stream_pii_redacted" -> graft.llm.PiiCatalog.oracleSql("pii_redacted"),
+
+    // delivery-invariant projection: re-delivered rows are byte-identical,
+    // so the deduped stream is exactly one row per document
+    "stream_ingest_dedup" ->
+      """SELECT doc_id, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the maintained snapshot must converge to the per-user newest event
     // no matter how the replay was batched

@@ -485,6 +485,129 @@ class LlmSpec extends SparkSpec {
     assert(got((0, 1))._1 === 3, "n_vecs carried per pair")
   }
 
+  test("dupSpans merges duplicated windows into maximal spans") {
+    val df = Seq(
+      (1L, "x1 x2 a b c d e y1 y2"), // shared run a..e at positions 3-7
+      (2L, "z1 a b c d e z2 z3"),    // shared run at positions 2-6
+      (3L, "p q r s t u v w")        // no repeated 3-window anywhere
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(df, "doc_id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    // windows "a b c","b c d","c d e" each occur twice -> one span per doc
+    assert(spans === Set((1L, 1L, 3L, 7L, 5L, 3L), (2L, 1L, 2L, 6L, 5L, 3L)))
+  }
+
+  test("dupSpans: touching windows merge, separated windows split") {
+    val df = Seq(
+      (1L, "a b c d e f"),             // dup windows at 1 and 4 touch -> one span
+      (2L, "a b c x y z"),             // donor of "a b c"
+      (3L, "q w e d e f"),             // donor of "d e f"
+      (4L, "a b c g1 g2 g3 g4 d e f")  // dup windows at 1 and 8 separate -> two spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df, "doc_id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got((1L, 1L)) === ((1L, 6L)), "[1,3] and [4,6] are contiguous coverage")
+    assert(got((4L, 1L)) === ((1L, 3L)))
+    assert(got((4L, 2L)) === ((8L, 10L)))
+  }
+
+  test("dupSpanWindows equals brute-force window counting on the fixture") {
+    val k = 5
+    val texts = docs.select(col("doc_id"), TextOps.normText(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val counts = scala.collection.mutable.Map.empty[Seq[String], Int]
+    for ((_, w) <- texts; i <- 0 to w.length - k)
+      counts(w.slice(i, i + k)) = counts.getOrElse(w.slice(i, i + k), 0) + 1
+    val expect = (for {
+      (id, w) <- texts.toSeq; i <- 0 to w.length - k
+      win = w.slice(i, i + k) if counts(win) > 1
+    } yield (id, i + 1L, i + k.toLong, counts(win).toLong)).toSet
+    val got = Dedup.dupSpanWindows(docs, "doc_id", "text", k).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("start")),
+        r.getLong(r.fieldIndex("end")), r.getLong(r.fieldIndex("n_occ")))).toSet
+    assert(got === expect)
+  }
+
+  test("dupSpanCoverage: full-coverage self-repetition and zero-coverage docs") {
+    val df = Seq(
+      (1L, "m n o m n o m n o"), // every 3-window repeats within the doc
+      (2L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val cov = Dedup.dupSpanCoverage(df, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(cov(1L) === ((9L, 1L, 9L, 1.0)), "one span covering the whole doc")
+    assert(cov(2L) === ((8L, 0L, 0L, 0.0)))
+  }
+
+  test("bpeEncodeStats: hand-computed run-parity merges") {
+    val df = Seq((1L, "a a a a"), (2L, "a a b")).toDF("doc_id", "text")
+    // round 1 argmax pair is (a,a) n=4; run-parity merge: doc1 4 a's -> 2
+    // merges ("aa aa"), doc2 run of 2 -> 1 merge ("aa b")
+    val got = TextOps.bpeEncodeStats(df, "doc_id", "text", 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got(1L) === ((4L, 2L, 2L, 2.0)))
+    assert(got(2L) === ((3L, 2L, 1L, 1.5)))
+  }
+
+  test("bpeEncodeStats: compression is monotone in rounds on the fixture") {
+    val sample = docs.limit(20)
+    val r1 = TextOps.bpeEncodeStats(sample, "doc_id", "text", 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val r3 = TextOps.bpeEncodeStats(sample, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((id, (raw, bpe3)) <- r3) {
+      assert(bpe3 <= r1(id), s"doc $id: more rounds cannot grow the encoding")
+      assert(bpe3 >= 1L && raw >= bpe3)
+    }
+  }
+
+  test("countMinBounds matches a scala-side count-min replay") {
+    val df = Seq((1L, "w x w y"), (2L, "w z z q"), (3L, "x x r s")).toDF("doc_id", "text")
+    val width = 4
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(i: Int, t: String) =
+      java.lang.Long.parseLong(md5hex(t).substring(7 * i, 7 * i + 7), 16) % width
+    val counts = Map("w" -> 3L, "x" -> 3L, "z" -> 2L, "y" -> 1L, "q" -> 1L, "r" -> 1L, "s" -> 1L)
+    val sketch = (for (i <- 0 until 2; (t, n) <- counts.toSeq)
+      yield ((i, bucket(i, t)), n)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val est = counts.map { case (t, _) => t -> (0 until 2).map(i => sketch((i, bucket(i, t)))).min }
+    val got = TextOps.countMinBounds(df, "doc_id", "text", 2, width, 7).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === counts.keySet)
+    for ((t, (nExact, nEst)) <- got) {
+      assert(nExact === counts(t))
+      assert(nEst === est(t), s"term $t")
+      assert(nEst >= nExact, "count-min never undercounts")
+    }
+  }
+
+  test("countMinBounds on the fixture: no undercount; wide sketch is near-exact") {
+    val rows = TextOps.countMinBounds(docs, "doc_id", "text", 4, 1 << 26, 12).collect()
+    assert(rows.length === 12)
+    assert(rows.forall(r => r.getLong(2) === r.getLong(1)), "2^26 cells: collision-free head")
+    val narrow = TextOps.countMinBounds(docs, "doc_id", "text", 4, 64, 12).collect()
+    assert(narrow.forall(r => r.getLong(2) >= r.getLong(1)), "never undercounts")
+    assert(narrow.forall(r => r.getLong(3) === r.getLong(2) - r.getLong(1)))
+  }
+
+  test("liftTopPairs counts forward-window pairs and ranks by exact lift") {
+    val df = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val got = TextOps.liftTopPairs(df, "doc_id", "text", 1, 1L, 10).collect()
+    assert(got.length === 1, "window 1 yields only the adjacent pair")
+    val r = got(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === (("a", "b", 5L, 3L, 3L)))
+    assert(math.abs(r.getDouble(5) - 5.0 * 6 / 9) < 1e-12)
+    // window 2 adds the distance-2 self-pairs, ranked below the (a,b) lift
+    val w2 = TextOps.liftTopPairs(df, "doc_id", "text", 2, 2L, 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(w2 === Seq(("a", "b", 5L), ("a", "a", 2L), ("b", "b", 2L)))
+  }
+
   test("hamming distance of simhashes is small for near-dups") {
     val pair = Dedup.nearDupPairs(Tables(spark, sf).documents, "doc_id", "text", 0.9)
       .limit(1).collect().headOption

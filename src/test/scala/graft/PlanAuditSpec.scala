@@ -56,6 +56,9 @@ class PlanAuditSpec extends SparkSpec {
         // 1-row global threshold/max broadcast back onto the aggregate
         "tpch_q11", "tpch_q15",
         "doc_surprisal",  // broadcast of the 1-row total-bigram count
+        "countmin_term_bounds", // broadcast of the 1-row corpus-total aggregate
+        "cooccurrence_lift",    // broadcast of the 1-row total-token count
+        "association_rules",    // broadcast of the 1-row total-basket count
         "approx_stats_bounds") // 1-row exact/sketch aggregates broadcast-joined
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
@@ -68,6 +71,12 @@ class PlanAuditSpec extends SparkSpec {
       "IN-list + range filter reach the scan")
     assert(plans("latest_events").contains("TakeOrderedAndProject"))
     assert(plans("sql_location_top5").contains("TakeOrderedAndProject"))
+  }
+
+  test("the ORC source keeps predicate pushdown like the native layout") {
+    val p = plans("orc_source_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,50.0)]"),
+      s"value filter must reach the ORC stripe statistics:\n$p")
   }
 
   test("derived-column filters collapse into pushed scan predicates") {

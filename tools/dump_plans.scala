@@ -40,7 +40,12 @@ val picks = Seq(
   "embedding_contamination_fixed" -> "Production decontamination shape: the FIXED benchmark set broadcasts into one narrow max-cosine pass over the corpus - linear in the corpus, no quadratic fixture artifact.",
   "semantic_dedup_hier" -> "Two-level hierarchical SemDeDup: assignment chains nearest_cell_q -> nearest_sub_cell_q in ONE narrow projection (n*2*sqrt(k) dots for the same leaf count the flat k-proportional fit reaches at n*k), then the standard leaf-blocked pair verify.",
   "pq_topk" -> "Compressed-domain ANN: the corpus side carries only the M-int code word (encode is one narrow projection; a STORED codes table scans 8 ints, not 64 floats), the broadcast full-precision query set scores via pq_adc_q - exact integer reconstruction distances, WindowGroupLimit top-k.",
-  "ivfpq_topk" -> "The faiss serving shape: probe selection replicates each query to its 2 nearest cells (broadcast centroid frame), residual_q re-bases the query against EACH probed cell, and the cell equi-join prunes the coded corpus before pq_adc_q scores it - cell pruning times compressed rows in one plan.")
+  "ivfpq_topk" -> "The faiss serving shape: probe selection replicates each query to its 2 nearest cells (broadcast centroid frame), residual_q re-bases the query against EACH probed cell, and the cell equi-join prunes the coded corpus before pq_adc_q scores it - cell pruning times compressed rows in one plan.",
+  "triangle_counts" -> "Degree-ordered triangle enumeration: edges orient toward the (degree,id)-larger endpoint - oriented out-degree bounded O(sqrt m) - so the wedge self-join and closing-edge equi-join stay O(m^1.5) worst case; every triangle lands exactly once, no /3 correction.",
+  "copurchase_pagerank" -> "Iterative PageRank as five join+aggregate rounds over the checkpointed edge+degree frame: 2 exchanges per round (rank join on the source, flow aggregate on the destination), rank frame |V| rows, pure int64 floor-div arithmetic - the oracle replays the identical trajectory.",
+  "copurchase_components" -> "Alternating large-star/small-star connected components: the edge frame re-hangs onto per-node minima in O(log^2 n) composite rounds (each two join+aggregate passes over the EDGE frame, never the corpus); fixpoint is star-forest-asserted before labels are read off.",
+  "association_rules" -> "Basket-keyed pair induction feeds two directional rule rows per edge; antecedent/consequent supports hash-join in, the 1-row basket total is the intended broadcast cross join, and confidence/lift are ppm-scale int64 floor divisions - bit-replayable by the oracle.",
+  "orc_source_scan" -> "The ORC vendor-drop read scans like the native layout: explicit schema (no inference pass), value predicate pushed to stripe statistics (PushedFilters), full type fidelity - no string staging.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
