@@ -87,15 +87,25 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters in [1,20]: $iters")
+    // pin BOTH control frames: `deg` is read three ways (the ed join, the
+    // overflow bound, the rank init) and `dir` twice — without the pins the
+    // upstream edge frame (often an expensive pair-induction join) would
+    // recompute per use (measured 3x the edge build inside one query)
     val dir = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
-    val deg = dir.groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(false)
     val ed = dir.join(deg, Seq("u")).localCheckpoint(false)
     val nV = deg.count()
     require(BigInt(85) * nV * scale <= BigInt(Long.MaxValue),
       s"pageRank overflow bound exceeded: 85 * $nV vertices * scale $scale > 2^63-1; use a coarser scale")
     val base = 15L * scale / 100L
     var rank = deg.select(col("u").as("rv"), lit(scale).as("r"))
+    // per-round checkpoint even though the rank chain is linear: one
+    // iters-deep mega-plan measured ~2.5x SLOWER than five small plans
+    // (AQE re-optimizes the whole tree at every stage boundary and the
+    // codegen units balloon) — the checkpoint keeps each round's plan
+    // constant-size, which is what matters when iterating
     for (_ <- 1 to iters) {
       rank = ed.join(rank, col("u") === col("rv"))
         .groupBy(col("v").as("nv"))
@@ -114,9 +124,13 @@ object Graph {
     * kernel the near-dup cluster tier uses.
     */
   def connectedComponents(edges: DataFrame): DataFrame = {
+    // pin the edge frame: it feeds BOTH the star-contraction loop and the
+    // vertex side below — unpinned, an expensive upstream pair induction
+    // would compute twice (measured as the whole query's dominant cost)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val roots = graft.llm.Dedup.ccAlternatingWithRounds(
-      edges.select(col("src").as("id_a"), col("dst").as("id_b")), 30)._1
-    edges.select(explode(array(col("src"), col("dst"))).as("v")).distinct()
+      e.select(col("src").as("id_a"), col("dst").as("id_b")), 30)._1
+    e.select(explode(array(col("src"), col("dst"))).as("v")).distinct()
       .join(roots.withColumnRenamed("node", "v"), Seq("v"), "left")
       .select(col("v"), coalesce(col("root"), col("v")).as("component"))
   }
