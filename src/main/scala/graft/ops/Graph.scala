@@ -149,17 +149,27 @@ object Graph {
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint(false)
     val source = sym.agg(least(min(col("u")), min(col("v"))).as("v"))
-    var dist = source.select(col("v"), lit(0).as("hops")).localCheckpoint(false)
-    var frontier = dist
+    // In an UNDIRECTED graph every neighbor of a distance-d vertex sits at
+    // distance d-1, d, or d+1, so the next frontier is exactly
+    // N(frontier) minus the last TWO frontiers — no anti-join against the
+    // full (growing) visited set, no re-checkpoint of it per round, and no
+    // driver-side action anywhere in the loop: the whole BFS materializes
+    // as ONE job at the final union (each level pins lazily as it is
+    // first read by the next level's join).
+    var prev = source.select(col("v")).filter(lit(false))
+    var cur = source.select(col("v")).localCheckpoint(false)
+    val levels = scala.collection.mutable.ListBuffer(
+      cur.select(col("v"), lit(0).as("hops")))
     for (i <- 1 to maxHops) {
-      val next = frontier.select(col("v").as("u"))
+      val next = cur.select(col("v").as("u"))
         .join(sym, Seq("u")).select(col("v")).distinct()
-        .join(dist, Seq("v"), "left_anti")
-        .select(col("v"), lit(i).as("hops")).localCheckpoint(false)
-      dist = dist.union(next).localCheckpoint(false)
-      frontier = next
+        .join(prev.union(cur), Seq("v"), "left_anti")
+        .localCheckpoint(false)
+      levels += next.select(col("v"), lit(i).as("hops"))
+      prev = cur
+      cur = next
     }
-    dist
+    levels.reduce(_.union(_))
   }
 
   /** Fixed-round k-core peel over an undirected `(src, dst)` edge list:

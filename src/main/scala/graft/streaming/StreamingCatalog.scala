@@ -458,6 +458,59 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("event_id", "err_event_id")
   }
 
+  /** The streaming LEFT OUTER interval join run as a REAL stream — the
+    * semantically hard half of the stream-stream join surface: an
+    * unmatched click emits its null-padded row only when the WATERMARK
+    * passes its join window (state expiry is the emission trigger, not
+    * batch end), so this gate proves eviction-time emission, not just
+    * matching. The staged flush sentinels ([[sessionReplayDir]]) ride
+    * BOTH input streams — the global watermark is the min across the
+    * join's inputs, so a sentinel on one side only would stall it — and
+    * drive event time far past every join window: with a 45-minute
+    * window (< the sentinel ladder's steps) every real left row is
+    * evicted and emitted before the source quiesces, making the sink
+    * exactly the batch left join, null-padded rows included. Sentinel
+    * rows themselves join nothing (user_id −1, far-future ts) and are
+    * filtered from the sink by type.
+    */
+  def replayLeftJoin(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val dir = sessionReplayDir(s, d)
+    val base = Files.createTempDirectory("graft-left-join").toString
+    def side(types: Seq[String]) =
+      s.readStream.schema(eventSchema).option("maxFilesPerTrigger", "1")
+        .parquet(dir).filter(col("event_type").isin(types: _*))
+    // same state-parallelism knob as replayRangeJoin: 4 stores per
+    // shuffle partition x per-batch commits dominate at this volume
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // NO type filter inside the streaming plan: a left-side predicate on
+      // a left-outer join is pushed below the join INTO the left source
+      // scan (measured: the sentinel rows died at the scan, the left
+      // watermark froze at its batch-0 value, and the last 45 minutes of
+      // unmatched clicks never flushed). The sentinels are user_id -1, so
+      // the batch read-back below filters them without touching the plan.
+      val q = Streams.joinWithinWindow(
+          side(Seq("click", "flush")), side(Seq("error", "flush")),
+          "user_id", "45 minutes", "leftOuter")
+        .select(col("l_id").as("event_id"), col("user_id"),
+          graft.ops.Relational.tsStr(col("l_ts")).as("ts"),
+          col("l_value").as("click_value"),
+          col("r_id").as("err_event_id"),
+          graft.ops.Relational.tsStr(col("r_ts")).as("err_ts"),
+          col("r_value").as("err_value"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, timeoutMs)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(s"$base/sink").filter(col("user_id") >= 0)
+      .orderBy("event_id", "err_event_id")
+  }
+
   /** Stage (once per JVM × source dir) the session-replay input: the
     * normalized events as one parquet file, followed by two "watermark
     * flush" sentinel files (user_id = -1, each a single far-future event).
@@ -663,6 +716,7 @@ object StreamingCatalog extends Catalog {
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
     "stream_ingest_dedup"     -> ((s, d) => replayIngestDedup(s, d)),
     "stream_range_join"       -> ((s, d) => replayRangeJoin(s, d)),
+    "stream_left_join"        -> ((s, d) => replayLeftJoin(s, d)),
     "stream_session_windows"  -> ((s, d) => replaySessionWindows(s, d)),
 
     // the three heaviest-state replays again under the RocksDB provider
@@ -736,6 +790,21 @@ object StreamingCatalog extends Catalog {
         |JOIN (SELECT * FROM events WHERE event_type = 'error') e
         |  ON c.user_id = e.user_id
         | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 4 HOUR
+        |ORDER BY c.event_id, e.event_id""".stripMargin,
+
+    // the watermark-expiry left join vs the plain batch left join: the
+    // null-padded rows are the ones only state eviction can emit
+    "stream_left_join" ->
+      """SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  c.value AS click_value,
+        |  e.event_id AS err_event_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+        |  e.value AS err_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id
+        | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 45 MINUTE
         |ORDER BY c.event_id, e.event_id""".stripMargin,
 
     // the streaming state machine vs the plain quadratic definition: a doc
