@@ -65,8 +65,26 @@ object Bench {
         System.err.println(s"[bench] warmup of $n failed: ${e.getMessage}")
     })
 
+    // Drift canary: the box this suite runs on has shown monotonic
+    // host-level slowdown over long sessions (SCALE.md: same binary, same
+    // query, 4.8 s -> 25 s over ~40 min; fsync/memory/load/tmp ruled out).
+    // Re-timing one pinned cheap query every `canaryEvery` timed queries
+    // makes every bench artifact carry its own drift-vs-code evidence: a
+    // flat canary series means inflated tail numbers are code; a rising
+    // series means host drift, and the committed early-session runs stand.
+    val canaryName = sys.env.getOrElse("SPARK_GRAFT_CANARY", "value_counts")
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "20").toInt
+    val canarySeries = scala.collection.mutable.ListBuffer[Double]()
+    def canary(): Unit =
+      if (SparkEntry.queries.contains(canaryName)) {
+        val t0 = System.nanoTime()
+        try { run(canaryName); canarySeries += (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => canarySeries += -1.0 }
+      }
+
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = names.map { name =>
+    canary()
+    val results = names.zipWithIndex.map { case (name, i) =>
       val t0 = System.nanoTime()
       val ok = try { run(name); true } catch {
         case e: Throwable =>
@@ -74,14 +92,17 @@ object Bench {
           errors += name
           false
       }
+      if ((i + 1) % canaryEvery == 0) canary()
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    canary()
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryJson = canarySeries.mkString("[", ",", "]")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = ok.sum
     val maxQ = if (ok.nonEmpty) ok.max else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -103,20 +103,52 @@ object Curation {
     */
   private def labeledBase(df: DataFrame, id: String, textCol: String,
                           nearDupJaccard: Double): (DataFrame, DataFrame) = {
+    val base = featuredBase(df, id, textCol)
+    val losers = Dedup.nearDupPairs(
+        base.filter(!col("exact_loser")).select(col(id), col(textCol)),
+        id, textCol, nearDupJaccard)
+      .select(col("id_b").as(id)).distinct()
+    (base, losers)
+  }
+
+  /** The exact-dedup-labelled feature frame both loser strategies start
+    * from: `(id, text, n_tokens, quality_score, exact_loser)` — the
+    * fingerprint window runs once, checkpointed (it feeds the survivor
+    * projection AND the final filter).
+    */
+  private def featuredBase(df: DataFrame, id: String, textCol: String): DataFrame = {
     val text: Column = col(textCol)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
-    val base = df.select(col(id), text,
+    df.select(col(id), text,
         TextOps.fingerprintMd5(text).as("fingerprint"),
         TextOps.tokenCount(text).as("n_tokens"),
         TextOps.qualityScore(text).as("quality_score"))
       .withColumn("exact_loser", col(id) =!= min(col(id)).over(w))
       .select(col(id), text, col("n_tokens"), col("quality_score"), col("exact_loser"))
       .localCheckpoint(false)
-    val losers = Dedup.nearDupPairs(
-        base.filter(!col("exact_loser")).select(col(id), text),
-        id, textCol, nearDupJaccard)
-      .select(col("id_b").as(id)).distinct()
-    (base, losers)
+  }
+
+  /** [[curate]] under a per-doc near-dup verify budget
+    * ([[Dedup.nearDupLoserIdsCapped]]): identical rows to [[curate]] on
+    * ANY input — the overflow fallback keeps the drop set exact, so the
+    * same DuckDB oracle verifies both — but the verify stage over a
+    * duplication-SATURATED region costs O(budget·n) instead of O(Σ
+    * family²). This is the operating mode for the saturated tails a
+    * 100 TB curation run meets (SCALE.md sf10: 359 s saturated vs 28.9 s
+    * constant-rate for the uncapped form — the entire gap is family-pair
+    * verify mass, which the budget removes).
+    */
+  def curateCapped(df: DataFrame, id: String, textCol: String,
+                   minTokens: Int = 20, minQuality: Double = 0.5,
+                   nearDupJaccard: Double = 0.8, budget: Int = 8): DataFrame = {
+    val base = featuredBase(df, id, textCol)
+    val survivors = base.filter(!col("exact_loser"))
+    val losers = Dedup.nearDupLoserIdsCapped(
+      survivors.select(col(id), col(textCol)), id, textCol, nearDupJaccard,
+      budget = budget)
+    survivors.join(losers, Seq(id), "left_anti")
+      .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+      .select(col(id), col("n_tokens"), col("quality_score"))
   }
 
   /** Every doc labelled with the FIRST pipeline stage that drops it

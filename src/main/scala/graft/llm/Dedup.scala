@@ -175,6 +175,45 @@ object Dedup {
     verifiedJaccard(lshCandidates(sh, id), sh, counts, id, threshold)
   }
 
+  /** Near-dup LOSER ids under a per-doc verify budget with an exact
+    * overflow fallback — output-identical on ANY input to
+    * `nearDupPairs(...).select(id_b).distinct`, but the verify stage is
+    * cost-capped: per doc, only the `budget` smallest-id candidate
+    * partners are exact-verified up front, and ONLY docs whose whole
+    * capped head failed to produce drop evidence (and that had further
+    * candidates) route their remaining candidates to a second exact
+    * verify. A doc is a loser iff SOME smaller-id partner verifies, so a
+    * head success short-circuits the rest of the family — in a
+    * duplication-saturated region (family size m, every capped candidate a
+    * true family member) verify mass is O(budget·n) instead of O(Σ m²),
+    * which is the whole cost story behind curated_corpus' 359 s vs 28.9 s
+    * saturated/constant-rate sf10 gap (SCALE.md). The fallback keeps the
+    * semantics EXACT (same oracle as the uncapped form), it just re-pays
+    * full verify for docs where every head candidate was a spurious band
+    * collision below the nearest true partner.
+    */
+  def nearDupLoserIdsCapped(df: DataFrame, id: String, textCol: String,
+                            threshold: Double, n: Int = 3,
+                            budget: Int = 8): DataFrame = {
+    require(budget >= 1, s"budget >= 1: $budget")
+    val sh = shingleRows(df, id, textCol, n).localCheckpoint(false)
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    // ranked feeds the head verify AND the (usually near-empty) tail —
+    // checkpoint so banding/self-join/distinct run once
+    val ranked = lshCandidates(sh, id)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id_b").orderBy("id_a")))
+      .localCheckpoint(false)
+    val headDropped = verifiedJaccard(
+        ranked.filter(col("rk") <= budget).drop("rk"), sh, counts, id, threshold)
+      .select(col("id_b")).distinct()
+    val tail = ranked.filter(col("rk") > budget).drop("rk")
+    val tailDropped = verifiedJaccard(
+        tail.join(headDropped, Seq("id_b"), "left_anti"), sh, counts, id, threshold)
+      .select(col("id_b")).distinct()
+    headDropped.union(tailDropped).distinct().select(col("id_b").as(id))
+  }
+
   /** EXACT n-gram Jaccard similarity self-join by prefix filtering (the
     * AllPairs/PPJoin family): unlike the banded-LSH path this has 100%
     * recall at ANY threshold — banding at (16, 4) recalls only ~64% of
@@ -459,8 +498,14 @@ object Dedup {
       .filter(col("c") =!= col("p")).distinct().localCheckpoint(false)
     var converged = false
     var rounds = 0
-    var prevCount = -1L
-    var prevChk = 0L
+    // fingerprint the INITIAL frame too (one aggregate job), so an
+    // already-converged input can gate against it on round 1 — sentinel
+    // init would force one extra round and fail require(converged) at
+    // maxIter == 1 on a fixpoint input
+    val fp0 = edges.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(c, p))")).head()
+    var prevCount = fp0.getLong(0)
+    var prevChk = if (fp0.isNullAt(1)) 0L else fp0.getLong(1)
     while (!converged && rounds < maxIter) {
       // Both star steps need "every row of the group, plus the group's
       // min" — that is ONE keyed window-min per step, not an aggregate
@@ -716,7 +761,10 @@ object Dedup {
       .select(col(id), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
-          .as("dup_frac"))
+        // zero-token guard: x/0 is NaN in Spark but NULL in DuckDB — an
+        // empty doc would be a latent oracle hash mismatch without it
+        when(col("n_tokens") > 0,
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_frac"))
   }
 }

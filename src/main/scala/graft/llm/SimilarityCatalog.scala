@@ -103,6 +103,23 @@ object SimilarityCatalog extends Catalog {
         .orderBy("vec_id")
     }),
 
+    // the near-dup PAIR search on the two-level quantizer's leaves: the
+    // flat-auto form above still pays the n·k assignment (measured 12.6×
+    // on 10× data at the sf1cr→sf10cr decade, SCALE.md) — blocking on the
+    // hierarchical fit's leaves keeps the SAME leaf count/occupancy (so
+    // pair volume stays linear) at n·2√k assignment dots, the shape the
+    // 100 TB run uses. The flat-auto form stays registered as the
+    // clustered-fixture precision variant. Oracle replays both captured
+    // argmin levels + the within-leaf pair scoring (nearDupHierOracle).
+    "embedding_near_dup_hier" -> ((s, d) => {
+      val model = hierFit(s, d)
+      nearDupHierCapture = Some((model.coarse, model.sub))
+      val df = Tables(s, d).embeddings
+      Similarity.cellNearDupPairs(df.join(model.assign(df), Seq("vec_id")),
+          "vec_id", "embedding", "cluster", NearDupCos)
+        .orderBy("id_a", "id_b")
+    }),
+
     "cell_stats" -> ((s, d) =>
       Similarity.cellStats(Tables(s, d).embeddings, "embedding", "label")
         .orderBy("label", "dim")),
@@ -216,11 +233,16 @@ object SimilarityCatalog extends Catalog {
     // embedding collapses to 8 ints, so every downstream ADC sweep reads
     // ~32× less data. Oracle replays the captured codebooks' per-subspace
     // argmin (list_slice + dense codebook VALUES) exactly.
+    // Gate-boundary convention (same as v_location_preferences): the code
+    // word leaves the engine as a canonical comma-joined string — the
+    // driver's pandas hash harness cannot sort raw array cells. The
+    // array-typed API stays spec-tested (PipelineOpsSpec).
     "pq_codes" -> ((s, d) => {
       val model = pqFit(s, d)
       pqCapture = Some(model.codebooks)
       model.encode(Tables(s, d).embeddings)
-        .select(col("vec_id"), col("codes").cast("array<bigint>").as("codes"))
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"))
         .orderBy("vec_id")
     }),
 
@@ -298,6 +320,18 @@ object SimilarityCatalog extends Catalog {
       graft.streaming.StreamingCatalog.replayIvfPqEncode(s, d, model)
     }),
 
+    // the SERVING half of the ingest path: encoded rows are merged per
+    // micro-batch into a versioned snapshot under the durable `_LATEST`
+    // contract (Cdc.mergeNewest keyed on vec_id — idempotent under
+    // at-least-once re-delivery), so the ANN index is a stream-maintained
+    // artifact a reader can pin a consistent version of. Must equal the
+    // batch rebuild — same oracle chain as stream_ivfpq_encode.
+    "stream_ivfpq_index" -> ((s, d) => {
+      val model = ivfPqFit(s, d)
+      ivfPqIndexCapture = Some((model.hier.coarse, model.hier.sub, model.pq.codebooks))
+      graft.streaming.StreamingCatalog.replayIvfPqIndex(s, d, model)
+    }),
+
     // multi-probe IVF at full probe width: probing every cell must
     // reproduce the brute-force result EXACTLY, so the entire fit →
     // assignTop → replicate → cell-join → dedup machinery is oracled by
@@ -350,6 +384,13 @@ object SimilarityCatalog extends Catalog {
   @volatile private var hierCapture:
     Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])] = None
 
+  /** Captured two-level centroids of the last `embedding_near_dup_hier`
+    * run (separate capture, same subset-run independence; the underlying
+    * fit is shared via [[hierFit]]).
+    */
+  @volatile private var nearDupHierCapture:
+    Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])] = None
+
   /** Once-per-(JVM, sfDir) memo of the hierarchical fit (same
     * fit-once/consume-many shape as [[autoFit]] — bench repetitions
     * measure assignment + dedup, not a re-fit).
@@ -384,6 +425,14 @@ object SimilarityCatalog extends Catalog {
     * from them.
     */
   @volatile private var ivfPqCapture:
+    Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])],
+            Seq[(Int, Int, Seq[Long])])] = None
+
+  /** Captured index of the last `stream_ivfpq_index` run (separate capture
+    * so the query stands alone under a subset run; the fit is shared via
+    * [[ivfPqFit]]).
+    */
+  @volatile private var ivfPqIndexCapture:
     Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])],
             Seq[(Int, Int, Seq[Long])])] = None
 
@@ -625,29 +674,39 @@ object SimilarityCatalog extends Catalog {
     * [[graft.functions.NearestSubCellQ]] — then the standard within-cell
     * pair scoring / min-id dup collapse blocked on the LEAF cell.
     */
-  private def hierOracle: Option[(String, String)] = hierCapture.map { case (coarse, sub) =>
+  /** The two-level leaf-assignment CTE chain shared by the hier dedup and
+    * hier near-dup-pair oracles: coarse argmin (assignCtes → `a`), then
+    * the sub-cell argmin scoped to the row's coarse cell — ends in
+    * `pc(vec_id, q, n2, cluster)` where cluster is the LEAF cell.
+    */
+  private def hierAssignCtes(coarse: Seq[(Int, Seq[Long])],
+                             sub: Seq[(Int, Int, Seq[Long])]): String = {
     val subValues = sub.map { case (c, cid, cq) =>
       s"($c, $cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
     }.mkString(",\n    ")
+    s"""${assignCtes(coarse)},
+       |sc(coarse, cid, cq) AS (VALUES
+       |    $subValues),
+       |scn AS (SELECT coarse, cid, cq,
+       |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+       |  FROM sc),
+       |sub_scored AS (
+       |  SELECT pn.vec_id, scn.cid,
+       |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+       |                 FROM (SELECT unnest(pn.q) AS x, unnest(scn.cq) AS y))
+       |      + scn.cn2 AS dist
+       |  FROM pn JOIN a ON a.vec_id = pn.vec_id
+       |  JOIN scn ON scn.coarse = a.cluster),
+       |h AS (
+       |  SELECT vec_id, cid AS cluster FROM sub_scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist ASC, cid ASC) = 1),
+       |pc AS (SELECT pn.vec_id, pn.q, pn.n2, h.cluster FROM pn JOIN h USING (vec_id))""".stripMargin
+  }
+
+  private def hierOracle: Option[(String, String)] = hierCapture.map { case (coarse, sub) =>
     "semantic_dedup_hier" ->
-      s"""WITH ${assignCtes(coarse)},
-         |sc(coarse, cid, cq) AS (VALUES
-         |    $subValues),
-         |scn AS (SELECT coarse, cid, cq,
-         |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
-         |  FROM sc),
-         |sub_scored AS (
-         |  SELECT pn.vec_id, scn.cid,
-         |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
-         |                 FROM (SELECT unnest(pn.q) AS x, unnest(scn.cq) AS y))
-         |      + scn.cn2 AS dist
-         |  FROM pn JOIN a ON a.vec_id = pn.vec_id
-         |  JOIN scn ON scn.coarse = a.cluster),
-         |h AS (
-         |  SELECT vec_id, cid AS cluster FROM sub_scored
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY dist ASC, cid ASC) = 1),
-         |pc AS (SELECT pn.vec_id, pn.q, pn.n2, h.cluster FROM pn JOIN h USING (vec_id)),
+      s"""WITH ${hierAssignCtes(coarse, sub)},
          |sd_scored AS (
          |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.n2 AS na, y.n2 AS nb,
          |    (SELECT CAST(sum(xx * yy) AS BIGINT)
@@ -662,6 +721,26 @@ object SimilarityCatalog extends Catalog {
          |FROM pc LEFT JOIN sd_dup d USING (vec_id)
          |ORDER BY pc.vec_id""".stripMargin
   }
+
+  /** embedding_near_dup_hier oracle: the shared two-level leaf assignment
+    * chain, then the same within-cell pair scoring as the
+    * `embedding_near_dup_auto` oracle, blocked on the LEAF cell.
+    */
+  private def nearDupHierOracle: Option[(String, String)] =
+    nearDupHierCapture.map { case (coarse, sub) =>
+      "embedding_near_dup_hier" ->
+        s"""WITH ${hierAssignCtes(coarse, sub)},
+           |nd_scored AS (
+           |  SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b, x.n2 AS na, y.n2 AS nb,
+           |    (SELECT CAST(sum(xx * yy) AS BIGINT)
+           |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+           |  FROM pc x JOIN pc y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+           |SELECT cluster, id_a, id_b,
+           |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+           |FROM nd_scored
+           |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+           |ORDER BY id_a, id_b""".stripMargin
+    }
 
   /** pq_codes / pq_topk oracles: replay the captured per-subspace
     * codebooks — the same sliced argmin (`list_slice`, exact-integer
@@ -738,7 +817,7 @@ object SimilarityCatalog extends Catalog {
         "pq_codes" ->
           s"""WITH $prepSql,
              |${pqAssignCtes(codebooks, "")}
-             |SELECT vec_id, list(CAST(code AS BIGINT) ORDER BY m) AS codes
+             |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY m) AS codes
              |FROM assigned GROUP BY vec_id ORDER BY vec_id""".stripMargin,
         "pq_topk" ->
           s"""WITH $prepSql,
@@ -868,11 +947,27 @@ object SimilarityCatalog extends Catalog {
           s"""WITH $prepSql,
              |${ivfPqChainCtes(coarse, sub, codebooks, "")}
              |SELECT ca.vec_id, ca.cell,
-             |  list(CAST(e.code AS BIGINT) ORDER BY e.m) AS codes
+             |  string_agg(CAST(e.code AS VARCHAR), ',' ORDER BY e.m) AS codes
              |FROM ca JOIN enc e USING (vec_id)
              |GROUP BY ca.vec_id, ca.cell
              |ORDER BY ca.vec_id""".stripMargin)
     }.toMap
+
+  /** stream_ivfpq_index oracle: the stream-maintained snapshot must equal
+    * the batch rebuild — identical chain to the stream_ivfpq_encode oracle
+    * over this query's own capture.
+    */
+  private def ivfPqIndexOracle: Option[(String, String)] =
+    ivfPqIndexCapture.map { case (coarse, sub, codebooks) =>
+      "stream_ivfpq_index" ->
+        s"""WITH $prepSql,
+           |${ivfPqChainCtes(coarse, sub, codebooks, "")}
+           |SELECT ca.vec_id, ca.cell,
+           |  string_agg(CAST(e.code AS VARCHAR), ',' ORDER BY e.m) AS codes
+           |FROM ca JOIN enc e USING (vec_id)
+           |GROUP BY ca.vec_id, ca.cell
+           |ORDER BY ca.vec_id""".stripMargin
+    }
 
   /** ann_recall oracle: BOTH captured indexes replayed side by side (the
     * flat-PQ chain under `p_`, the IVF-PQ chain under `i_`), the exact-L2
@@ -965,7 +1060,9 @@ object SimilarityCatalog extends Catalog {
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
       nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ hierOracle.toMap ++
-      pqOracles ++ ivfPqOracle ++ annRecallOracle.toMap ++ Map(
+      nearDupHierOracle.toMap ++
+      pqOracles ++ ivfPqOracle ++ ivfPqIndexOracle.toMap ++
+      annRecallOracle.toMap ++ Map(
     "semantic_dedup_srp" ->
       s"""WITH $prepSql,
          |$srpSketchCtes,

@@ -552,6 +552,14 @@ object TextOps {
     bpeLoop(df, id, textCol, rounds)._1.toDF("round", "a", "b", "n_pairs")
   }
 
+  /** [[bpeTrain]]'s merge table as driver values — the capturable fit the
+    * catalog memoizes so the encode query consumes the SAME training
+    * (fit-once/consume-many).
+    */
+  def bpeTrainTable(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+                    rounds: Int): Seq[(Int, String, String, Long)] =
+    bpeLoop(df, id, textCol, rounds)._1
+
   /** Per-doc tokenization stats under the `rounds`-merge BPE vocabulary:
     * `(id, n_tokens_raw, n_tokens_bpe, n_merges_applied, compression)` —
     * the ENCODE side of the tokenizer, defined as the corpus token state
@@ -568,6 +576,29 @@ object TextOps {
   def bpeEncodeStats(df: org.apache.spark.sql.DataFrame, id: String,
                      textCol: String, rounds: Int): org.apache.spark.sql.DataFrame = {
     val toks = bpeLoop(df, id, textCol, rounds)._2
+    encodeStatsFrom(df, id, textCol, toks)
+  }
+
+  /** [[bpeEncodeStats]] from an ALREADY-TRAINED merge table — the
+    * fit-once/consume-many encode path: applying a known `(a, b)` list
+    * skips the per-round argmax aggregate+collect job the training loop
+    * pays (the only per-round work is the merge-application window chain),
+    * halving the encode's per-round job count. Output-identical to
+    * `bpeEncodeStats(df, id, textCol, merges.length)` when `merges` is the
+    * table [[bpeTrain]] learns on `df`.
+    */
+  def bpeEncodeStatsFromMerges(df: org.apache.spark.sql.DataFrame, id: String,
+                               textCol: String,
+                               merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    var toks = df.select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .localCheckpoint(false)
+    merges.foreach { case (a, b) => toks = applyMerge(toks, id, a, b) }
+    encodeStatsFrom(df, id, textCol, toks)
+  }
+
+  private def encodeStatsFrom(df: org.apache.spark.sql.DataFrame, id: String,
+                              textCol: String,
+                              toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val raw = df.select(col(id), size(tokens(col(textCol))).cast("long").as("n_tokens_raw"))
     val enc = toks.groupBy(col(id)).agg(count(lit(1)).as("n_tokens_bpe"))
     raw.join(enc, Seq(id))
@@ -576,13 +607,39 @@ object TextOps {
         (col("n_tokens_raw").cast("double") / col("n_tokens_bpe")).as("compression"))
   }
 
+  /** One corpus-wide application of merge `(a, b)` — greedy left-to-right
+    * via the run-parity rule (see [[bpeTrain]]). Positions are NOT
+    * renumbered: `pos` is order-only downstream (lead/lag/row_number need
+    * relative order, never contiguity — dropping a row keeps the rest
+    * strictly increasing), so skipping the rebuild removes one full sort
+    * pass per round (measured ~15% of the round).
+    */
+  private def applyMerge(toks: org.apache.spark.sql.DataFrame, id: String,
+                         a: String, b: String): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy("pos")
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(id, "run_id").orderBy("pos")
+    val prv = lag(col("tok"), 1).over(w)
+    toks
+      .withColumn("nxt", lead(col("tok"), 1).over(w))
+      .withColumn("chg", when(prv.isNull || prv =!= col("tok"), 1).otherwise(0))
+      .withColumn("run_id", sum(col("chg")).over(w))
+      .withColumn("run_pos", row_number().over(wr))
+      .withColumn("sel", col("tok") === lit(a) &&
+        coalesce(col("nxt") === lit(b), lit(false)) &&
+        (lit(a != b) || col("run_pos") % 2 === 1))
+      .withColumn("del", coalesce(lag(col("sel"), 1).over(w), lit(false)))
+      .filter(!col("del"))
+      .select(col(id), col("pos"),
+        when(col("sel"), lit(a + b)).otherwise(col("tok")).as("tok"))
+      .localCheckpoint(false)
+  }
+
   /** Shared BPE training/encode loop: the learned merge table plus the
     * final `(id, pos, tok)` corpus token state after all applied rounds.
     */
   private def bpeLoop(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
                       rounds: Int): (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(id).orderBy("pos")
-    val wr = org.apache.spark.sql.expressions.Window.partitionBy(id, "run_id").orderBy("pos")
     var toks = df.select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
       .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -600,20 +657,7 @@ object TextOps {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, n))
-        val prv = lag(col("tok"), 1).over(w)
-        toks = toks
-          .withColumn("nxt", lead(col("tok"), 1).over(w))
-          .withColumn("chg", when(prv.isNull || prv =!= col("tok"), 1).otherwise(0))
-          .withColumn("run_id", sum(col("chg")).over(w))
-          .withColumn("run_pos", row_number().over(wr))
-          .withColumn("sel", col("tok") === lit(a) &&
-            coalesce(col("nxt") === lit(b), lit(false)) &&
-            (lit(a != b) || col("run_pos") % 2 === 1))
-          .withColumn("del", coalesce(lag(col("sel"), 1).over(w), lit(false)))
-          .filter(!col("del"))
-          .select(col(id), row_number().over(w).as("pos"),
-            when(col("sel"), lit(a + b)).otherwise(col("tok")).as("tok"))
-          .localCheckpoint(false)
+        toks = applyMerge(toks, id, a, b)
         r += 1
       }
     }

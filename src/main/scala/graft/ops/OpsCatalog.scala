@@ -99,8 +99,9 @@ object OpsCatalog extends Catalog {
         .select(col("v").as("part_id"), col("hops"))
         .orderBy(col("hops"), col("part_id"))),
 
-    // fixed-round k-core peel (k=3, 8 rounds), bit-replayed by the
-    // oracle's unrolled degree/filter CTE chain
+    // fixed-round k-core peel (k = KCoreK, KCoreRounds rounds — round
+    // KCoreRounds is the fixpoint), bit-replayed by the oracle's unrolled
+    // degree/filter CTE chain
     "copurchase_kcore" -> ((s, d) =>
       Graph.kCorePeel(
           Graph.coOccurrenceEdges(Tables(s, d).lineitem, "l_orderkey", "l_partkey",

@@ -167,8 +167,11 @@ object StreamingCatalog extends Catalog {
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(d)
       .transform(model.encode)
+      // gate-boundary stringification of the code word (the driver's
+      // pandas hash harness cannot sort raw array cells) — the stored
+      // array-typed artifact path is spec-tested in PipelineOpsSpec
       .select(col("vec_id"), col("cell"),
-        col("codes").cast("array<bigint>").as("codes"))
+        array_join(col("codes").cast("array<string>"), ",").as("codes"))
       .writeStream.format("parquet")
       .option("path", s"$base/sink")
       .option("checkpointLocation", s"$base/ckpt")
@@ -177,6 +180,56 @@ object StreamingCatalog extends Catalog {
       .start()
     awaitOrFail(q, timeoutMs)
     s.read.parquet(s"$base/sink").orderBy("vec_id")
+  }
+
+  /** The ANN index as a STREAM-MAINTAINED serving artifact — the other
+    * half of the ingest path: each micro-batch's embeddings are encoded
+    * in-flight (leaf + code word; the fit stays a batch control plane)
+    * and MERGED into a versioned parquet snapshot under the durable
+    * `_LATEST` contract ([[readLatest]]/[[commitLatest]] — crash between
+    * version write and marker commit resumes from the checkpoint exactly
+    * like the CDC upsert snapshot). Merge is [[graft.ops.Cdc.mergeNewest]]
+    * keyed on `vec_id` with the batch id as recency, so an at-least-once
+    * re-delivery re-encodes to the identical row and replaces itself —
+    * idempotent by construction. A reader holding `_LATEST` serves a
+    * consistent index version while the stream commits the next one; the
+    * final snapshot must equal the batch rebuild (same oracle chain as
+    * `stream_ivfpq_encode`). Replay is forced through 4 micro-batches
+    * (embeddings pre-split, maxFilesPerTrigger=1).
+    */
+  def replayIvfPqIndex(s: SparkSession, d: String,
+                       model: graft.llm.Similarity.IvfPqModel,
+                       timeoutMs: Long = 300000): DataFrame = {
+    val base = Files.createTempDirectory("graft-ivfpq-index").toString
+    val src = graft.engine.FixtureDirs("embeddings-split4", d) { tmp =>
+      graft.engine.Tables(s, d).embeddings.repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/emb")
+    }
+    val q = s.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/emb")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val enc = model.encode(batch)
+          .select(col("vec_id"), col("cell"),
+            array_join(col("codes").cast("array<string>"), ",").as("codes"))
+          .withColumn("batch_id", lit(id))
+        val merged = readLatest(base) match {
+          case None      => enc
+          case Some(dir) => graft.ops.Cdc.mergeNewest(
+            s.read.parquet(dir), enc, "vec_id", "batch_id", "cell")
+        }
+        merged.write.mode("overwrite").parquet(s"$base/v$id")
+        commitLatest(base, s"v$id")
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    s.read.parquet(readLatest(base).getOrElse(sys.error("no batch ran")))
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .orderBy("vec_id")
   }
 
   /** Durable snapshot-version pointer: `_LATEST` names the current version

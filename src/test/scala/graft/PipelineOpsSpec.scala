@@ -546,9 +546,28 @@ class PipelineOpsSpec extends SparkSpec {
     val model = Similarity.ivfPqFit(emb, "vec_id", "embedding",
       targetCellSize = 64L, m = 4, ks = 8, iters = 2)
     val streamed = graft.streaming.StreamingCatalog.replayIvfPqEncode(spark, sf, model)
+    // the gate boundary stringifies the code word; the stored array-typed
+    // artifact is asserted equivalent by re-splitting the joined string
     val batch = model.encode(emb)
       .select(col("vec_id"), col("cell"),
-        col("codes").cast("array<bigint>").as("codes"))
+        array_join(col("codes").cast("array<string>"), ",").as("codes"))
+      .orderBy("vec_id")
+    assert(streamed.collect().toSeq === batch.collect().toSeq)
+    val roundTrip = streamed
+      .select(col("vec_id"), split(col("codes"), ",").cast("array<bigint>").as("codes"))
+    val arrayTyped = model.encode(emb)
+      .select(col("vec_id"), col("codes").cast("array<bigint>").as("codes"))
+    assert(roundTrip.orderBy("vec_id").collect().toSeq
+      === arrayTyped.orderBy("vec_id").collect().toSeq)
+  }
+
+  test("stream-maintained IVF-PQ index snapshot equals the batch rebuild") {
+    val model = Similarity.ivfPqFit(emb, "vec_id", "embedding",
+      targetCellSize = 64L, m = 4, ks = 8, iters = 2)
+    val streamed = graft.streaming.StreamingCatalog.replayIvfPqIndex(spark, sf, model)
+    val batch = model.encode(emb)
+      .select(col("vec_id"), col("cell"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"))
       .orderBy("vec_id")
     assert(streamed.collect().toSeq === batch.collect().toSeq)
   }
