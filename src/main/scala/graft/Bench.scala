@@ -43,7 +43,14 @@ object Bench {
     def run(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      finally release()
+      finally {
+        release()
+        // drop the query's disposable sink/checkpoint dirs NOW: prompt
+        // deletion cancels writeback their pages still owe, so hundreds of
+        // fsync'd streaming replays don't pile storage-side pressure onto
+        // later queries (see TempDirs; the io canary measures exactly this)
+        graft.engine.TempDirs.sweep()
+      }
 
     // full untimed warmup pass: primes codegen/JIT and the once-per-JVM
     // fixtures (partitioned layout, curation stages), so the timed pass
@@ -75,12 +82,40 @@ object Bench {
     val canaryName = sys.env.getOrElse("SPARK_GRAFT_CANARY", "value_counts")
     val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "20").toInt
     val canarySeries = scala.collection.mutable.ListBuffer[Double]()
-    def canary(): Unit =
+    // The compute canary is blind to I/O-side host state: the round-7
+    // session-start trio showed the fsync/state-store-bound streaming
+    // queries 2-5x inflated in run 1 (decaying to clean by run 3) while
+    // value_counts stayed flat throughout. This probe times the streaming
+    // tier's actual primitive — small durable writes (16 x 256 KiB files,
+    // each force(true)'d, the checkpoint-commit shape) — so a bench whose
+    // streaming tail is inflated carries direct evidence of WHICH host
+    // resource moved: flat compute + flat io canary = code; flat compute +
+    // risen io canary = storage-side host state.
+    val ioCanarySeries = scala.collection.mutable.ListBuffer[Double]()
+    def ioCanary(): Unit = {
+      import java.nio.file.{Files => NF, StandardOpenOption => O}
+      try {
+        val dir = NF.createTempDirectory("graft-iocanary")
+        val buf = java.nio.ByteBuffer.allocate(256 * 1024)
+        val t0 = System.nanoTime()
+        (0 until 16).foreach { i =>
+          buf.rewind()
+          val ch = java.nio.channels.FileChannel.open(
+            dir.resolve(s"f$i"), O.CREATE, O.WRITE)
+          try { ch.write(buf); ch.force(true) } finally ch.close()
+        }
+        ioCanarySeries += (System.nanoTime() - t0) / 1e9
+        dir.toFile.listFiles.foreach(_.delete()); dir.toFile.delete()
+      } catch { case _: Throwable => ioCanarySeries += -1.0 }
+    }
+    def canary(): Unit = {
       if (SparkEntry.queries.contains(canaryName)) {
         val t0 = System.nanoTime()
         try { run(canaryName); canarySeries += (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => canarySeries += -1.0 }
       }
+      ioCanary()
+    }
 
     val errors = scala.collection.mutable.ListBuffer[String]()
     canary()
@@ -99,10 +134,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = canarySeries.mkString("[", ",", "]")
+    val ioCanaryJson = ioCanarySeries.mkString("[", ",", "]")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = ok.sum
     val maxQ = if (ok.nonEmpty) ok.max else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"io_canary_series":$ioCanaryJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,8 +48,10 @@ object Verify {
       }
       // session hygiene: drop this query's localCheckpoint blocks so ~190
       // queries of pinned frames don't accumulate in one JVM (nothing is
-      // shared across queries; fixtures are disk-backed)
+      // shared across queries; fixtures are disk-backed), and sweep its
+      // disposable streaming sink/checkpoint dirs (result already written)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      graft.engine.TempDirs.sweep()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -236,11 +236,12 @@ object TextCatalog extends Catalog {
         .orderBy("doc_id")),
 
     // the ENCODE side of the BPE tokenizer: per-doc token counts and
-    // compression under the bpe_train_merges vocabulary — applied from the
-    // memoized trained-merge table, so the encode pays only the per-round
-    // merge-application window chain, never the argmax aggregates
+    // compression under the bpe_train_merges vocabulary — the memoized
+    // trained-merge table applied by the native per-row kernel
+    // (BpeCountQ), one codegen'd scan with zero shuffles; the loop form
+    // (bpeEncodeStatsFromMerges) stays as the spec-pinned value oracle
     "bpe_encode_stats" -> ((s, d) =>
-      TextOps.bpeEncodeStatsFromMerges(Tables(s, d).documents, "doc_id", "text",
+      TextOps.bpeEncodeStatsKernel(Tables(s, d).documents, "doc_id", "text",
           bpeFit(s, d).map { case (_, a, b, _) => (a, b) })
         .orderBy("doc_id")),
 

@@ -596,6 +596,26 @@ object TextOps {
     encodeStatsFrom(df, id, textCol, toks)
   }
 
+  /** [[bpeEncodeStatsFromMerges]] through the native per-row kernel
+    * ([[graft.functions.BpeCountQ]]): encode under a FIXED merge table is
+    * per-document-local (the loop path's windows partition by the doc id),
+    * so all merges apply inside ONE codegen'd scan — zero shuffles, no
+    * per-round materialization, cost independent of the merge count's job
+    * structure. Output-identical to the loop path (FunctionsSpec pins the
+    * kernel; LlmSpec pins this frame) — this is the production encode,
+    * the loop form is the relational value oracle.
+    */
+  def bpeEncodeStatsKernel(df: org.apache.spark.sql.DataFrame, id: String,
+                           textCol: String,
+                           merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    df.select(col(id), tokens(col(textCol)).as("__toks"))
+      .select(col(id),
+        size(col("__toks")).cast("long").as("n_tokens_raw"),
+        graft.functions.BpeCountQ(col("__toks"), merges).as("n_tokens_bpe"))
+      .select(col(id), col("n_tokens_raw"), col("n_tokens_bpe"),
+        (col("n_tokens_raw") - col("n_tokens_bpe")).as("n_merges_applied"),
+        (col("n_tokens_raw").cast("double") / col("n_tokens_bpe")).as("compression"))
+
   private def encodeStatsFrom(df: org.apache.spark.sql.DataFrame, id: String,
                               textCol: String,
                               toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

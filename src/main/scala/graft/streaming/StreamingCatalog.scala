@@ -19,6 +19,26 @@ import graft.shopping.{Enrich, EnrichCatalog, Views}
   */
 object StreamingCatalog extends Catalog {
 
+  /** Run `body` with `n` shuffle partitions, restoring the session's value
+    * after. Stateful streaming cost at replay volume is dominated by state
+    * STORE COMMITS, not compute: every stateful operator opens one store
+    * per shuffle partition (a stream-stream join opens FOUR) and each
+    * store pays init + delta-commit + fsync per micro-batch — at the
+    * session default of 32 that is 32-128 commits per batch to process a
+    * few thousand rows. 8 partitions keeps every executor busy at replay
+    * volume for a quarter of the commit overhead (measured ~4x the join
+    * work itself on replayRangeJoin). Safe per-query: each replay starts a
+    * FRESH checkpoint, and the checkpoint pins state parallelism only at
+    * its own first start. At production volume the knob inverts — state
+    * parallelism should track cluster width, which is exactly what leaving
+    * the session default alone does.
+    */
+  private def withStateParallelism[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** events.parquet has shipped `ts` two ways across testdata generations:
     * TIMESTAMP(NANOS) (ns-longs under nanosAsLong) and plain timestamp[us]
     * (TIMESTAMP_NTZ). The base declared schema; [[replayStream]] swaps the
@@ -86,7 +106,7 @@ object StreamingCatalog extends Catalog {
     }
 
   def replayEnriched(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
-    val base = Files.createTempDirectory("graft-replay").toString
+    val base = graft.engine.TempDirs.create("graft-replay")
     val q = EnrichCatalog.enrichedFrame(replayStream(s, d))
       .writeStream.format("parquet")
       .option("path", s"$base/sink")
@@ -125,7 +145,7 @@ object StreamingCatalog extends Catalog {
     * the same quality formula as the batch curation gate.
     */
   def replayDocQuality(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
-    val base = Files.createTempDirectory("graft-doc-quality").toString
+    val base = graft.engine.TempDirs.create("graft-doc-quality")
     val text = col("text")
     val q = s.readStream.schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
@@ -162,7 +182,7 @@ object StreamingCatalog extends Catalog {
   def replayIvfPqEncode(s: SparkSession, d: String,
                         model: graft.llm.Similarity.IvfPqModel,
                         timeoutMs: Long = 300000): DataFrame = {
-    val base = Files.createTempDirectory("graft-ivfpq-stream").toString
+    val base = graft.engine.TempDirs.create("graft-ivfpq-stream")
     val q = s.readStream.schema(embSchema)
       .option("pathGlobFilter", "embeddings.parquet")
       .parquet(d)
@@ -200,7 +220,7 @@ object StreamingCatalog extends Catalog {
   def replayIvfPqIndex(s: SparkSession, d: String,
                        model: graft.llm.Similarity.IvfPqModel,
                        timeoutMs: Long = 300000): DataFrame = {
-    val base = Files.createTempDirectory("graft-ivfpq-index").toString
+    val base = graft.engine.TempDirs.create("graft-ivfpq-index")
     val src = graft.engine.FixtureDirs("embeddings-split4", d) { tmp =>
       graft.engine.Tables(s, d).embeddings.repartition(4)
         .write.mode("overwrite").parquet(s"$tmp/emb")
@@ -263,15 +283,17 @@ object StreamingCatalog extends Catalog {
     * by the [[readLatest]]/[[commitLatest]] `_LATEST` marker (not a
     * driver variable), so a killed-and-restarted query resumes its merge
     * chain from the last durably committed version. The replay is forced
-    * through EIGHT micro-batches (events pre-split into 8 files,
-    * maxFilesPerTrigger=1), and because mergeNewest is order-tolerant the
-    * final snapshot is the per-user (ts, event_id) maximum regardless of
-    * how rows landed in batches — which is exactly the batch QUALIFY
-    * row_number()=1 oracle.
+    * through FOUR micro-batches (events pre-split into 8 files,
+    * maxFilesPerTrigger=2 — multi-batch merge-chain semantics at half the
+    * checkpoint/commit fsyncs; each batch still arrives as multiple files,
+    * so within-batch newest-row reduction is exercised too), and because
+    * mergeNewest is order-tolerant the final snapshot is the per-user
+    * (ts, event_id) maximum regardless of how rows landed in batches —
+    * which is exactly the batch QUALIFY row_number()=1 oracle.
     */
   def replayUpsertSnapshot(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame =
     upsertSnapshotRun(s, d,
-      Files.createTempDirectory("graft-upsert-snap").toString, timeoutMs)
+      graft.engine.TempDirs.create("graft-upsert-snap"), timeoutMs)
 
   /** The resumable run: `base` carries the checkpoint, version dirs, and
     * `_LATEST` marker across invocations. `crashAtBatch`/`crashBeforeCommit`
@@ -289,7 +311,7 @@ object StreamingCatalog extends Catalog {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
     val q = s.readStream.schema(Streams.eventSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", "2")
       .parquet(s"$src/ev")
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -326,7 +348,7 @@ object StreamingCatalog extends Catalog {
     * corpus rewrite. Oracled by the batch SQL.
     */
   def replayPiiRedact(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
-    val base = Files.createTempDirectory("graft-pii-stream").toString
+    val base = graft.engine.TempDirs.create("graft-pii-stream")
     val red = graft.llm.Pii.redact(col("text"))
     val q = graft.llm.PiiCatalog.augmented(
         s.readStream.schema(docSchema)
@@ -354,7 +376,7 @@ object StreamingCatalog extends Catalog {
     * batch join.
     */
   def replayDimJoin(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
-    val base = Files.createTempDirectory("graft-dim-join").toString
+    val base = graft.engine.TempDirs.create("graft-dim-join")
     val dim = broadcast(graft.engine.Tables(s, d).nation
       .select(col("n_nationkey"), col("n_name").as("home_nation")))
     val q = replayStream(s, d)
@@ -399,13 +421,16 @@ object StreamingCatalog extends Catalog {
       StructField("fp", LongType)))
     val sinkName = "graft_simhash_flags_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = Streams.simHashNearDupFlags(
-        s.readStream.schema(fpSchema).parquet(dir), "doc_id", "fp")
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, timeoutMs)
+    // see withStateParallelism: one flatMapGroupsWithState store/partition
+    withStateParallelism(s, 8) {
+      val q = Streams.simHashNearDupFlags(
+          s.readStream.schema(fpSchema).parquet(dir), "doc_id", "fp")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, timeoutMs)
+    }
     Streams.nearDupVerdicts(s.table(sinkName))
       .withColumnRenamed("event_id", "doc_id")
       .orderBy("doc_id")
@@ -454,19 +479,22 @@ object StreamingCatalog extends Catalog {
       StructField("doc_id", LongType),
       StructField("ts", TimestampType),
       StructField("content_md5", StringType)))
-    val base = Files.createTempDirectory("graft-ingest-dedup").toString
-    val q = Streams.dedupStream(
-        s.readStream.schema(ingestSchema).option("maxFilesPerTrigger", "1")
-          .parquet(dir),
-        Seq("doc_id"))
-      .select(col("doc_id"), col("content_md5"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/sink")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, timeoutMs)
+    val base = graft.engine.TempDirs.create("graft-ingest-dedup")
+    // see withStateParallelism: dedup key-state commits x 2 batches
+    withStateParallelism(s, 8) {
+      val q = Streams.dedupStream(
+          s.readStream.schema(ingestSchema).option("maxFilesPerTrigger", "1")
+            .parquet(dir),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("content_md5"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, timeoutMs)
+    }
     s.read.parquet(s"$base/sink").orderBy("doc_id")
   }
 
@@ -481,19 +509,11 @@ object StreamingCatalog extends Catalog {
     * left-exclusive window).
     */
   def replayRangeJoin(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
-    val base = Files.createTempDirectory("graft-range-join").toString
+    val base = graft.engine.TempDirs.create("graft-range-join")
     val clicks = replayStream(s, d).filter(col("event_type") === "click")
     val errors = replayStream(s, d).filter(col("event_type") === "error")
-    // A stream-stream join opens FOUR state stores per shuffle partition,
-    // and each store pays init + delta-commit per micro-batch — at 32
-    // partitions that is 128 store commits to join 40k rows, dominating the
-    // batch (~4x the join work itself, measured). State parallelism is a
-    // per-query knob (the checkpoint pins it at first start): 8 partitions
-    // keeps every executor busy at this volume for 16x less commit
-    // overhead. Restored after the replay so batch queries keep theirs.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // see withStateParallelism: 4 stores/partition x per-batch commits
+    withStateParallelism(s, 8) {
       val q = Streams.joinWithinWindow(clicks, errors, "user_id", "4 hours")
         .select(col("l_id").as("event_id"), col("user_id"),
           graft.ops.Relational.tsStr(col("l_ts")).as("ts"),
@@ -507,7 +527,7 @@ object StreamingCatalog extends Catalog {
         .trigger(Trigger.AvailableNow())
         .start()
       awaitOrFail(q, timeoutMs)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.read.parquet(s"$base/sink").orderBy("event_id", "err_event_id")
   }
 
@@ -528,15 +548,17 @@ object StreamingCatalog extends Catalog {
     */
   def replayLeftJoin(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
     val dir = sessionReplayDir(s, d)
-    val base = Files.createTempDirectory("graft-left-join").toString
+    val base = graft.engine.TempDirs.create("graft-left-join")
     def side(types: Seq[String]) =
       s.readStream.schema(eventSchema).option("maxFilesPerTrigger", "1")
         .parquet(dir).filter(col("event_type").isin(types: _*))
-    // same state-parallelism knob as replayRangeJoin: 4 stores per
-    // shuffle partition x per-batch commits dominate at this volume
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // see withStateParallelism: 4 stores/partition x per-batch commits —
+    // and unlike replayRangeJoin's single-batch replay, the sentinel
+    // ladder forces THREE batches here (3x the commits), so this replay
+    // runs at 4 partitions: the real join work all lands in batch 1
+    // (every real row is in the first staged file) and a partition still
+    // holds only tens of thousands of rows at sf0.1
+    withStateParallelism(s, 4) {
       // NO type filter inside the streaming plan: a left-side predicate on
       // a left-outer join is pushed below the join INTO the left source
       // scan (measured: the sentinel rows died at the scan, the left
@@ -559,7 +581,7 @@ object StreamingCatalog extends Catalog {
         .trigger(Trigger.AvailableNow())
         .start()
       awaitOrFail(q, timeoutMs)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.read.parquet(s"$base/sink").filter(col("user_id") >= 0)
       .orderBy("event_id", "err_event_id")
   }
@@ -622,21 +644,24 @@ object StreamingCatalog extends Catalog {
     */
   def replaySessionWindows(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
     val dir = sessionReplayDir(s, d)
-    val base = Files.createTempDirectory("graft-session-win").toString
-    val q = Streams.userSessions(
-        s.readStream.schema(eventSchema).option("maxFilesPerTrigger", "1")
-          .parquet(dir),
-        "30 minutes")
-      .select(col("user_id"),
-        graft.ops.Relational.tsStr(col("session_start")).as("session_start"),
-        col("n_events"), col("session_value"))
-      .writeStream.format("parquet")
-      .option("path", s"$base/sink")
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    awaitOrFail(q, timeoutMs)
+    val base = graft.engine.TempDirs.create("graft-session-win")
+    // see withStateParallelism: session-window state commits x 3 batches
+    withStateParallelism(s, 8) {
+      val q = Streams.userSessions(
+          s.readStream.schema(eventSchema).option("maxFilesPerTrigger", "1")
+            .parquet(dir),
+          "30 minutes")
+        .select(col("user_id"),
+          graft.ops.Relational.tsStr(col("session_start")).as("session_start"),
+          col("n_events"), col("session_value"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/sink")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, timeoutMs)
+    }
     s.read.parquet(s"$base/sink")
       .filter(col("user_id") >= 0)
       .orderBy("user_id", "session_start")
@@ -664,7 +689,7 @@ object StreamingCatalog extends Catalog {
     * entire sink each micro-batch — and return the view's final state.
     */
   def replayViewRefresh(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
-    val base = Files.createTempDirectory("graft-view-refresh").toString
+    val base = graft.engine.TempDirs.create("graft-view-refresh")
     @volatile var state: DataFrame = null
     val q = Streams.consumeWithViewRefresh(
       s, replayStream(s, d), s"$base/sink", s"$base/ckpt",

@@ -135,7 +135,7 @@ class CdcSpec extends SparkSpec {
 
   test("upsert snapshot survives a mid-stream kill: _LATEST stays durable, restart resumes") {
     // crash in the WORST window — after the version parquet lands but
-    // before the _LATEST rename — at batch 3 of 8. The marker must still
+    // before the _LATEST rename — at batch 3 of 4. The marker must still
     // point at the last committed version, and a restart over the same
     // base (checkpoint + marker) must re-run the uncommitted batch and
     // finish with exactly the batch oracle's newest-row-per-user snapshot.
@@ -159,6 +159,6 @@ class CdcSpec extends SparkSpec {
         col("event_type"), col("value"))
       .orderBy("user_id")
     assert(resumed.collect().toSeq === want.collect().toSeq)
-    assert(marker() === "v7", s"resume must advance the marker, got ${marker()}")
+    assert(marker() === "v3", s"resume must advance the marker, got ${marker()}")
   }
 }

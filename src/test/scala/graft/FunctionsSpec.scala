@@ -256,4 +256,48 @@ class FunctionsSpec extends SparkSpec {
     assert(out === Map(1L -> null, 2L -> null, 3L -> null, 4L -> null,
       5L -> null, 6L -> null, 7L -> 40L))
   }
+
+  test("BpeEncodeCountQ reproduces the run-parity merge rule on crafted cases") {
+    // merge table applied in rank order: (a,a) then (aa,b) then (c,c)
+    val merges = Seq(("a", "a"), ("aa", "b"), ("c", "c"))
+    val df = Seq(
+      (1L, Seq("a", "a", "a", "a")),      // (aa)(aa): 2
+      (2L, Seq("a", "a", "a")),           // (aa) a: 2
+      (3L, Seq("a", "a", "b")),           // r1 (aa) b; r2 (aab): 1
+      (4L, Seq("a", "b", "a")),           // no (a,a) pair adjacent: 3
+      (5L, Seq("c", "c", "c", "c", "c")), // (cc)(cc) c: 3
+      (6L, Seq[String]()),                // empty: 0
+      (7L, Seq("x", "y", "z"))            // untouched: 3
+    ).toDF("id", "toks")
+    val out = df.select(col("id"),
+        graft.functions.BpeCountQ(col("toks"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 3L, 5L -> 3L,
+      6L -> 0L, 7L -> 3L))
+  }
+
+  test("BpeEncodeCountQ nulls out on null array and null element") {
+    val df = Seq(
+      (1L, Seq[String]("a", null, "b")),
+      (2L, null)
+    ).toDF("id", "toks")
+    val out = df.select(col("id"),
+        graft.functions.BpeCountQ(col("toks"), Seq(("a", "b"))).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(out === Map(1L -> null, 2L -> null))
+  }
+
+  test("BpeEncodeCountQ kernel stats equal the loop-path encode on real docs") {
+    val docs = graft.engine.Tables(spark, sf).documents
+    val merges = graft.llm.TextOps
+      .bpeTrainTable(docs, "doc_id", "text", 4)
+      .map { case (_, a, b, _) => (a, b) }
+    val fast = graft.llm.TextOps
+      .bpeEncodeStatsKernel(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq
+    val ref = graft.llm.TextOps
+      .bpeEncodeStatsFromMerges(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().toSeq
+    assert(fast === ref)
+  }
 }
