@@ -48,6 +48,10 @@ object TextCatalog extends Catalog {
   val CmDepth = 4
   val CmWidth = 512
   val CmTopK = 20
+
+  /** Misra-Gries summary size (k-1 counters) and audited top-term count. */
+  val MgK = 64
+  val MgTopM = 20
   /** Skip-gram lift ranking: forward window, pair-count floor, result size. */
   val LiftWindow = 3
   val LiftMinCount = 5L
@@ -251,6 +255,12 @@ object TextCatalog extends Catalog {
       TextOps.countMinBounds(Tables(s, d).documents, "doc_id", "text",
           CmDepth, CmWidth, CmTopK)
         .orderBy(col("n_exact").desc, col("term"))),
+
+    // Misra-Gries heavy hitters through the custom typed imperative
+    // aggregate — provable-derivative columns only (MG estimates are
+    // partitioning-dependent); the oracle states the guarantees as TRUE
+    "heavy_hitter_bounds" -> ((s, d) =>
+      TextOps.heavyHitterBounds(Tables(s, d).documents, "text", MgK, MgTopM)),
 
     // PMI ranking without the log: top skip-gram pairs by exact-ratio lift
     "cooccurrence_lift" -> ((s, d) =>
@@ -493,6 +503,20 @@ object TextCatalog extends Catalog {
          |  (n_est - n) <= ((3 * n_total + ${CmWidth - 1}) // $CmWidth) AS within_bound,
          |  n_total
          |FROM est CROSS JOIN total
+         |ORDER BY n_exact DESC, term""".stripMargin,
+
+    "heavy_hitter_bounds" ->
+      s"""WITH t AS ($docTokens),
+         |terms AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM (SELECT unnest(w) AS term FROM t) GROUP BY term),
+         |total AS (SELECT CAST(sum(n_exact) AS BIGINT) AS n_total FROM terms),
+         |top AS (SELECT term, n_exact FROM terms
+         |  ORDER BY n_exact DESC, term LIMIT $MgTopM)
+         |SELECT term, n_exact, n_total,
+         |  n_exact > (n_total // $MgK) AS qualifies,
+         |  TRUE AS survived_ok,
+         |  TRUE AS bound_ok
+         |FROM top CROSS JOIN total
          |ORDER BY n_exact DESC, term""".stripMargin,
 
     "cooccurrence_lift" ->

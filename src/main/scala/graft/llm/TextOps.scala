@@ -415,6 +415,43 @@ object TextOps {
         col("n_total"))
   }
 
+  /** Misra-Gries heavy-hitter audit — the MERGEABLE-summary counterpart
+    * of [[countMinBounds]], run through the engine's first custom
+    * TYPED IMPERATIVE AGGREGATE ([[graft.functions.MgTopK]]: map-side
+    * partial summaries, shuffle-side PODS'12 merge, k-1 counters per
+    * partial — the no-vocabulary-shuffle shape for frequent terms at
+    * 100 TB). MG estimates depend on input partitioning, so the emitted
+    * columns are the summary's PROVABLE derivatives against the exact
+    * side, each a theorem the sketch must satisfy on every run:
+    *
+    *  - `qualifies`   — n_exact > N div k (the must-survive threshold)
+    *  - `survived_ok` — every qualifying term is present in the summary
+    *  - `bound_ok`    — a present term's estimate e satisfies
+    *                    n_exact − (N div k) ≤ e ≤ n_exact
+    *
+    * over the exact top-`topM` terms. The oracle states the theorems as
+    * TRUE — a guarantee violation on the Spark side hash-mismatches.
+    */
+  def heavyHitterBounds(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        k: Int, topM: Int): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("term"))
+    val sketch = toks.agg(graft.functions.MgTopK(col("term"), k).as("sketch"))
+    // vocab frame, pinned: reused by the exact top list and the total
+    val terms = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint(false)
+    val total = terms.agg(sum("n_exact").as("n_total"))
+    val top = terms.orderBy(col("n_exact").desc, col("term")).limit(topM)
+    top.crossJoin(broadcast(total)).crossJoin(broadcast(sketch))
+      .withColumn("est", expr("filter(sketch, e -> e.term = term)[0].n_est"))
+      .withColumn("qualifies", col("n_exact") > expr(s"n_total div $k"))
+      .select(col("term"), col("n_exact"), col("n_total"), col("qualifies"),
+        (!col("qualifies") || col("est").isNotNull).as("survived_ok"),
+        (col("est").isNull ||
+          (col("est") <= col("n_exact") &&
+           col("est") >= col("n_exact") - expr(s"n_total div $k"))).as("bound_ok"))
+      .orderBy(col("n_exact").desc, col("term"))
+  }
+
   /** Corpus-wide adjacent-token pair frequencies — the merge-candidate
     * table of one BPE vocabulary-induction round (the argmax pair is the
     * next merge). `(a, b, n_pairs, n_docs)`, top-k by pair count with a

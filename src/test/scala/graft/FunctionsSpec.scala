@@ -287,6 +287,47 @@ class FunctionsSpec extends SparkSpec {
     assert(out === Map(1L -> null, 2L -> null))
   }
 
+  test("MisraGriesTopK holds the MG guarantees under every partitioning") {
+    // skewed synthetic stream: term frequencies 1000, 500, 200, then noise
+    val rnd = new scala.util.Random(7)
+    val rows = (Seq.fill(1000)("alpha") ++ Seq.fill(500)("beta") ++
+      Seq.fill(200)("gamma") ++
+      (0 until 2000).map(i => s"noise${rnd.nextInt(700)}"))
+    val exact = rows.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val n = rows.size.toLong
+    val k = 16
+    // the merge path is partitioning-dependent — prove the guarantee on
+    // several partitionings including single-partition (update-only)
+    for (parts <- Seq(1, 3, 8)) {
+      val df = spark.createDataFrame(
+        rnd.shuffle(rows).map(Tuple1(_))).toDF("term").repartition(parts)
+      val sketch = df.agg(graft.functions.MgTopK(col("term"), k).as("s"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      val est = sketch.map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.size <= k - 1, s"capacity: ${est.size} counters at parts=$parts")
+      val err = n / k
+      exact.foreach { case (t, trueN) =>
+        est.get(t).foreach { e =>
+          assert(e <= trueN && e >= trueN - err,
+            s"bound: $t est=$e exact=$trueN err<=$err parts=$parts")
+        }
+        if (trueN > err)
+          assert(est.contains(t), s"survival: $t exact=$trueN > N/k=$err parts=$parts")
+      }
+    }
+  }
+
+  test("heavyHitterBounds emits provably-true flags on real docs") {
+    val out = graft.llm.TextOps.heavyHitterBounds(
+        graft.engine.Tables(spark, sf).documents, "text", 64, 20)
+      .collect()
+    assert(out.length === 20)
+    assert(out.forall(r => r.getBoolean(r.fieldIndex("survived_ok"))))
+    assert(out.forall(r => r.getBoolean(r.fieldIndex("bound_ok"))))
+    // the audit is vacuous unless at least one term crosses the threshold
+    assert(out.exists(r => r.getBoolean(r.fieldIndex("qualifies"))))
+  }
+
   test("BpeEncodeCountQ kernel stats equal the loop-path encode on real docs") {
     val docs = graft.engine.Tables(spark, sf).documents
     val merges = graft.llm.TextOps

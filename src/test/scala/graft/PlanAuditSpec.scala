@@ -57,6 +57,7 @@ class PlanAuditSpec extends SparkSpec {
         "tpch_q11", "tpch_q15",
         "doc_surprisal",  // broadcast of the 1-row total-bigram count
         "countmin_term_bounds", // broadcast of the 1-row corpus-total aggregate
+        "heavy_hitter_bounds",  // 1-row total + 1-row MG-summary broadcasts
         "cooccurrence_lift",    // broadcast of the 1-row total-token count
         "association_rules",    // broadcast of the 1-row total-basket count
         "approx_stats_bounds") // 1-row exact/sketch aggregates broadcast-joined

@@ -69,6 +69,8 @@ class ViewsSpec extends SparkSpec {
       "pq_codes", "pq_topk",     // same capture mechanism (PQ codebooks)
       "ivfpq_topk",              // same capture mechanism (coarse + codebooks)
       "stream_ivfpq_encode",     // same capture mechanism (shared IVF-PQ fit)
+      "stream_ivfpq_index",      // same capture mechanism (shared IVF-PQ fit)
+      "embedding_near_dup_hier", // same capture mechanism (two-level fit)
       "ann_recall",              // needs BOTH pq and ivfpq captures
       "semantic_dedup_srp_auto") // captures its chosen band width
     // subset, not equality: the capture-based oracles APPEAR once another
