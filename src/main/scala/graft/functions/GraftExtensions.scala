@@ -14,6 +14,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `quantize_q(array<float>[, scale]) -> array<bigint>` — fixed-point
   *    quantization ([[QuantizeFixed]]); scale defaults to 2^24 and must be
   *    a foldable integral literal (it parameterizes generated code).
+  *  - `mg_topk(term, k) -> array<struct<term,n_est>>` — Misra-Gries
+  *    heavy-hitter AGGREGATE ([[MisraGriesTopK]]); k must be a foldable
+  *    integral literal (it sizes the summary).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -46,5 +49,15 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("quantize_q"),
       new ExpressionInfo(classOf[QuantizeFixed].getName, "quantize_q"),
-      buildQuantize _))
+      buildQuantize _),
+    (FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "mg_topk"),
+      (children: Seq[Expression]) => children match {
+        // the analyzer wraps a returned AggregateFunction in its
+        // AggregateExpression, same as the built-in aggregates
+        case Seq(t, k) if k.foldable =>
+          MisraGriesTopK(t, k.eval().asInstanceOf[Number].intValue())
+        case _ =>
+          throw new IllegalArgumentException("usage: mg_topk(term, k-literal)")
+      }))
 }

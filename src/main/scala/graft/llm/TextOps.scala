@@ -434,10 +434,23 @@ object TextOps {
     */
   def heavyHitterBounds(df: org.apache.spark.sql.DataFrame, textCol: String,
                         k: Int, topM: Int): org.apache.spark.sql.DataFrame = {
-    val toks = df.select(explode(tokens(col(textCol))).as("term"))
-    val sketch = toks.agg(graft.functions.MgTopK(col("term"), k).as("sketch"))
+    val sketch = df.select(explode(tokens(col(textCol))).as("term"))
+      .agg(graft.functions.MgTopK(col("term"), k).as("sketch"))
+    heavyHitterFlags(df, textCol, sketch, k, topM)
+  }
+
+  /** The provable-derivative flags of [[heavyHitterBounds]] for an
+    * externally-built 1-row `sketch` frame (e.g. the STREAM-maintained
+    * summary, `StreamingCatalog.replayHeavyHitters`) — exact side always
+    * recomputed from the batch table, so the flags test the provided
+    * summary against ground truth however it was assembled.
+    */
+  def heavyHitterFlags(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       sketch: org.apache.spark.sql.DataFrame,
+                       k: Int, topM: Int): org.apache.spark.sql.DataFrame = {
     // vocab frame, pinned: reused by the exact top list and the total
-    val terms = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+    val terms = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
       .localCheckpoint(false)
     val total = terms.agg(sum("n_exact").as("n_total"))
     val top = terms.orderBy(col("n_exact").desc, col("term")).limit(topM)

@@ -436,6 +436,46 @@ object StreamingCatalog extends Catalog {
       .orderBy("doc_id")
   }
 
+  /** The Misra-Gries heavy-hitter summary MAINTAINED BY A STREAM: the
+    * documents replay through a COMPLETE-mode streaming aggregation whose
+    * aggregate is the custom [[graft.functions.MgTopK]] — each micro-batch
+    * computes map-side partials and the state store carries the serialized
+    * summary buffer across batches (the PODS'12 merge chain through real
+    * checkpointed state, not a batch fold). The corpus is pre-split into 4
+    * files arriving one per batch, so the cross-batch merge path is
+    * genuinely exercised. The MG guarantees are merge-tree-independent, so
+    * the final summary satisfies the same provable derivatives as the
+    * batch sketch — [[graft.llm.TextOps.heavyHitterFlags]] checks it
+    * against the exact batch side, and the oracle is the batch
+    * `heavy_hitter_bounds` SQL verbatim.
+    */
+  def replayHeavyHitters(s: SparkSession, d: String, k: Int, topM: Int,
+                         timeoutMs: Long = 300000): DataFrame = {
+    val src = graft.engine.FixtureDirs("docs-split4", d) { tmp =>
+      graft.engine.Tables(s, d).documents.select(col("doc_id"), col("text"))
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val sinkName = "graft_stream_hh_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    // see withStateParallelism: global agg state is ONE summary buffer
+    withStateParallelism(s, 8) {
+      val q = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/docs")
+        .select(explode(graft.llm.TextOps.tokens(col("text"))).as("term"))
+        .agg(graft.functions.MgTopK(col("term"), k).as("sketch"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitOrFail(q, timeoutMs)
+    }
+    graft.llm.TextOps.heavyHitterFlags(
+      graft.engine.Tables(s, d).documents, "text", s.table(sinkName), k, topM)
+  }
+
   /** Stage `df` as a single parquet FILE named `name` inside `tmp` with a
     * pinned mtime — the file stream source replays staged files in mtime
     * order, so the pin is what makes multi-batch arrival deterministic.
@@ -797,6 +837,12 @@ object StreamingCatalog extends Catalog {
     "stream_left_join"        -> ((s, d) => replayLeftJoin(s, d)),
     "stream_session_windows"  -> ((s, d) => replaySessionWindows(s, d)),
 
+    // the custom MG aggregate run INSIDE a complete-mode streaming
+    // aggregation: the state store carries the serialized summary across
+    // 4 forced micro-batches; flags checked against the exact batch side
+    "stream_heavy_hitters"    -> ((s, d) => replayHeavyHitters(s, d,
+      graft.llm.TextCatalog.MgK, graft.llm.TextCatalog.MgTopM)),
+
     // the three heaviest-state replays again under the RocksDB provider
     // (disk-backed state, the 100 TB posture where state outgrows the
     // heap): same results, same oracles, provider engagement asserted in
@@ -831,6 +877,10 @@ object StreamingCatalog extends Catalog {
 
     // append-mode sessionization drains to exactly the batch session set
     "stream_session_windows" -> graft.ops.ServingCatalog.oracleSql("user_sessions"),
+
+    // the stream-maintained MG summary satisfies the SAME provable
+    // derivatives as the batch sketch (merge-tree independence)
+    "stream_heavy_hitters" -> graft.llm.TextCatalog.oracleSql("heavy_hitter_bounds"),
 
     // the RocksDB-provider variants compute identical results — the state
     // store is an execution detail — so each reuses its base oracle

@@ -59,6 +59,11 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](1) === Seq((0.5 * graft.functions.GraftExtensions.DefaultScale).toLong))
     val r2 = spark.sql("SELECT quantize_q(array(CAST(1.0 AS FLOAT)), 256) AS q").head
     assert(r2.getSeq[Long](0) === Seq(256L))
+    // mg_topk as a SQL aggregate: 'a' dominates a 6-row stream, k=4
+    val r3 = spark.sql(
+      "SELECT mg_topk(t, 4) AS s FROM VALUES ('a'),('a'),('a'),('b'),('a'),('c') AS v(t)")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(r3.head.getString(0) === "a" && r3.head.getLong(1) >= 3L)
   }
 
   test("DotProductQ nulls out on length mismatch, element null, input null") {

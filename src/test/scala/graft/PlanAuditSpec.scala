@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkSpec {
         "doc_surprisal",  // broadcast of the 1-row total-bigram count
         "countmin_term_bounds", // broadcast of the 1-row corpus-total aggregate
         "heavy_hitter_bounds",  // 1-row total + 1-row MG-summary broadcasts
+        "stream_heavy_hitters", // same flag shape over the stream summary
         "cooccurrence_lift",    // broadcast of the 1-row total-token count
         "association_rules",    // broadcast of the 1-row total-basket count
         "approx_stats_bounds") // 1-row exact/sketch aggregates broadcast-joined
