@@ -92,6 +92,18 @@ object Bench {
     // resource moved: flat compute + flat io canary = code; flat compute +
     // risen io canary = storage-side host state.
     val ioCanarySeries = scala.collection.mutable.ListBuffer[Double]()
+    // Scheduler probe (round-8): the compute+io pair still cannot positively
+    // attribute the third observed drift signature — scheduler-side
+    // contention (both canaries flat, wall uniformly ~2.8x, dmesg hrtimer
+    // warnings; BENCH_local_r7_final2.json). SchedProbe busy-spins fixed
+    // userland work on the driver thread and reads the thread's
+    // /proc schedstat run-delay around it, so the artifact alone now
+    // distinguishes all three signatures: risen io canary = storage wave;
+    // risen spin wall + risen sched delay = runqueue contention; risen spin
+    // wall + flat delay = cpu frequency throttle; everything flat = code.
+    val spinSeries = scala.collection.mutable.ListBuffer[Double]()
+    val schedDelaySeries = scala.collection.mutable.ListBuffer[Double]()
+    graft.engine.SchedProbe.warmup()
     def ioCanary(): Unit = {
       import java.nio.file.{Files => NF, StandardOpenOption => O}
       try {
@@ -115,6 +127,9 @@ object Bench {
         catch { case _: Throwable => canarySeries += -1.0 }
       }
       ioCanary()
+      val (spinWall, schedDelay) = graft.engine.SchedProbe.sample()
+      spinSeries += spinWall
+      schedDelaySeries += schedDelay
     }
 
     val errors = scala.collection.mutable.ListBuffer[String]()
@@ -135,10 +150,12 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = canarySeries.mkString("[", ",", "]")
     val ioCanaryJson = ioCanarySeries.mkString("[", ",", "]")
+    val spinJson = spinSeries.map(v => f"$v%.4f").mkString("[", ",", "]")
+    val schedDelayJson = schedDelaySeries.map(v => f"$v%.4f").mkString("[", ",", "]")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = ok.sum
     val maxQ = if (ok.nonEmpty) ok.max else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"io_canary_series":$ioCanaryJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"io_canary_series":$ioCanaryJson,"spin_series":$spinJson,"sched_delay_series":$schedDelayJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

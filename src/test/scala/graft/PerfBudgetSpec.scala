@@ -50,7 +50,13 @@ class PerfBudgetSpec extends SparkSpec {
         }
       } ++ (budgets.keySet -- names).toSeq.sorted
         .map(n => s"$n: stale budget row (query removed) — regenerate")
-      assert(over.isEmpty, over.mkString("\n"))
+      // On breach, annotate with the scheduler probe so the failure itself
+      // says code-vs-box: budgets have false-failed under host contention
+      // (concurrent DuckDB gen, scheduler waves) and the adjudication was
+      // manual until now. An inflated spin wall here means re-run on an
+      // idle box before touching any plan.
+      lazy val probe = { graft.engine.SchedProbe.warmup(); graft.engine.SchedProbe.describe() }
+      assert(over.isEmpty, over.mkString("", "\n", s"\n$probe"))
     }
   }
 }
