@@ -745,6 +745,88 @@ object Dedup {
         col("span_tokens"), col("n_windows"))
   }
 
+  /** Content-defined (winnowed) duplicated-span detection — the
+    * alignment-invariant, sampled form of [[dupSpans]] (Schleimer,
+    * Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD'03; the span semantics follow Lee et al.'s
+    * suffix-array dedup as in [[dupSpanWindows]]).
+    *
+    * Why it exists: [[dupPassages]] fingerprints FIXED-boundary strided
+    * chunks, so a copied passage shifted by one token inside a different
+    * document misses every chunk boundary; [[dupSpans]] is
+    * alignment-invariant but shuffles one fingerprint per token position —
+    * at 100 TB that aggregate keys on every k-gram in the corpus.
+    * Winnowing keeps the invariance and drops the volume: every position's
+    * k-gram is still hashed (cheap, codegen'd, partition-local), but only
+    * the per-window MINIMUM fingerprints leave the partition — an expected
+    * 2/(w+1) of positions — with the guarantee that any common
+    * substring of length >= w + k - 1 tokens shares at least one selected
+    * fingerprint in every occurrence (the paper's correctness property:
+    * selection inside a window depends only on window content, with ties
+    * broken to the rightmost position — content-relative, so two copies of
+    * the same region select the same relative positions).
+    *
+    * Shape: posexplode → one window chain on the doc id building each
+    * k-gram (same sort as [[dupSpanWindows]]) → per-position key
+    * `md5(gram) || zeropad(10^12 - pos)` whose lexicographic min is
+    * (min fingerprint, rightmost position) → rows-frame `min` over the next
+    * w positions (same exchange+sort reused) → `distinct` (map-side partial
+    * dedup collapses the ~w consecutive repeats of each winner BEFORE the
+    * shuffle, so only sampled rows travel) → duplicate grouping + islands
+    * merge exactly as [[dupSpans]]. With `w <= k` (required) consecutive
+    * selected positions inside one duplicated region are at most w <= k
+    * apart, so the region merges into ONE span; reported span edges are
+    * approximate within ~(w + k) tokens (edge windows see off-region
+    * context and may select differently per copy — the documented trade
+    * for the volume cut; trim passes pad boundaries anyway).
+    *
+    * Output matches [[dupSpans]]: `(id, span_id, span_start, span_end,
+    * span_tokens, n_windows)` with `n_windows` counting selected
+    * duplicated fingerprints (not all positions) in the span.
+    */
+  def winnowedDupSpans(df: DataFrame, id: String, textCol: String,
+                       k: Int, w: Int): DataFrame = {
+    require(k >= 2, s"k-gram size must be >= 2: $k")
+    require(w >= 2, s"winnow window must be >= 2: $w")
+    require(w <= k, s"span merging needs w <= k (selected positions are <= w apart," +
+      s" windows cover k tokens): w=$w k=$k")
+    val Big = 1000000000000L // 10^12: 13-digit position complement, so string min = rightmost pos
+    val win = Window.partitionBy(id).orderBy("pos")
+    val parts = (0 until k).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(win))
+    val keyed = df
+      .select(col(id), posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col(id), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+      .select(col(id), col("pos"),
+        concat_ws(" ", parts: _*).as("wtext"), parts.last.as("wlast"))
+      .filter(col("wlast").isNotNull) // only complete k-grams
+      .select(col(id), col("pos"),
+        concat(md5(col("wtext")),
+          lpad((lit(Big) - col("pos")).cast("string"), 13, "0")).as("key"))
+    // robust-winnow selection: for every window start the (min-hash,
+    // rightmost) key; trailing truncated frames select too (deterministic,
+    // mirrored in the oracle), so short docs (>= 1 k-gram) always sample
+    val selected = keyed
+      .select(col(id), min(col("key")).over(win.rowsBetween(0, w - 1)).as("min_key"))
+      .distinct()
+      .select(col(id), substring(col("min_key"), 1, 32).as("fp"),
+        (lit(Big) - substring(col("min_key"), 33, 13).cast("long")).as("start"))
+      .withColumn("end", col("start") + (k - 1))
+    val dups = selected.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val flagged = selected.join(dups.select("fp"), Seq("fp"))
+    val w2 = Window.partitionBy(id).orderBy("start")
+    val prevEnd = max(col("end")).over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("brk", when(prevEnd.isNull || col("start") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("span_id", sum(col("brk")).over(w2))
+      .groupBy(col(id), col("span_id"))
+      .agg(min("start").as("span_start"), max("end").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+      .select(col(id), col("span_id"), col("span_start"), col("span_end"),
+        col("span_tokens"), col("n_windows"))
+  }
+
   /** Per-doc duplicated-substring coverage — the curation signal built on
     * [[dupSpans]]: `(id, n_tokens, n_spans, dup_tokens, dup_frac)` where
     * `dup_frac` is the fraction of the doc's tokens inside some repeated

@@ -89,9 +89,36 @@ object Similarity {
         .withColumn("n2", norm2Q(col("q")))
     }
 
+  /** Beyond-broadcast driver for the query-set top-k scans. The top-k
+    * entry points ([[cosineTopK]], [[l2TopK]], [[pqTopK]],
+    * [[IvfPqModel.topK]]) broadcast the WHOLE query frame — the right plan
+    * while the query set fits the broadcast threshold (the operating
+    * envelope of every gated registration; ~10 MB default ≈ 10k-100k
+    * quantized query vectors depending on dim). When the query set
+    * outgrows it, wrap the call here: queries split into `nSlices =
+    * ceil(n/slice)` deterministic hash slices, `run` executes per slice
+    * (each slice broadcasts on its own), results union. Per-query results
+    * are independent of every other query, so slicing is EXACT — proven by
+    * the slice-≡ test in `PipelineOpsSpec`. Driver state is one count and
+    * the slice loop; corpus-side work is one scan per slice (the
+    * unavoidable trade: n/slice passes instead of one — pick `slice` as
+    * large as the broadcast budget allows).
+    */
+  def chunkedQueries(queries: DataFrame, id: String, slice: Int)
+                    (run: DataFrame => DataFrame): DataFrame = {
+    require(slice >= 1, s"slice size must be >= 1: $slice")
+    val n = queries.count()
+    val nSlices = math.max(1L, (n + slice - 1) / slice).toInt
+    (0 until nSlices).map { i =>
+      run(queries.filter(pmod(xxhash64(col(id)), lit(nSlices)) === i))
+    }.reduce(_ unionByName _)
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, score in one narrow pass, keep k per query via the ranking
     * window (WindowGroupLimit keeps per-partition state at k rows).
+    * Operating envelope: the query frame must fit the broadcast threshold —
+    * beyond that, drive through [[chunkedQueries]].
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
                  k: Int): DataFrame = {
@@ -792,7 +819,9 @@ object Similarity {
     * (plan-asserted in `PipelineOpsSpec`: the PQ promise in a columnar
     * engine). Distances are exact integers ([[graft.functions.PqAdcQ]]),
     * per-query heaps via WindowGroupLimit, ties break on the lower
-    * neighbor id — deterministic and oracle-replayable.
+    * neighbor id — deterministic and oracle-replayable. Operating
+    * envelope: query frame ≤ broadcast threshold; beyond it, drive through
+    * [[chunkedQueries]].
     */
   def pqTopK(codes: DataFrame, queries: DataFrame, id: String, vec: String,
              model: PqModel, k: Int): DataFrame = {
@@ -811,7 +840,8 @@ object Similarity {
     * broadcast-queries narrow-pass shape as [[cosineTopK]], but ranking by
     * the exact integer distance `n2q − 2·dot + n2c` — directly comparable
     * to the ADC approximations, which estimate this same quantity from
-    * the code-word reconstruction.
+    * the code-word reconstruction. Operating envelope: query frame ≤
+    * broadcast threshold; beyond it, drive through [[chunkedQueries]].
     */
   def l2TopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
              k: Int): DataFrame = {
@@ -893,6 +923,9 @@ object Similarity {
       * taken AGAINST EACH PROBED LEAF, and only that leaf's code list is
       * scored ([[graft.functions.PqAdcQ]] over the residual). Each corpus
       * vector lives in exactly one leaf, so no duplicate results.
+      * Operating envelope: the probed query frame (queries × probes rows)
+      * must fit the broadcast threshold; beyond it, drive through
+      * [[chunkedQueries]].
       */
     def topK(codes: DataFrame, queries: DataFrame, probes: Int, k: Int): DataFrame = {
       val km = KMeansModel(leaves, id, vec)

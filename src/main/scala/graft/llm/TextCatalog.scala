@@ -44,6 +44,12 @@ object TextCatalog extends Catalog {
       TextOps.bpeTrainTable(Tables(s, d).documents, "doc_id", "text", BpeRounds))
   /** Stride-1 window width for the exact repeated-substring span tier. */
   val DupSpanK = 8
+  /** Winnowing window (k-gram positions per selection window) for the
+    * content-defined span tier; must stay <= DupSpanK so selected windows
+    * inside one duplicated region merge into a single span. Detection
+    * guarantee: common substrings >= WinnowW + DupSpanK - 1 = 15 tokens.
+    */
+  val WinnowW = 8
   /** Count-Min sketch geometry + probe set for the frequency-sketch audit. */
   val CmDepth = 4
   val CmWidth = 512
@@ -238,6 +244,14 @@ object TextCatalog extends Catalog {
     "dup_span_coverage" -> ((s, d) =>
       Dedup.dupSpanCoverage(Tables(s, d).documents, "doc_id", "text", DupSpanK)
         .orderBy("doc_id")),
+
+    // content-defined (winnowed) spans: alignment-invariant like dup_spans
+    // but only window-minimum fingerprints are shuffled (~2/(w+1) of
+    // positions) — the 100 TB form of the span tier
+    "dup_spans_winnow" -> ((s, d) =>
+      Dedup.winnowedDupSpans(Tables(s, d).documents, "doc_id", "text",
+          DupSpanK, WinnowW)
+        .orderBy("doc_id", "span_id")),
 
     // the ENCODE side of the BPE tokenizer: per-doc token counts and
     // compression under the bpe_train_merges vocabulary — the memoized
@@ -477,6 +491,43 @@ object TextCatalog extends Catalog {
 
     "dup_spans" ->
       s"""WITH $dupSpanCtes
+         |SELECT doc_id, span_id, span_start, span_end, span_tokens, n_windows
+         |FROM sp ORDER BY doc_id, span_id""".stripMargin,
+
+    // mirror of Dedup.winnowedDupSpans: per-position k-gram md5 || padded
+    // position complement, rows-frame min over the next WinnowW starts
+    // (truncated trailing frames select too, both engines), distinct
+    // winners, then the dup_spans grouping + islands merge verbatim
+    "dup_spans_winnow" ->
+      s"""WITH t AS ($docTokens),
+         |ws AS (SELECT doc_id, w, unnest(range(1, len(w) - $DupSpanK + 2)) AS pos
+         |  FROM t WHERE len(w) >= $DupSpanK),
+         |ky AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    md5(array_to_string(w[pos:(pos + $DupSpanK - 1)], ' '))
+         |      || lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS key
+         |  FROM ws),
+         |mk AS (SELECT doc_id, min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS min_key
+         |  FROM ky),
+         |sel AS (SELECT DISTINCT doc_id, min_key FROM mk),
+         |sw AS (SELECT doc_id, substring(min_key, 1, 32) AS fp,
+         |    1000000000000 - CAST(substring(min_key, 33, 13) AS BIGINT) AS start
+         |  FROM sel),
+         |s2 AS (SELECT *, start + ${DupSpanK - 1} AS "end" FROM sw),
+         |dpw AS (SELECT fp FROM s2 GROUP BY fp HAVING count(*) > 1),
+         |fl AS (SELECT s2.* FROM s2 JOIN dpw USING (fp)),
+         |pe AS (SELECT *, max("end") OVER (PARTITION BY doc_id ORDER BY start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM fl),
+         |il AS (SELECT *, CAST(sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start) AS BIGINT)
+         |    AS span_id
+         |  FROM pe),
+         |sp AS (SELECT doc_id, span_id,
+         |    min(start) AS span_start, max("end") AS span_end,
+         |    max("end") - min(start) + 1 AS span_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_windows
+         |  FROM il GROUP BY doc_id, span_id)
          |SELECT doc_id, span_id, span_start, span_end, span_tokens, n_windows
          |FROM sp ORDER BY doc_id, span_id""".stripMargin,
 

@@ -58,16 +58,52 @@ object Cdc {
     */
   def mergeNewest(snapshot: DataFrame, changes: DataFrame, key: String,
                   ts: String, tieBreak: String): DataFrame = {
+    val winners = newestWinners(snapshot, changes, key, ts, tieBreak)
+    snapshot.join(broadcast(winners.select(key)), Seq(key), "left_anti")
+      .unionByName(winners)
+  }
+
+  /** The subset of `changes` [[mergeNewest]] would apply: rows strictly
+    * newer than their incumbent by (`ts`, `tieBreak`), plus new keys.
+    * Exposed so a change-data-feed writer can derive the version's change
+    * set from the SAME frame the merge applies — O(|changes|) rows, never
+    * a snapshot diff.
+    */
+  def newestWinners(snapshot: DataFrame, changes: DataFrame, key: String,
+                    ts: String, tieBreak: String): DataFrame = {
     val incumbents = snapshot
       .join(broadcast(changes.select(key).distinct()), Seq(key), "left_semi")
       .select(col(key), col(ts).as("__inc_ts"), col(tieBreak).as("__inc_tb"))
-    val winners = changes
+    changes
       .join(broadcast(incumbents), Seq(key), "left_outer")
       .filter(col("__inc_ts").isNull ||
         struct(col(ts), col(tieBreak)) > struct(col("__inc_ts"), col("__inc_tb")))
       .drop("__inc_ts", "__inc_tb")
-    snapshot.join(broadcast(winners.select(key)), Seq(key), "left_anti")
-      .unionByName(winners)
+  }
+
+  /** The change set a [[mergeNewest]] application emits — the Delta/Iceberg
+    * change-data-feed row shape `(key, change_type, old, new)` derived from
+    * the winners frame instead of diffing snapshot versions: `old` is the
+    * replaced incumbent row (null on insert), `new` the winning row.
+    * Equals [[snapshotDiff]](prev, mergeNewest(prev, changes, ...)) for an
+    * upsert-only pipeline (no deletes; a winner is always strictly newer in
+    * `ts`/`tieBreak`, so no winner can tie its incumbent) — proven in
+    * `CdcSpec` — but costs one broadcast semi-join into the snapshot scan
+    * where snapshotDiff full-outer-joins two whole versions: at 100 TB the
+    * diff-per-batch would shuffle the snapshot twice per micro-batch, this
+    * shuffles nothing.
+    */
+  def mergeChangeSet(prev: DataFrame, winners: DataFrame, key: String): DataFrame = {
+    val attrs = winners.columns.filterNot(_ == key).toSeq
+    val newSide = winners.select(col(key), struct(attrs.map(col): _*).as("new"))
+    val oldSide = prev
+      .join(broadcast(winners.select(key).distinct()), Seq(key), "left_semi")
+      .select(col(key), struct(attrs.map(col): _*).as("old"))
+    newSide.join(broadcast(oldSide), Seq(key), "left_outer")
+      .select(col(key),
+        when(col("old").isNull, lit("insert")).otherwise(lit("update"))
+          .as("change_type"),
+        col("old"), col("new"))
   }
 
   /** Classify every key whose row changed between two snapshot versions:

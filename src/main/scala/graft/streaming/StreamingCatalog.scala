@@ -303,7 +303,8 @@ object StreamingCatalog extends Catalog {
     */
   private[graft] def upsertSnapshotRun(s: SparkSession, d: String, base: String,
       timeoutMs: Long = 300000, crashAtBatch: Option[Long] = None,
-      crashBeforeCommit: Boolean = false): DataFrame = {
+      crashBeforeCommit: Boolean = false, feed: Boolean = false,
+      crashBeforePublish: Boolean = false): DataFrame = {
     val src = graft.engine.FixtureDirs("events-split8", d) { tmp =>
       graft.engine.Tables(s, d).events.repartition(8)
         .write.mode("overwrite").parquet(s"$tmp/ev")
@@ -315,19 +316,46 @@ object StreamingCatalog extends Catalog {
       .parquet(s"$src/ev")
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val newest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val merged = readLatest(base) match {
-          case None      => newest
-          case Some(dir) => graft.ops.Cdc.mergeNewest(
-            s.read.parquet(dir), newest, "user_id", "ts", "event_id")
+        val committed = readLatest(base)
+        if (committed.contains(s"$base/v$id")) {
+          // this batch already committed its version — the crash landed
+          // between the marker commit and the CHECKPOINT commit, so the
+          // source replays it. The snapshot is done; only the feed
+          // publication may still be owed (the stage is complete by the
+          // protocol order below: marker == v_id implies the staged change
+          // set finished writing before the commit).
+          if (feed) publishChanges(base, id)
+        } else {
+          val newest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          val prev = committed.map(dir => s.read.parquet(dir))
+            .getOrElse(newest.limit(0))
+          val winners = graft.ops.Cdc.newestWinners(
+            prev, newest, "user_id", "ts", "event_id")
+          val merged = prev
+            .join(broadcast(winners.select("user_id")), Seq("user_id"), "left_anti")
+            .unionByName(winners)
+          // change-feed protocol (exactly-once publication on an
+          // at-least-once replay): stage the change set BEFORE the marker
+          // commit, publish by ONE atomic rename after it — a crash
+          // anywhere re-runs into either a full recompute (marker still at
+          // the prior version: identical rows overwrite the orphans) or
+          // the already-committed branch above (publish-if-absent)
+          if (feed)
+            graft.ops.Cdc.mergeChangeSet(prev, winners, "user_id")
+              .withColumn("version", lit(id))
+              .write.mode("overwrite").parquet(s"$base/stage/c$id")
+          merged.write.mode("overwrite").parquet(s"$base/v$id")
+          if (crashAtBatch.contains(id) && crashBeforeCommit)
+            throw new RuntimeException(s"injected crash before commit of v$id")
+          commitLatest(base, s"v$id")
+          if (crashAtBatch.contains(id) && crashBeforePublish)
+            throw new RuntimeException(
+              s"injected crash after commit, before publish of v$id")
+          if (feed) publishChanges(base, id)
+          if (crashAtBatch.contains(id) && !crashBeforeCommit && !crashBeforePublish)
+            throw new RuntimeException(s"injected crash after commit of v$id")
         }
-        merged.write.mode("overwrite").parquet(s"$base/v$id")
-        if (crashAtBatch.contains(id) && crashBeforeCommit)
-          throw new RuntimeException(s"injected crash before commit of v$id")
-        commitLatest(base, s"v$id")
-        if (crashAtBatch.contains(id) && !crashBeforeCommit)
-          throw new RuntimeException(s"injected crash after commit of v$id")
         ()
       }
       .option("checkpointLocation", s"$base/ckpt")
@@ -338,6 +366,61 @@ object StreamingCatalog extends Catalog {
       .select(col("user_id"), col("event_id"),
         graft.ops.Relational.tsStr(col("ts")).as("ts"),
         col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  /** Idempotent, exactly-once publication of a committed version's change
+    * set into the tailable `feed/` dir: the staged parquet moves with ONE
+    * atomic same-filesystem rename, guarded by an existence check. A
+    * tailing file-source readStream therefore only ever lists complete,
+    * committed change sets — never a half-written directory, never a
+    * duplicate after a crash-replay.
+    */
+  private def publishChanges(base: String, id: Long): Unit = {
+    val dst = java.nio.file.Paths.get(base, "feed", s"c$id")
+    if (!Files.exists(dst)) {
+      Files.createDirectories(dst.getParent)
+      Files.move(java.nio.file.Paths.get(base, "stage", s"c$id"), dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** The maintained snapshot's CHANGE FEED as a first-class streaming
+    * source — the Delta CDF shape on plain directories, closing the CDC
+    * loop's read side: the upsert replay (feed mode) derives each
+    * version's change set from the merge's own winners
+    * ([[graft.ops.Cdc.mergeChangeSet]] — `(key, change_type, old, new,
+    * version)`, no snapshot diffing) and publishes it exactly-once under
+    * `feed/`; a DOWNSTREAM consumer tails that dir with its own
+    * file-source readStream (what a derived index, cache invalidator, or
+    * replica applies), folds the entries per key by version, and must
+    * reconstruct exactly the final snapshot — proving the feed is
+    * complete, in-order, and duplicate-free end to end. Crash-resume of
+    * the publication protocol is fault-injected in `CdcSpec`.
+    */
+  def replayChangeFeed(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val base = graft.engine.TempDirs.create("graft-change-feed")
+    upsertSnapshotRun(s, d, base, timeoutMs, feed = true)
+    // one published directory per version: read through a one-level glob
+    // so both the schema probe and the tailing stream list the c*/part
+    // files (a bare dir-of-dirs path infers no schema)
+    val feedDir = s"$base/feed/*"
+    val q = s.readStream.schema(s.read.parquet(feedDir).schema)
+      .parquet(feedDir)
+      .writeStream.format("parquet")
+      .option("path", s"$base/feedsink")
+      .option("checkpointLocation", s"$base/feedckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("version").desc)
+    s.read.parquet(s"$base/feedsink")
+      .withColumn("__rn", row_number().over(wv)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("new.event_id").as("event_id"),
+        graft.ops.Relational.tsStr(col("new.ts")).as("ts"),
+        col("new.event_type").as("event_type"), col("new.value").as("value"))
       .orderBy("user_id")
   }
 
@@ -830,6 +913,11 @@ object StreamingCatalog extends Catalog {
     "stream_doc_quality"      -> ((s, d) => replayDocQuality(s, d)),
     "stream_pii_redacted"     -> ((s, d) => replayPiiRedact(s, d)),
     "stream_upsert_snapshot"  -> ((s, d) => replayUpsertSnapshot(s, d)),
+
+    // the CDC read side: tail the snapshot's published change feed with a
+    // second readStream and fold it back into the final snapshot — feed
+    // replay must reconstruct exactly the batch truth
+    "stream_change_feed"      -> ((s, d) => replayChangeFeed(s, d)),
     "stream_dim_join"         -> ((s, d) => replayDimJoin(s, d)),
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
     "stream_ingest_dedup"     -> ((s, d) => replayIngestDedup(s, d)),
@@ -958,6 +1046,17 @@ object StreamingCatalog extends Catalog {
     // the maintained snapshot must converge to the per-user newest event
     // no matter how the replay was batched
     "stream_upsert_snapshot" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
+        |FROM events
+        |QUALIFY row_number() OVER
+        |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    // folding the published change feed (newest version per key, expand
+    // its `new` row) must reconstruct the final snapshot — which is the
+    // per-user newest event, batch-boundary-independent like the snapshot
+    "stream_change_feed" ->
       """SELECT user_id, event_id,
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value
         |FROM events

@@ -133,6 +133,73 @@ class CdcSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 shuffle, got $exchanges:\n$plan")
   }
 
+  test("mergeChangeSet equals snapshotDiff of the applied merge (upsert-only)") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 90L, "new"),    // update
+      (2L, ts("2024-01-01 09:00:00"), 999L, "stale"), // loses: no change row
+      (9L, ts("2024-01-01 08:00:00"), 1L, "ins"),     // insert
+    ).toDF("k", "t", "seq", "v")
+    val winners = Cdc.newestWinners(verSnapshot, changes, "k", "t", "seq")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"change_type", to_json($"old").as("o"), to_json($"new").as("n"))
+      .as[(Long, String, String, String)].collect().toSet
+    val feed = canon(Cdc.mergeChangeSet(verSnapshot, winners, "k"))
+    val diff = canon(Cdc.snapshotDiff(verSnapshot,
+      Cdc.mergeNewest(verSnapshot, changes, "k", "t", "seq"), "k"))
+    assert(feed === diff)
+    assert(feed.map(r => (r._1, r._2)) === Set((1L, "update"), (9L, "insert")))
+  }
+
+  test("mergeChangeSet never shuffles the snapshot (broadcast joins only)") {
+    val changes = Seq((1L, ts("2024-01-01 11:00:00"), 90L, "new"))
+      .toDF("k", "t", "seq", "v")
+    val winners = Cdc.newestWinners(verSnapshot, changes, "k", "t", "seq")
+    val plan = Cdc.mergeChangeSet(verSnapshot, winners, "k")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"snapshot side must not shuffle:\n$plan")
+  }
+
+  test("change feed publication is exactly-once across a crash between commit and publish") {
+    // crash in the one window the staged-publish protocol exists for: the
+    // version and marker are committed but the change set is still staged.
+    // The restart must re-run the batch into the already-committed branch
+    // and publish the staged set — once — then finish the remaining batch.
+    val base = java.nio.file.Files.createTempDirectory("graft-feed-kill").toString
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.StreamingCatalog.upsertSnapshotRun(spark, sf, base,
+        crashAtBatch = Some(2L), feed = true, crashBeforePublish = true)
+    }
+    def marker() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "_LATEST")), "UTF-8").trim
+    assert(marker() === "v2", "the version commit precedes the publish")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "feed", "c2")),
+      "c2 must not be published yet")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(base, "stage", "c2")),
+      "c2 must be fully staged before its version committed")
+    graft.streaming.StreamingCatalog.upsertSnapshotRun(spark, sf, base, feed = true)
+    assert(marker() === "v3", "resume must finish the remaining batch")
+    val published = new java.io.File(s"$base/feed").listFiles().map(_.getName).toSet
+    assert(published === Set("c0", "c1", "c2", "c3"),
+      s"exactly one change set per version, got $published")
+    // folding the feed reconstructs the batch truth (completeness + no dupes)
+    val feed = spark.read.parquet(s"$base/feed/*")
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("version").desc)
+    val folded = feed.withColumn("__rn", row_number().over(wv))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("new.event_id").as("event_id"))
+      .orderBy("user_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val want = graft.engine.Tables(spark, sf).events
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_id")).orderBy("user_id")
+    assert(folded.collect().toSeq === want.collect().toSeq)
+    // a key appears at most once per version (winners are per-key deduped)
+    assert(feed.groupBy("user_id", "version").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("upsert snapshot survives a mid-stream kill: _LATEST stays durable, restart resumes") {
     // crash in the WORST window — after the version parquet lands but
     // before the _LATEST rename — at batch 3 of 4. The marker must still

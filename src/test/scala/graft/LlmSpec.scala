@@ -580,6 +580,76 @@ class LlmSpec extends SparkSpec {
     assert(got((4L, 2L)) === ((8L, 10L)))
   }
 
+  test("winnowedDupSpans catches a shifted copy that fixed-boundary dupPassages misses") {
+    // the same 16-token passage embedded at DIFFERENT offsets in different
+    // contexts: no size-8/stride-8 chunk boundary lines up, so dupPassages
+    // fingerprints no identical chunk (the alignment defect this operator
+    // exists for); winnowing guarantees detection at >= w + k - 1 = 6 tokens
+    val passage = (1 to 16).map(i => s"p$i").mkString(" ")
+    val df = Seq(
+      (1L, s"a1 a2 a3 $passage b1 b2"), // passage at token positions 4..19
+      (2L, s"c1 $passage d1 d2 d3 d4 d5") // passage at token positions 2..17
+    ).toDF("doc_id", "text")
+    assert(Dedup.dupPassages(df, "doc_id", "text", 8, 8).isEmpty,
+      "fixed-boundary chunks must miss the shifted copy (the documented defect)")
+    val spans = Dedup.winnowedDupSpans(df, "doc_id", "text", 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val regions = Map(1L -> (4L, 19L), 2L -> (2L, 17L))
+    assert(spans.map(_._1).toSet === Set(1L, 2L),
+      "both occurrences of the shifted passage must report a span")
+    spans.foreach { case (id, s, e) =>
+      val (rs, re) = regions(id)
+      assert(rs <= s && e <= re,
+        s"span ($id,$s,$e) outside the true copied region [$rs,$re]: only " +
+          "in-passage k-grams can repeat across these docs")
+    }
+  }
+
+  test("winnowedDupSpans spans are contained in the full stride-1 dupSpans spans") {
+    // selected duplicated fingerprints are a subset of all duplicated
+    // k-windows, and full spans merge touching coverage maximally — so
+    // every winnowed span must sit inside some full-resolution span
+    val run1 = (1 to 12).map(i => s"r$i").mkString(" ")
+    val run2 = (1 to 9).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"u1 u2 $run1 u3 u4 u5 $run2 u6"),
+      (2L, s"v1 $run1 v2 v3"),
+      (3L, s"w1 w2 w3 w4 $run2 w5 w6 w7 w8"),
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")
+    ).toDF("doc_id", "text")
+    val full = Dedup.dupSpans(df, "doc_id", "text", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val win = Dedup.winnowedDupSpans(df, "doc_id", "text", 5, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // both shared runs clear the w + k - 1 = 8-token guarantee, in every doc
+    assert(win.map(_._1).toSet === Set(1L, 2L, 3L), "doc 4 shares nothing")
+    win.foreach { case (id, s, e) =>
+      assert(full.exists { case (fid, fs, fe) => fid == id && fs <= s && e <= fe },
+        s"winnowed span ($id,$s,$e) outside every full span")
+    }
+  }
+
+  test("winnowedDupSpans detection guarantee holds across shift offsets") {
+    // one 10-token passage planted at every offset 0..6 in otherwise-unique
+    // docs: length 10 >= w + k - 1 = 10, so EVERY doc must report a span
+    // overlapping its planted region, wherever the copy sits
+    val k = 7; val w = 4
+    val passage = (1 to 10).map(i => s"g$i").mkString(" ")
+    val rows = (0 to 6).map { off =>
+      val pre = (1 to off).map(i => s"u${off}_$i")
+      val post = (1 to (8 - off)).map(i => s"z${off}_$i")
+      (off.toLong + 1L, (pre ++ Seq(passage) ++ post).mkString(" "),
+        off + 1L, off + 10L) // region start/end, 1-based
+    }
+    val df = rows.map { case (id, text, _, _) => (id, text) }.toDF("doc_id", "text")
+    val spans = Dedup.winnowedDupSpans(df, "doc_id", "text", k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (id, _, rs, re) =>
+      assert(spans.exists { case (sid, s, e) => sid == id && s <= re && rs <= e },
+        s"doc $id (offset ${id - 1}) must report a span overlapping [$rs,$re]")
+    }
+  }
+
   test("dupSpanWindows equals brute-force window counting on the fixture") {
     val k = 5
     val texts = docs.select(col("doc_id"), TextOps.normText(col("text")))

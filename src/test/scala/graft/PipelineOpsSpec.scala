@@ -284,6 +284,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkedQueries slicing is exact: sliced topK == unsliced topK") {
+    // the beyond-broadcast driver: per-query results are independent, so
+    // any hash-slicing of the query set must reproduce the single-broadcast
+    // result row for row (cosine and PQ paths both checked)
+    val queries = emb.filter(col("vec_id") < 12)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.get(2)).toMap
+    val whole = canon(Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5))
+    val sliced = canon(Similarity.chunkedQueries(queries, "vec_id", 5)(q =>
+      Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)))
+    assert(sliced === whole, "hash-sliced cosine topK must equal the broadcast run")
+    val pq = Similarity.pqFit(emb, "vec_id", "embedding", 4, 8)
+    val codes = pq.encode(emb)
+    val wholePq = canon(Similarity.pqTopK(codes, queries, "vec_id", "embedding", pq, 5))
+    val slicedPq = canon(Similarity.chunkedQueries(queries, "vec_id", 7)(q =>
+      Similarity.pqTopK(codes, q, "vec_id", "embedding", pq, 5)))
+    assert(slicedPq === wholePq, "hash-sliced PQ topK must equal the broadcast run")
+  }
+
   // -- bm25TopTerms ---------------------------------------------------------
 
   test("BM25 scores equal the hand-computed formula bit-for-bit") {
