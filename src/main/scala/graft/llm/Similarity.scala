@@ -724,6 +724,118 @@ object Similarity {
     (model, out)
   }
 
+  /** A depth-d tree quantizer — the log-depth generalization of
+    * [[HierKMeansModel]]: `levels(0)` is the root codebook
+    * ([[graft.functions.NearestCellQ]]), each deeper level a
+    * `(parent, child, centroid)` table scoped by the previous level's
+    * argmin ([[graft.functions.NearestSubCellQ]]). Assignment chains the
+    * d argmins in ONE narrow codegen projection — n·d·f dots for f^d
+    * leaves, against the 2-level form's n·2·√k and the flat form's n·k:
+    * at a 100 TB corpus (~10^11 vectors, k = n/64 leaves) two levels read
+    * ~80k dots per vector while depth-4 at fanout ~200 reads ~800 — the
+    * only centroid-blocking shape that stays usable once √k itself is
+    * large. Child ids are `parent·f + j` (dense per level, globally
+    * unique), so the leaf id doubles as the blocking key.
+    */
+  final case class TreeKMeansModel(root: Seq[(Int, Seq[Long])],
+                                   subLevels: Seq[Seq[(Int, Int, Seq[Long])]],
+                                   id: String, vec: String) {
+    def depth: Int = 1 + subLevels.size
+    def leafCount: Int =
+      if (subLevels.isEmpty) root.size else subLevels.last.size
+    private[llm] def nodeCol: Column =
+      subLevels.foldLeft(graft.functions.NearestCellQ(col("q"), root): Column) {
+        (parent, tbl) => graft.functions.NearestSubCellQ(col("q"), parent, tbl)
+      }
+    def assign(df: DataFrame): DataFrame =
+      prepare(df, id, vec).select(col(id), nodeCol.as("cluster"))
+  }
+
+  /** Depth-d grouped-Lloyd tree fit. Level 1 is [[kmeansFit]] at fanout
+    * f = ⌈kTotal^(1/d)⌉ (or `fanouts`, when given); every deeper level
+    * fits ALL current nodes' f children simultaneously, exactly the
+    * [[hierarchicalFit]] recipe applied per level: mass-proportional
+    * seeding (first f distinct vectors per node in scrambled-id order, 4×
+    * candidate buffer), then `iters` rounds of one corpus scan + one
+    * (child, dim) hash aggregate with exact floor-div integer means —
+    * empty children keep their centroid, so the fit is deterministic and
+    * partitioning-invariant end to end and the gate oracle can replay
+    * every argmin level from the captured tables. With `fanouts =
+    * Seq(k1, k2)` matching [[hierarchicalFit]]'s split, the two fits are
+    * IDENTICAL (pinned in `PipelineOpsSpec`). Control plane stays
+    * centroid-table-sized: the per-level candidate collect is ≤ 4·f·nodes
+    * rows of dim longs — the next level's own table size, never corpus
+    * rows. The assigned-node column is re-checkpointed per level (the
+    * iterative-plan rule: d short plans, not one deep one).
+    */
+  def treeFit(df: DataFrame, id: String, vec: String,
+              targetCellSize: Long = 64L, depth: Int = 3, iters: Int = 3,
+              fanouts: Seq[Int] = Nil): TreeKMeansModel = {
+    require(depth >= 2, s"depth must be >= 2: $depth (depth 1 is kmeansFit)")
+    val n = df.count()
+    val kTotal = cellCountFor(n, targetCellSize)
+    val fs =
+      if (fanouts.nonEmpty) { require(fanouts.size == depth); fanouts }
+      else {
+        val f = math.max(2, math.ceil(
+          math.pow(kTotal.toDouble, 1.0 / depth)).toInt)
+        Seq.fill(depth)(f)
+      }
+    require(fs.map(_.toLong).product <= Int.MaxValue / 2,
+      s"leaf id space overflows int: fanouts $fs")
+    val root = kmeansFit(df, id, vec, fs.head, iters).centroids
+
+    var p = prepare(df, id, vec)
+      .select(col(id), col("q"),
+        graft.functions.NearestCellQ(col("q"), root).as("node"))
+      .localCheckpoint(false)
+    val dim = p.select(size(col("q"))).head().getInt(0)
+
+    val subLevels = fs.tail.zipWithIndex.map { case (f, li) =>
+      // per-node mass-proportional seeding, hierarchicalFit's recipe
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+        .orderBy(xxhash64(col(id)), col(id))
+      val cand = p.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= f * 4)
+        .select(col("node"), col("rn"), col("q"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toIndexedSeq))
+      var sub: Seq[(Int, Int, Seq[Long])] = cand.groupBy(_._1).toSeq.flatMap {
+        case (c, rows) =>
+          val seen = scala.collection.mutable.HashSet.empty[Seq[Long]]
+          rows.sortBy(_._2).iterator.map(_._3).filter(v => seen.add(v)).take(f)
+            .zipWithIndex.map { case (v, j) => (c, c * f + j, v: Seq[Long]) }.toSeq
+      }.sortBy(t => (t._1, t._2))
+
+      for (_ <- 1 to iters) {
+        val sums = p.select(
+            graft.functions.NearestSubCellQ(col("q"), col("node"), sub).as("child"),
+            posexplode(col("q")).as(Seq("dim", "x")))
+          .groupBy("child", "dim")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("nn"))
+          .collect()
+        val byChild = sums.groupBy(_.getInt(0))
+        sub = sub.map { case (c, child, prev) =>
+          byChild.get(child) match {
+            case Some(rows) =>
+              val comps = rows.map(r =>
+                r.getInt(1) -> Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
+              (c, child, (0 until dim).map(comps))
+            case None => (c, child, prev) // empty child keeps its centroid
+          }
+        }
+      }
+      // the assigned-node column only feeds the NEXT level's seeding/fit —
+      // materializing it after the last level would be a dead job
+      if (li < fs.tail.size - 1)
+        p = p.select(col(id), col("q"),
+            graft.functions.NearestSubCellQ(col("q"), col("node"), sub).as("node"))
+          .localCheckpoint(false)
+      sub
+    }
+    TreeKMeansModel(root, subLevels, id, vec)
+  }
+
   /** A fitted product quantizer: M per-subspace codebooks over the
     * quantized vector's contiguous ds-dim slices, codes dense `0..ks−1`
     * per subspace (Jégou et al., TPAMI 2011). `encode` is ONE narrow

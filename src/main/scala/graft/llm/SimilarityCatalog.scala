@@ -120,6 +120,23 @@ object SimilarityCatalog extends Catalog {
         .orderBy("id_a", "id_b")
     }),
 
+    // the LOG-DEPTH tree quantizer under the near-dup pair search: the
+    // two-level form's n·2√k assignment is itself n^1.5 once the data term
+    // binds (k ∝ n keeps occupancy — and pair volume — constant, so the
+    // per-vector √k grows); a depth-d tree reaches the same leaf count at
+    // n·d·f dots, f = k^(1/d) — per-vector cost ~flat per decade once
+    // depth tracks log n. Registered at depth 3 (the exponent step the
+    // vec-decade measurement isolates); oracle replays all three captured
+    // argmin levels.
+    "embedding_near_dup_tree" -> ((s, d) => {
+      val model = treeFit(s, d)
+      nearDupTreeCapture = Some((model.root, model.subLevels))
+      val df = Tables(s, d).embeddings
+      Similarity.cellNearDupPairs(df.join(model.assign(df), Seq("vec_id")),
+          "vec_id", "embedding", "cluster", NearDupCos)
+        .orderBy("id_a", "id_b")
+    }),
+
     "cell_stats" -> ((s, d) =>
       Similarity.cellStats(Tables(s, d).embeddings, "embedding", "label")
         .orderBy("label", "dim")),
@@ -401,6 +418,22 @@ object SimilarityCatalog extends Catalog {
     hierFits.getOrElseUpdate(d,
       Similarity.hierarchicalFit(Tables(s, d).embeddings, "vec_id", "embedding",
         targetCellSize = 64L, iters = 3))
+
+  /** Captured level tables of the last `embedding_near_dup_tree` run —
+    * the oracle replays every argmin level (treeOracle).
+    */
+  @volatile private var nearDupTreeCapture:
+    Option[(Seq[(Int, Seq[Long])], Seq[Seq[(Int, Int, Seq[Long])]])] = None
+
+  /** Once-per-(JVM, sfDir) memo of the depth-3 tree fit (same
+    * fit-once/consume-many shape as [[hierFit]]).
+    */
+  private val treeFits =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.TreeKMeansModel]
+  private def treeFit(s: SparkSession, d: String): Similarity.TreeKMeansModel =
+    treeFits.getOrElseUpdate(d,
+      Similarity.treeFit(Tables(s, d).embeddings, "vec_id", "embedding",
+        targetCellSize = 64L, depth = 3, iters = 3))
 
   /** Captured codebooks of the last PQ fit — the pq_codes/pq_topk oracles
     * replay the per-subspace argmin and ADC scoring from them.
@@ -742,6 +775,66 @@ object SimilarityCatalog extends Catalog {
            |ORDER BY id_a, id_b""".stripMargin
     }
 
+  /** Depth-d leaf-assignment CTE chain: the [[hierAssignCtes]] recipe
+    * applied per captured level — root argmin via assignCtes (`a`), then
+    * each level's argmin scoped to the previous level's node, identical
+    * comparison key and lower-cid tie-break as
+    * [[graft.functions.NearestSubCellQ]]. Ends in
+    * `pc(vec_id, q, n2, cluster)` with cluster = the LEAF.
+    */
+  private def treeAssignCtes(root: Seq[(Int, Seq[Long])],
+                             subLevels: Seq[Seq[(Int, Int, Seq[Long])]]): String = {
+    val chain = new StringBuilder(assignCtes(root))
+    var prev = "a"
+    subLevels.zipWithIndex.foreach { case (sub, i) =>
+      val l = i + 2 // level number, root = 1
+      val values = sub.map { case (c, cid, cq) =>
+        s"($c, $cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+      }.mkString(",\n    ")
+      chain.append(s""",
+        |sc$l(parent, cid, cq) AS (VALUES
+        |    $values),
+        |scn$l AS (SELECT parent, cid, cq,
+        |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+        |  FROM sc$l),
+        |ss$l AS (
+        |  SELECT pn.vec_id, scn$l.cid,
+        |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+        |                 FROM (SELECT unnest(pn.q) AS x, unnest(scn$l.cq) AS y))
+        |      + scn$l.cn2 AS dist
+        |  FROM pn JOIN $prev ON $prev.vec_id = pn.vec_id
+        |  JOIN scn$l ON scn$l.parent = $prev.cluster),
+        |a$l AS (
+        |  SELECT vec_id, cid AS cluster FROM ss$l
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist ASC, cid ASC) = 1)""".stripMargin)
+      prev = s"a$l"
+    }
+    chain.append(s""",
+      |pc AS (SELECT pn.vec_id, pn.q, pn.n2, $prev.cluster
+      |  FROM pn JOIN $prev ON $prev.vec_id = pn.vec_id)""".stripMargin)
+    chain.toString
+  }
+
+  /** embedding_near_dup_tree oracle: the depth-d leaf assignment chain,
+    * then the same within-leaf pair scoring as the hier near-dup oracle.
+    */
+  private def nearDupTreeOracle: Option[(String, String)] =
+    nearDupTreeCapture.map { case (root, subLevels) =>
+      "embedding_near_dup_tree" ->
+        s"""WITH ${treeAssignCtes(root, subLevels)},
+           |nd_scored AS (
+           |  SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b, x.n2 AS na, y.n2 AS nb,
+           |    (SELECT CAST(sum(xx * yy) AS BIGINT)
+           |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+           |  FROM pc x JOIN pc y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+           |SELECT cluster, id_a, id_b,
+           |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+           |FROM nd_scored
+           |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+           |ORDER BY id_a, id_b""".stripMargin
+    }
+
   /** pq_codes / pq_topk oracles: replay the captured per-subspace
     * codebooks — the same sliced argmin (`list_slice`, exact-integer
     * comparison key, lower-code tie-break) as
@@ -1060,7 +1153,7 @@ object SimilarityCatalog extends Catalog {
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
       nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ hierOracle.toMap ++
-      nearDupHierOracle.toMap ++
+      nearDupHierOracle.toMap ++ nearDupTreeOracle.toMap ++
       pqOracles ++ ivfPqOracle ++ ivfPqIndexOracle.toMap ++
       annRecallOracle.toMap ++ Map(
     "semantic_dedup_srp" ->

@@ -398,7 +398,10 @@ object StreamingCatalog extends Catalog {
     * complete, in-order, and duplicate-free end to end. Crash-resume of
     * the publication protocol is fault-injected in `CdcSpec`.
     */
-  def replayChangeFeed(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+  def replayChangeFeed(s: SparkSession, d: String,
+                       timeoutMs: Long = 300000): DataFrame = withStateParallelism(s, 8) {
+    // two sequential streams (upsert replay + feed tail): the replay-volume
+    // shuffle/commit rationale of withStateParallelism applies twice over
     val base = graft.engine.TempDirs.create("graft-change-feed")
     upsertSnapshotRun(s, d, base, timeoutMs, feed = true)
     // one published directory per version: read through a one-level glob

@@ -284,6 +284,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("treeFit at depth 2 with hierarchicalFit's split is the identical fit") {
+    // the depth-d generalization must DEGENERATE exactly: same level-1
+    // kmeans, same per-node seeding, same grouped-Lloyd rounds — so with
+    // hierarchicalFit's (k1, k2) split the two fits are the same model
+    val n = emb.count()
+    val kTotal = Similarity.cellCountFor(n, 64L)
+    val k1 = math.max(2, math.ceil(math.sqrt(kTotal.toDouble)).toInt)
+    val k2 = math.max(1L, (kTotal + k1 - 1L) / k1).toInt
+    val hier = Similarity.hierarchicalFit(emb, "vec_id", "embedding", 64L, 3)
+    val tree = Similarity.treeFit(emb, "vec_id", "embedding", 64L,
+      depth = 2, iters = 3, fanouts = Seq(k1, k2))
+    assert(tree.root === hier.coarse)
+    assert(tree.subLevels.head === hier.sub)
+    val ha = hier.assign(emb).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ta = tree.assign(emb).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ta === ha)
+  }
+
+  test("depth-3 treeFit is partitioning-invariant and its leaf ids encode ancestry") {
+    val t1 = Similarity.treeFit(emb, "vec_id", "embedding", 64L, depth = 3, iters = 2)
+    val t2 = Similarity.treeFit(emb.repartition(7), "vec_id", "embedding", 64L,
+      depth = 3, iters = 2)
+    assert(t1.root === t2.root, "root codebook must not depend on partitioning")
+    assert(t1.subLevels === t2.subLevels, "sub levels must not depend on partitioning")
+    assert(t1.depth === 3)
+    // child = parent * f + j: every level-(L) id must decode to a parent
+    // present at level L-1
+    val rootIds = t1.root.map(_._1).toSet
+    val l2 = t1.subLevels(0)
+    l2.foreach { case (p, _, _) => assert(rootIds.contains(p)) }
+    val l2Ids = l2.map(_._2).toSet
+    t1.subLevels(1).foreach { case (p, _, _) =>
+      assert(l2Ids.contains(p), s"level-3 parent $p missing from level 2")
+    }
+    // assignment lands every vector on a REAL fitted leaf
+    val leaves = t1.subLevels(1).map(_._2).toSet
+    val assigned = t1.assign(emb).select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(assigned.subsetOf(leaves))
+  }
+
   test("chunkedQueries slicing is exact: sliced topK == unsliced topK") {
     // the beyond-broadcast driver: per-query results are independent, so
     // any hash-slicing of the query set must reproduce the single-broadcast

@@ -71,6 +71,7 @@ class ViewsSpec extends SparkSpec {
       "stream_ivfpq_encode",     // same capture mechanism (shared IVF-PQ fit)
       "stream_ivfpq_index",      // same capture mechanism (shared IVF-PQ fit)
       "embedding_near_dup_hier", // same capture mechanism (two-level fit)
+      "embedding_near_dup_tree", // same capture mechanism (depth-3 tree fit)
       "ann_recall",              // needs BOTH pq and ivfpq captures
       "semantic_dedup_srp_auto") // captures its chosen band width
     // subset, not equality: the capture-based oracles APPEAR once another
