@@ -91,6 +91,19 @@ object CorpusCatalog extends Catalog {
       Corpus.sourceSimilarity(Tables(s, d).documents,
         "doc_id", "source", "text")),
 
+    // span-LEVEL decontamination: WHICH positions of each corpus doc leak
+    // from the benchmark set (winnowed fingerprints, broadcast bench side)
+    // — the trim-remediation complement of benchmark_contamination's
+    // per-doc score
+    "span_decontam" -> ((s, d) => {
+      val docs = Tables(s, d).documents
+      Dedup.spanDecontam(
+          docs.filter(col("source") =!= BenchmarkSource),
+          docs.filter(col("source") === BenchmarkSource),
+          "doc_id", "text", TextCatalog.DupSpanK, TextCatalog.WinnowW)
+        .orderBy("doc_id", "span_id")
+    }),
+
     "embedding_contamination" -> ((s, d) => {
       val emb = Tables(s, d).embeddings
       Corpus.embeddingContamination(
@@ -366,6 +379,47 @@ object CorpusCatalog extends Catalog {
          |  CAST(n_overlap AS BIGINT) AS n_overlap,
          |  CAST(n_overlap AS DOUBLE) / n_shingles AS containment
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    // mirror of Dedup.spanDecontam: the dup_spans_winnow CTE chain with a
+    // source column carried through, bench-selected fingerprints distinct,
+    // corpus-selected rows joined and islands-merged
+    "span_decontam" -> {
+      val K = TextCatalog.DupSpanK
+      val W = TextCatalog.WinnowW
+      s"""WITH tt AS (SELECT doc_id, source,
+         |    string_split(${OracleSql.norm}, ' ') AS w FROM documents),
+         |ws AS (SELECT doc_id, source, w, unnest(range(1, len(w) - $K + 2)) AS pos
+         |  FROM tt WHERE len(w) >= $K),
+         |ky AS (SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+         |    md5(array_to_string(w[pos:(pos + $K - 1)], ' '))
+         |      || lpad(CAST(1000000000000 - pos AS VARCHAR), 13, '0') AS key
+         |  FROM ws),
+         |mk AS (SELECT doc_id, source, min(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS min_key
+         |  FROM ky),
+         |sel AS (SELECT DISTINCT doc_id, source, min_key FROM mk),
+         |sw AS (SELECT doc_id, source, substring(min_key, 1, 32) AS fp,
+         |    1000000000000 - CAST(substring(min_key, 33, 13) AS BIGINT) AS start
+         |  FROM sel),
+         |s2 AS (SELECT *, start + ${K - 1} AS "end" FROM sw),
+         |bf AS (SELECT DISTINCT fp FROM s2 WHERE source = '$BenchmarkSource'),
+         |fl AS (SELECT s2.doc_id, s2.start, s2."end" FROM s2 JOIN bf USING (fp)
+         |  WHERE s2.source <> '$BenchmarkSource'),
+         |pe AS (SELECT *, max("end") OVER (PARTITION BY doc_id ORDER BY start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM fl),
+         |il AS (SELECT *, CAST(sum(CASE WHEN prev_end IS NULL OR start > prev_end + 1
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start) AS BIGINT)
+         |    AS span_id
+         |  FROM pe),
+         |sp AS (SELECT doc_id, span_id,
+         |    min(start) AS span_start, max("end") AS span_end,
+         |    max("end") - min(start) + 1 AS span_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_windows
+         |  FROM il GROUP BY doc_id, span_id)
+         |SELECT doc_id, span_id, span_start, span_end, span_tokens, n_windows
+         |FROM sp ORDER BY doc_id, span_id""".stripMargin
+    },
 
     // pairwise source Jaccard: same normalize/shingle pipeline, distinct
     // (source, shingle) sets, exact long counts, one IEEE division

@@ -786,6 +786,22 @@ object Dedup {
     */
   def winnowedDupSpans(df: DataFrame, id: String, textCol: String,
                        k: Int, w: Int): DataFrame = {
+    val selected = winnowedFingerprints(df, id, textCol, k, w)
+    val dups = selected.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    mergeSpans(selected.join(dups.select("fp"), Seq("fp")), id)
+  }
+
+  /** The winnow-selected `(id, fp, start, end)` fingerprint rows — the
+    * shared sampling layer of [[winnowedDupSpans]] and [[spanDecontam]]:
+    * per-position k-gram md5 plus a 13-digit position complement forms a
+    * key whose lexicographic window minimum is (min fingerprint, rightmost
+    * position); a rows-frame min over the next w starts rides the SAME
+    * doc-id sort as the k-gram lead chain, and the distinct is map-side
+    * partial-deduped so only the ~2/(w+1) selected rows shuffle.
+    */
+  private[graft] def winnowedFingerprints(df: DataFrame, id: String,
+                                          textCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 2, s"k-gram size must be >= 2: $k")
     require(w >= 2, s"winnow window must be >= 2: $w")
     require(w <= k, s"span merging needs w <= k (selected positions are <= w apart," +
@@ -805,15 +821,18 @@ object Dedup {
     // robust-winnow selection: for every window start the (min-hash,
     // rightmost) key; trailing truncated frames select too (deterministic,
     // mirrored in the oracle), so short docs (>= 1 k-gram) always sample
-    val selected = keyed
+    keyed
       .select(col(id), min(col("key")).over(win.rowsBetween(0, w - 1)).as("min_key"))
       .distinct()
       .select(col(id), substring(col("min_key"), 1, 32).as("fp"),
         (lit(Big) - substring(col("min_key"), 33, 13).cast("long")).as("start"))
       .withColumn("end", col("start") + (k - 1))
-    val dups = selected.groupBy("fp").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") > 1)
-    val flagged = selected.join(dups.select("fp"), Seq("fp"))
+  }
+
+  /** Gaps-and-islands merge of flagged `(id, start, end)` windows into
+    * maximal spans — the span-reporting tail shared by the winnowed tiers.
+    */
+  private def mergeSpans(flagged: DataFrame, id: String): DataFrame = {
     val w2 = Window.partitionBy(id).orderBy("start")
     val prevEnd = max(col("end")).over(w2.rowsBetween(Window.unboundedPreceding, -1))
     flagged
@@ -825,6 +844,30 @@ object Dedup {
       .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
       .select(col(id), col("span_id"), col("span_start"), col("span_end"),
         col("span_tokens"), col("n_windows"))
+  }
+
+  /** Span-level benchmark decontamination: the leaked SPANS of each corpus
+    * doc against a held-out benchmark set, via winnowed fingerprints —
+    * the POSITION-level complement of shingle-containment scoring
+    * ([[Corpus.contaminationScores]] says how contaminated a doc is; this
+    * says WHAT to trim, so remediation can cut the quoted eval item
+    * instead of dropping the document). Alignment-invariant with the same
+    * ≥ w+k−1-token guarantee as [[winnowedDupSpans]] (winnowing selection
+    * is content-relative, so a passage shared between a corpus doc and a
+    * benchmark doc selects the same interior fingerprints on both sides).
+    *
+    * Scale shape: the benchmark side is distinct-reduced to its selected
+    * fingerprints and BROADCAST (eval benchmarks are fixed-size next to a
+    * 100 TB corpus); the corpus side is the sampled winnow stream — one
+    * broadcast hash join, no corpus-side shuffle beyond the winnow's own
+    * sampled distinct, never doc×doc.
+    */
+  def spanDecontam(corpus: DataFrame, bench: DataFrame, id: String,
+                   textCol: String, k: Int, w: Int): DataFrame = {
+    val corpFp = winnowedFingerprints(corpus, id, textCol, k, w)
+    val benchFp = winnowedFingerprints(bench, id, textCol, k, w)
+      .select("fp").distinct()
+    mergeSpans(corpFp.join(broadcast(benchFp), Seq("fp")), id)
   }
 
   /** Per-doc duplicated-substring coverage — the curation signal built on

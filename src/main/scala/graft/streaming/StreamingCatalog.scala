@@ -452,6 +452,45 @@ object StreamingCatalog extends Catalog {
     s.read.parquet(s"$base/sink").orderBy("doc_id")
   }
 
+  /** Streaming span-level decontamination — the ingest half of
+    * [[graft.llm.Dedup.spanDecontam]]: each micro-batch of arriving
+    * documents is winnow-fingerprinted and probed against the STATIC
+    * benchmark set inside foreachBatch (the winnow's per-doc window is a
+    * batch plan, legal there; results are per-doc local, so any
+    * doc-complete batching reproduces the batch answer — the oracle is the
+    * batch span_decontam SQL verbatim). Replay is forced through 4
+    * micro-batches (documents pre-split, maxFilesPerTrigger=1; file
+    * boundaries never split a doc). The shape a training-data pipeline
+    * runs at ingest: quoted eval items are flagged with positions before
+    * the doc ever lands in the corpus.
+    */
+  def replaySpanDecontam(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
+    val base = graft.engine.TempDirs.create("graft-span-decontam")
+    val benchSrc = graft.llm.CorpusCatalog.BenchmarkSource
+    val bench = graft.engine.Tables(s, d).documents
+      .filter(col("source") === benchSrc)
+    val src = graft.engine.FixtureDirs("documents-split4", d) { tmp =>
+      graft.engine.Tables(s, d).documents.repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/docs")
+    }
+    val q = s.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/docs")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Dedup.spanDecontam(
+            batch.filter(col("source") =!= benchSrc), bench, "doc_id", "text",
+            graft.llm.TextCatalog.DupSpanK, graft.llm.TextCatalog.WinnowW)
+          .write.mode("append").parquet(s"$base/sink")
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitOrFail(q, timeoutMs)
+    s.read.parquet(s"$base/sink").orderBy("doc_id", "span_id")
+  }
+
   /** Stream-static dimension join through the gate: the event replay
     * stream enriched against the STATIC nation table (a declared
     * `user_id mod 25` home-nation mapping — the fixture's stand-in for a
@@ -921,6 +960,11 @@ object StreamingCatalog extends Catalog {
     // second readStream and fold it back into the final snapshot — feed
     // replay must reconstruct exactly the batch truth
     "stream_change_feed"      -> ((s, d) => replayChangeFeed(s, d)),
+
+    // span-level decontamination at INGEST: per-batch winnow fingerprints
+    // probed against the static benchmark set; union over batches must
+    // equal the batch pass (per-doc locality), oracle = the batch SQL
+    "stream_span_decontam"    -> ((s, d) => replaySpanDecontam(s, d)),
     "stream_dim_join"         -> ((s, d) => replayDimJoin(s, d)),
     "stream_simhash_dedup"    -> ((s, d) => replaySimHashDedup(s, d)),
     "stream_ingest_dedup"     -> ((s, d) => replayIngestDedup(s, d)),
@@ -972,6 +1016,10 @@ object StreamingCatalog extends Catalog {
     // the stream-maintained MG summary satisfies the SAME provable
     // derivatives as the batch sketch (merge-tree independence)
     "stream_heavy_hitters" -> graft.llm.TextCatalog.oracleSql("heavy_hitter_bounds"),
+
+    // ingest-side span decontamination unions doc-local results over
+    // batches — identical to the batch pass by construction
+    "stream_span_decontam" -> graft.llm.CorpusCatalog.oracleSql("span_decontam"),
 
     // the RocksDB-provider variants compute identical results — the state
     // store is an execution detail — so each reuses its base oracle

@@ -650,6 +650,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("spanDecontam flags the leaked span wherever the copy sits, never clean docs") {
+    // a 12-token eval item quoted at DIFFERENT offsets in two corpus docs
+    // (length 12 >= w + k - 1 = 6): both must report a span inside the
+    // true leaked region; the clean doc must not appear at all. Matching
+    // fingerprints can only be in-passage k-grams (boundary grams carry
+    // each side's own context), so spans cannot bleed past the quote.
+    val evalItem = (1 to 12).map(i => s"e$i").mkString(" ")
+    val bench = Seq((100L, s"bq1 $evalItem bq2")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"a1 a2 a3 $evalItem a4"), // leak at token positions 4..15
+      (2L, s"$evalItem b1 b2 b3 b4 b5 b6"), // leak at token positions 1..12
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14 c15") // clean
+    ).toDF("doc_id", "text")
+    val spans = Dedup.spanDecontam(corpus, bench, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(spans.map(_._1).toSet === Set(1L, 2L), "both leaks, no clean doc")
+    val regions = Map(1L -> (4L, 15L), 2L -> (1L, 12L))
+    spans.foreach { case (id, s, e) =>
+      val (rs, re) = regions(id)
+      assert(rs <= s && e <= re, s"span ($id,$s,$e) outside leak [$rs,$re]")
+    }
+  }
+
   test("dupSpanWindows equals brute-force window counting on the fixture") {
     val k = 5
     val texts = docs.select(col("doc_id"), TextOps.normText(col("text")))

@@ -49,7 +49,8 @@ val picks = Seq(
   "heavy_hitter_bounds" -> "Misra-Gries heavy hitters through the engine's custom TypedImperativeAggregate (mg_topk): map-side k-1-counter partial summaries, shuffle-side PODS'12 mergeable merge - frequent terms with NO vocabulary shuffle (the token explode aggregates into ONE summary row); exact counts join in only for the provable bound flags. stream_heavy_hitters runs the SAME aggregate complete-mode inside a checkpointed stream (the state store carries the serialized summary).",
   "dup_spans_winnow" -> "Content-defined (winnowed) span dedup: per-position k-gram md5 and the rows-frame minimum both ride the SAME doc-id window sort (one exchange), map-side-deduped distinct means only ~2/(w+1) of positions reach the fingerprint aggregate - the alignment-invariant span tier at sampled shuffle volume.",
   "stream_change_feed" -> "The CDC read side (fold plan shown; the feed itself is published exactly-once by the upsert replay's stage-then-atomic-rename protocol): a file-source readStream tails feed/, and the newest-version-per-key fold is ONE window exchange over the change rows.",
-  "embedding_near_dup_tree" -> "Depth-3 tree quantizer: assignment chains nearest_cell_q -> nearest_sub_cell_q -> nearest_sub_cell_q in ONE narrow projection (n*3*f dots at fanout f = k^(1/3) - the log-depth exponent knob over the 2-level form's n*2*sqrt(k)), then the standard leaf-blocked pair verify.")
+  "embedding_near_dup_tree" -> "Depth-3 tree quantizer: assignment chains nearest_cell_q -> nearest_sub_cell_q -> nearest_sub_cell_q in ONE narrow projection (n*3*f dots at fanout f = k^(1/3) - the log-depth exponent knob over the 2-level form's n*2*sqrt(k)), then the standard leaf-blocked pair verify.",
+  "span_decontam" -> "Span-level benchmark decontamination: the corpus side's winnowed fingerprints (sampled ~2/(w+1) of positions, map-side-deduped) probe the distinct-reduced BROADCAST benchmark fingerprint set - one broadcast hash join, never doc x doc - then the gaps-and-islands merge reports WHICH positions quote the eval set.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
