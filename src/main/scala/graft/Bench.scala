@@ -132,9 +132,53 @@ object Bench {
       schedDelaySeries += schedDelay
     }
 
+    // Streaming stall attribution (round-9): when a streaming query breaches
+    // 2x its committed budget, the artifact must carry the per-batch
+    // StreamingQueryProgress durationMs breakdown — so a one-off stall (like
+    // round 8's stream_range_join 23.9 s) is adjudicated by evidence
+    // (WHICH batch, WHICH phase: addBatch / stateCommit / walCommit), not by
+    // elimination against the probe series. The listener records every
+    // micro-batch of every stream started while a timed query runs; the
+    // compact per-batch line keeps the artifact bounded.
+    val progressBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        val dur = p.durationMs.entrySet().toArray.map {
+          case kv: java.util.Map.Entry[_, _] => s""""${kv.getKey}":${kv.getValue}"""
+        }.mkString("{", ",", "}")
+        val state = Option(p.stateOperators).map(_.map(so =>
+          s"""{"op":"${so.operatorName}","rowsTotal":${so.numRowsTotal},"rowsUpdated":${so.numRowsUpdated},"commitMs":${so.allUpdatesTimeMs + so.commitTimeMs}}""")
+          .mkString("[", ",", "]")).getOrElse("[]")
+        progressBuf.add(
+          s"""{"batchId":${p.batchId},"inputRows":${p.numInputRows},"durationMs":$dur,"state":$state}""")
+      }
+    })
+    def drainProgress(): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var x = progressBuf.poll()
+      while (x != null) { out += x; x = progressBuf.poll() }
+      out.toSeq
+    }
+    // committed budgets (PerfBudgetSpec's snapshot); a query without a row
+    // (or a dev tree without the file) falls back to a 10 s stall threshold
+    val budgets: Map[String, Double] = {
+      val f = java.nio.file.Paths.get("src/test/resources/time_budgets.tsv")
+      if (java.nio.file.Files.exists(f))
+        scala.io.Source.fromFile(f.toFile).getLines().filter(_.nonEmpty).map { l =>
+          val Array(n, s) = l.split("\t"); n -> s.toDouble
+        }.toMap
+      else Map.empty
+    }
+    val stallProgress = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+
     val errors = scala.collection.mutable.ListBuffer[String]()
     canary()
     val results = names.zipWithIndex.map { case (name, i) =>
+      drainProgress()
       val t0 = System.nanoTime()
       val ok = try { run(name); true } catch {
         case e: Throwable =>
@@ -142,20 +186,34 @@ object Bench {
           errors += name
           false
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val stallAt = budgets.get(name).map(b => math.max(2.0 * b, 5.0)).getOrElse(10.0)
+      if (elapsed > stallAt) {
+        // listener delivery is async; give the bus a beat to flush the tail
+        Thread.sleep(200)
+        val prog = drainProgress()
+        if (prog.nonEmpty) stallProgress(name) = prog
+      }
       if ((i + 1) % canaryEvery == 0) canary()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     canary()
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = canarySeries.mkString("[", ",", "]")
     val ioCanaryJson = ioCanarySeries.mkString("[", ",", "]")
-    val spinJson = spinSeries.map(v => f"$v%.4f").mkString("[", ",", "]")
-    val schedDelayJson = schedDelaySeries.map(v => f"$v%.4f").mkString("[", ",", "]")
+    // Locale.ROOT: f"" uses the JVM default locale, whose decimal separator
+    // can be ',' — which would make the JSON line unparseable
+    def fmt4(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val spinJson = spinSeries.map(fmt4).mkString("[", ",", "]")
+    val schedDelayJson = schedDelaySeries.map(fmt4).mkString("[", ",", "]")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val total = ok.sum
     val maxQ = if (ok.nonEmpty) ok.max else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"io_canary_series":$ioCanaryJson,"spin_series":$spinJson,"sched_delay_series":$schedDelayJson,"sf":"$sfDir"}""")
+    val stallJson = stallProgress.map { case (k, v) =>
+      s""""$k":${v.mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"io_canary_series":$ioCanaryJson,"spin_series":$spinJson,"sched_delay_series":$schedDelayJson,"stall_progress":$stallJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

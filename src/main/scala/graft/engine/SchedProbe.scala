@@ -72,8 +72,10 @@ object SchedProbe {
     */
   def describe(n: Int = 3): String = {
     val samples = (0 until n).map(_ => sample())
-    val walls = samples.map { case (w, _) => f"$w%.3f" }.mkString(",")
-    val delays = samples.map { case (_, d) => f"$d%.3f" }.mkString(",")
+    // Locale.ROOT: the default locale may render decimals with ','
+    def f3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val walls = samples.map { case (w, _) => f3(w) }.mkString(",")
+    val delays = samples.map { case (_, d) => f3(d) }.mkString(",")
     s"sched-probe wall=[$walls]s run-delay=[$delays]s (fixed ${SpinIters} iters; " +
       "inflated wall + risen delay = box scheduler contention, " +
       "inflated wall + flat delay = cpu throttle, flat wall = code)"

@@ -586,7 +586,16 @@ object Dedup {
       .distinct().localCheckpoint(false)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
 
-    var labels = df.select(col(id), col(id).as("cluster_id")).localCheckpoint(false)
+    // Propagate over EDGE NODES only: the label frame is bounded by the
+    // duplicate-pair graph (tiny next to the corpus — that's the premise of
+    // the whole tier), so every per-round join/shuffle moves pair-graph
+    // volume, not corpus volume. Singletons label themselves via one
+    // corpus-side left join AFTER convergence. At 100 TB this is the
+    // difference between rounds over the dup graph and rounds over the
+    // corpus. The symmetrized edge frame's src side covers every
+    // non-singleton node.
+    var labels = edges.select(col("src").as(id)).distinct()
+      .withColumn("cluster_id", col(id)).localCheckpoint(false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -612,7 +621,9 @@ object Dedup {
     // for the corpus, not a tolerable approximation
     require(converged,
       s"dupClusters: min-label propagation not converged after $maxIter iterations")
-    labels
+    df.select(col(id))
+      .join(labels.withColumnRenamed("cluster_id", "__cl"), Seq(id), "left")
+      .select(col(id), coalesce(col("__cl"), col(id)).as("cluster_id"))
   }
 
   /** Cross-document duplicated passages — the chunk-level approximation of

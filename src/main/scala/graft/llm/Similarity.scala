@@ -101,8 +101,13 @@ object Similarity {
     * are independent of every other query, so slicing is EXACT — proven by
     * the slice-≡ test in `PipelineOpsSpec`. Driver state is one count and
     * the slice loop; corpus-side work is one scan per slice (the
-    * unavoidable trade: n/slice passes instead of one — pick `slice` as
-    * large as the broadcast budget allows).
+    * unavoidable trade: n/slice passes instead of one).
+    *
+    * Sizing: hash slices are Binomial(n, 1/nSlices), so a slice lands at
+    * ~n/nSlices only in EXPECTATION — size `slice` to 50-70% of the
+    * broadcast budget so a +3σ slice still broadcasts. (The alternative —
+    * exact slices via a rank window — costs a single-partition global sort
+    * of the query frame, the one shape this wrapper exists to avoid.)
     */
   def chunkedQueries(queries: DataFrame, id: String, slice: Int)
                     (run: DataFrame => DataFrame): DataFrame = {
@@ -775,7 +780,13 @@ object Similarity {
     val n = df.count()
     val kTotal = cellCountFor(n, targetCellSize)
     val fs =
-      if (fanouts.nonEmpty) { require(fanouts.size == depth); fanouts }
+      if (fanouts.nonEmpty) {
+        require(fanouts.size == depth, s"fanouts.size ${fanouts.size} != depth $depth")
+        require(fanouts.forall(_ >= 2),
+          s"every fanout must be >= 2 (a 0/1/negative fanout fails deep inside " +
+            s"k-means seeding with an obscure error): $fanouts")
+        fanouts
+      }
       else {
         val f = math.max(2, math.ceil(
           math.pow(kTotal.toDouble, 1.0 / depth)).toInt)
@@ -834,6 +845,85 @@ object Similarity {
       sub
     }
     TreeKMeansModel(root, subLevels, id, vec)
+  }
+
+  /** DataFrame-RESIDENT quantizer assignment — the big-model path. The
+    * expression kernels ([[graft.functions.NearestCellQ]] /
+    * [[graft.functions.NearestSubCellQ]]) carry the centroid tables inside
+    * the expression node: zero shuffle, k·dim flops in whole-stage codegen —
+    * the right plan while the MODEL fits a task binary. With k ∝ n leaves
+    * (the constant-occupancy scaling law of the semantic-dedup tier) the
+    * leaf level is O(n/target): at 10¹¹ vectors ≈ 5·10⁸ leaves × 64 dims ×
+    * 8 B ≈ 256 GB — no longer an expression payload, a driver collect, or a
+    * broadcast. This path keeps each level as a DataFrame
+    * `(parent, cid, cq, cn2)` and assigns by per-level equi-join on the
+    * parent node + argmin aggregate:
+    *
+    *  - join: rows `(id, q, node)` ⋈ level on `node = parent` — an
+    *    ordinary shuffle hash join; Spark broadcasts small levels on its
+    *    own, and the leaf level shuffles MODEL rows instead of holding
+    *    them on the driver (the whole point);
+    *  - score: `cn2 − 2·dot_q(q, cq)` — the exact integer comparison key
+    *    of the expression kernels ([[graft.functions.DotProductQ]]);
+    *  - argmin: `min(struct(score, cid, …))` per id — lexicographic struct
+    *    ordering IS (min score, then min cid) = the kernels'
+    *    strict-improvement lower-cid tie-break. Rows land on the argmin
+    *    aggregate already grouped by parent (every candidate of an id
+    *    shares the id's parent), so the map-side partial aggregate reduces
+    *    n·f scored rows to n before the exchange.
+    *
+    * Null/shape semantics match the kernels: a null/mis-shaped vector
+    * scores null against every centroid, is filtered before the argmin,
+    * and the id is absent from the output — exactly what the expression
+    * path's null-then-join-back produces. Spec-pinned ≡ [[KMeansModel
+    * .assign]] / [[HierKMeansModel.assign]] / [[TreeKMeansModel.assign]]
+    * in `PipelineOpsSpec`.
+    *
+    * Model-size envelope: expression path ≤ a few hundred MB of centroids
+    * (task-binary/broadcast bound); this path is bounded only by cluster
+    * storage — levels above the leaf usually still fit the expression
+    * kernels, so a hybrid (expressions down to the last broadcastable
+    * level, one table join for the leaf level) is the production shape;
+    * both ends of that hybrid are exactly these two code paths.
+    */
+  def assignViaCentroidTables(df: DataFrame, id: String, vec: String,
+                              levels: Seq[DataFrame]): DataFrame = {
+    require(levels.nonEmpty, "at least one centroid level")
+    def scoreCol: Column =
+      (col("cn2") - lit(2L) * graft.functions.DotQ(col("q"), col("cq"))).as("score")
+    def argmin(scored: DataFrame): DataFrame =
+      scored.filter(col("sc.score").isNotNull)
+        .groupBy(col(id)).agg(min(col("sc")).as("w"))
+        .select(col(id), col("w.q").as("q"), col("w.cid").as("node"))
+    // ROOT level: every row scores against every root centroid — the same
+    // per-row dot count the expression kernel reads. The root codebook is
+    // FANOUT-sized (never leaf-count-sized), so it broadcasts; an explicit
+    // broadcast cross join states that design (an equi-join on a constant
+    // parent key would constant-fold into the same nested-loop shape,
+    // minus the intent — and would shuffle everything to one partition if
+    // the broadcast were ever declined).
+    val first = argmin(
+      prepare(df, id, vec).select(col(id), col("q"))
+        .crossJoin(broadcast(levels.head.drop("parent")))
+        .select(col(id), struct(scoreCol, col("cid"), col("q")).as("sc")))
+    levels.tail.foldLeft(first) { (cur, lvl) =>
+      argmin(cur.join(lvl, cur("node") === lvl("parent"))
+        .select(cur(id).as(id), struct(scoreCol, col("cid"), col("q")).as("sc")))
+    }.select(col(id), col("node").as("cluster"))
+  }
+
+  /** Centroid-level DataFrames for [[assignViaCentroidTables]] from a
+    * captured in-memory model (the gate/spec entry point — a distributed
+    * fit would hand over its level frames directly). Root rows get
+    * parent 0, matching the assignment seed.
+    */
+  def centroidLevelTables(s: SparkSession, root: Seq[(Int, Seq[Long])],
+                          subLevels: Seq[Seq[(Int, Int, Seq[Long])]]): Seq[DataFrame] = {
+    import s.implicits._
+    def mk(rows: Seq[(Int, Int, Seq[Long])]): DataFrame =
+      rows.map { case (p, c, cq) => (p, c, cq, cq.map(x => x * x).sum) }
+        .toDF("parent", "cid", "cq", "cn2")
+    mk(root.map { case (c, cq) => (0, c, cq) }) +: subLevels.map(mk)
   }
 
   /** A fitted product quantizer: M per-subspace codebooks over the

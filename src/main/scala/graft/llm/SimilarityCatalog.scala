@@ -103,6 +103,27 @@ object SimilarityCatalog extends Catalog {
         .orderBy("vec_id")
     }),
 
+    // the BIG-MODEL assignment path under the same two-level fit: the
+    // expression kernels carry centroids inside the plan (zero shuffle —
+    // right while the model fits a task binary); with k ∝ n leaves the
+    // leaf table is O(n/target) and stops fitting (~256 GB at 10^11
+    // vectors). This variant assigns via DataFrame-resident centroid
+    // tables — per-level equi-join on the parent node + argmin aggregate
+    // (Similarity.assignViaCentroidTables) — so the model lives in
+    // executors/storage, never on the driver. Same fit, same captured
+    // tables, same oracle SQL as semantic_dedup_hier: only the engine's
+    // evaluation strategy differs, which is exactly what the gate pins.
+    "semantic_dedup_bigmodel" -> ((s, d) => {
+      val model = hierFit(s, d)
+      bigModelCapture = Some((model.coarse, model.sub))
+      val df = Tables(s, d).embeddings
+      val assigned = Similarity.assignViaCentroidTables(df, "vec_id", "embedding",
+        Similarity.centroidLevelTables(s, model.coarse, Seq(model.sub)))
+      Similarity.semanticDedup(df.join(assigned, Seq("vec_id")),
+          "vec_id", "embedding", "cluster", NearDupCos)
+        .orderBy("vec_id")
+    }),
+
     // the near-dup PAIR search on the two-level quantizer's leaves: the
     // flat-auto form above still pays the n·k assignment (measured 12.6×
     // on 10× data at the sf1cr→sf10cr decade, SCALE.md) — blocking on the
@@ -127,7 +148,12 @@ object SimilarityCatalog extends Catalog {
     // n·d·f dots, f = k^(1/d) — per-vector cost ~flat per decade once
     // depth tracks log n. Registered at depth 3 (the exponent step the
     // vec-decade measurement isolates); oracle replays all three captured
-    // argmin levels.
+    // argmin levels. SCOPE: the tree quantizer blocks near-dup PAIRS only —
+    // it does not front an ANN top-k index. A tree-coarse IVF-PQ pipeline
+    // would change recall (deeper trees mis-route more boundary queries),
+    // so any such registration must first extend the `ann_recall` gate to
+    // cover it; dedup blocking is recall-tolerant by construction (a missed
+    // boundary pair costs one surviving duplicate, not a wrong answer).
     "embedding_near_dup_tree" -> ((s, d) => {
       val model = treeFit(s, d)
       nearDupTreeCapture = Some((model.root, model.subLevels))
@@ -406,6 +432,14 @@ object SimilarityCatalog extends Catalog {
     * fit is shared via [[hierFit]]).
     */
   @volatile private var nearDupHierCapture:
+    Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])] = None
+
+  /** Captured two-level centroids of the last `semantic_dedup_bigmodel`
+    * run (separate capture, same subset-run independence; fit shared via
+    * [[hierFit]] — the big-model query differs only in the ASSIGNMENT
+    * path, so its oracle is byte-identical to the hier one).
+    */
+  @volatile private var bigModelCapture:
     Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])] = None
 
   /** Once-per-(JVM, sfDir) memo of the hierarchical fit (same
@@ -737,22 +771,36 @@ object SimilarityCatalog extends Catalog {
        |pc AS (SELECT pn.vec_id, pn.q, pn.n2, h.cluster FROM pn JOIN h USING (vec_id))""".stripMargin
   }
 
+  /** The hier-dedup oracle SQL body, shared verbatim by the expression-path
+    * query (`semantic_dedup_hier`) and the big-model table-path query
+    * (`semantic_dedup_bigmodel`): the two queries differ ONLY in how the
+    * engine evaluates the argmin (native kernel vs join+aggregate), so
+    * the truth — replay of the captured centroid tables — is the same SQL.
+    */
+  private def hierDedupSql(coarse: Seq[(Int, Seq[Long])],
+                           sub: Seq[(Int, Int, Seq[Long])]): String =
+    s"""WITH ${hierAssignCtes(coarse, sub)},
+       |sd_scored AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.n2 AS na, y.n2 AS nb,
+       |    (SELECT CAST(sum(xx * yy) AS BIGINT)
+       |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+       |  FROM pc x JOIN pc y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+       |sd_dup AS (
+       |  SELECT id_b AS vec_id, min(id_a) AS dup_of FROM sd_scored
+       |  WHERE CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+       |  GROUP BY id_b)
+       |SELECT pc.vec_id, pc.cluster, d.dup_of, d.dup_of IS NULL AS is_kept
+       |FROM pc LEFT JOIN sd_dup d USING (vec_id)
+       |ORDER BY pc.vec_id""".stripMargin
+
+  private def bigModelOracle: Option[(String, String)] =
+    bigModelCapture.map { case (coarse, sub) =>
+      "semantic_dedup_bigmodel" -> hierDedupSql(coarse, sub)
+    }
+
   private def hierOracle: Option[(String, String)] = hierCapture.map { case (coarse, sub) =>
-    "semantic_dedup_hier" ->
-      s"""WITH ${hierAssignCtes(coarse, sub)},
-         |sd_scored AS (
-         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.n2 AS na, y.n2 AS nb,
-         |    (SELECT CAST(sum(xx * yy) AS BIGINT)
-         |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
-         |  FROM pc x JOIN pc y ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
-         |sd_dup AS (
-         |  SELECT id_b AS vec_id, min(id_a) AS dup_of FROM sd_scored
-         |  WHERE CAST(dot AS DOUBLE) /
-         |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
-         |  GROUP BY id_b)
-         |SELECT pc.vec_id, pc.cluster, d.dup_of, d.dup_of IS NULL AS is_kept
-         |FROM pc LEFT JOIN sd_dup d USING (vec_id)
-         |ORDER BY pc.vec_id""".stripMargin
+    "semantic_dedup_hier" -> hierDedupSql(coarse, sub)
   }
 
   /** embedding_near_dup_hier oracle: the shared two-level leaf assignment
@@ -1153,6 +1201,7 @@ object SimilarityCatalog extends Catalog {
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
       nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ hierOracle.toMap ++
+      bigModelOracle.toMap ++
       nearDupHierOracle.toMap ++ nearDupTreeOracle.toMap ++
       pqOracles ++ ivfPqOracle ++ ivfPqIndexOracle.toMap ++
       annRecallOracle.toMap ++ Map(

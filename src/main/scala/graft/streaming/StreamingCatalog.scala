@@ -304,7 +304,8 @@ object StreamingCatalog extends Catalog {
   private[graft] def upsertSnapshotRun(s: SparkSession, d: String, base: String,
       timeoutMs: Long = 300000, crashAtBatch: Option[Long] = None,
       crashBeforeCommit: Boolean = false, feed: Boolean = false,
-      crashBeforePublish: Boolean = false): DataFrame = {
+      crashBeforePublish: Boolean = false,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
     val src = graft.engine.FixtureDirs("events-split8", d) { tmp =>
       graft.engine.Tables(s, d).events.repartition(8)
         .write.mode("overwrite").parquet(s"$tmp/ev")
@@ -312,7 +313,7 @@ object StreamingCatalog extends Catalog {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
     val q = s.readStream.schema(Streams.eventSchema)
-      .option("maxFilesPerTrigger", "2")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(s"$src/ev")
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -379,9 +380,17 @@ object StreamingCatalog extends Catalog {
   private def publishChanges(base: String, id: Long): Unit = {
     val dst = java.nio.file.Paths.get(base, "feed", s"c$id")
     if (!Files.exists(dst)) {
+      val staged = java.nio.file.Paths.get(base, "stage", s"c$id")
+      // The already-committed replay branch reaches here assuming the stage
+      // exists; a snapshot previously run with feed=false (or a cleaned
+      // stage dir) would otherwise surface as a bare NoSuchFileException
+      // from Files.move.
+      require(Files.exists(staged),
+        s"change set v$id was never staged under $base/stage — the prior run " +
+          s"committed this version without feed mode (or the stage dir was " +
+          s"cleaned); re-run the snapshot from scratch with feed=true")
       Files.createDirectories(dst.getParent)
-      Files.move(java.nio.file.Paths.get(base, "stage", s"c$id"), dst,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.move(staged, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
   }
 
@@ -399,15 +408,24 @@ object StreamingCatalog extends Catalog {
     * the publication protocol is fault-injected in `CdcSpec`.
     */
   def replayChangeFeed(s: SparkSession, d: String,
-                       timeoutMs: Long = 300000): DataFrame = withStateParallelism(s, 8) {
+                       timeoutMs: Long = 300000): DataFrame = withStateParallelism(s, 4) {
     // two sequential streams (upsert replay + feed tail): the replay-volume
-    // shuffle/commit rationale of withStateParallelism applies twice over
+    // shuffle/commit rationale of withStateParallelism applies twice over.
+    // Gate-scale economy (round-9): 3 versions (8 files / mFPT=3 -> batches
+    // of 3,3,2) at 4 shuffle partitions instead of the upsert gate's 4
+    // versions x 8 — multi-version in-order fold is proven from 3 versions
+    // exactly as from 4, and each version costs 2 parquet writes + a merge,
+    // so the feed replay is version-count-bound at fixture scale
     val base = graft.engine.TempDirs.create("graft-change-feed")
-    upsertSnapshotRun(s, d, base, timeoutMs, feed = true)
+    upsertSnapshotRun(s, d, base, timeoutMs, feed = true, maxFilesPerTrigger = 3)
     // one published directory per version: read through a one-level glob
     // so both the schema probe and the tailing stream list the c*/part
     // files (a bare dir-of-dirs path infers no schema)
     val feedDir = s"$base/feed/*"
+    // NOTE: the schema probe below makes Spark's FileStreamSink.hasMetadata
+    // stat the literal glob string and log a WARN-level FileNotFoundException
+    // ("feed/* does not exist") WITH a full stack trace before falling back
+    // to normal glob resolution — benign and expected; the read succeeds.
     val q = s.readStream.schema(s.read.parquet(feedDir).schema)
       .parquet(feedDir)
       .writeStream.format("parquet")
@@ -714,15 +732,21 @@ object StreamingCatalog extends Catalog {
   def replayLeftJoin(s: SparkSession, d: String, timeoutMs: Long = 300000): DataFrame = {
     val dir = sessionReplayDir(s, d)
     val base = graft.engine.TempDirs.create("graft-left-join")
+    // maxFilesPerTrigger=2 folds the sentinel ladder into TWO batches:
+    // batch 1 = events + flush1 (real pairs join and emit; flush1's
+    // far-future ts sets the next watermark), batch 2 = flush2 (watermark
+    // = maxTs + 2h - 45min delay > every join-window end at <= maxTs +
+    // 45min, so every unmatched left row evicts and emits here). Eviction-
+    // time emission is still what the gate proves — unmatched rows emit a
+    // batch AFTER they arrived, on watermark passage — at 2/3 of the
+    // 3-batch ladder's state-commit floor.
     def side(types: Seq[String]) =
-      s.readStream.schema(eventSchema).option("maxFilesPerTrigger", "1")
+      s.readStream.schema(eventSchema).option("maxFilesPerTrigger", "2")
         .parquet(dir).filter(col("event_type").isin(types: _*))
     // see withStateParallelism: 4 stores/partition x per-batch commits —
-    // and unlike replayRangeJoin's single-batch replay, the sentinel
-    // ladder forces THREE batches here (3x the commits), so this replay
-    // runs at 4 partitions: the real join work all lands in batch 1
-    // (every real row is in the first staged file) and a partition still
-    // holds only tens of thousands of rows at sf0.1
+    // the real join work all lands in batch 1 (every real row is in the
+    // first staged file) and a partition still holds only tens of
+    // thousands of rows at sf0.1
     withStateParallelism(s, 4) {
       // NO type filter inside the streaming plan: a left-side predicate on
       // a left-outer join is pushed below the join INTO the left source

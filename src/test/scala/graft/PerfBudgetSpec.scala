@@ -55,8 +55,10 @@ class PerfBudgetSpec extends SparkSpec {
       // (concurrent DuckDB gen, scheduler waves) and the adjudication was
       // manual until now. An inflated spin wall here means re-run on an
       // idle box before touching any plan.
-      lazy val probe = { graft.engine.SchedProbe.warmup(); graft.engine.SchedProbe.describe() }
-      assert(over.isEmpty, over.mkString("", "\n", s"\n$probe"))
+      if (over.nonEmpty) {
+        graft.engine.SchedProbe.warmup()
+        fail(over.mkString("", "\n", s"\n${graft.engine.SchedProbe.describe()}"))
+      } else succeed
     }
   }
 }

@@ -325,6 +325,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(assigned.subsetOf(leaves))
   }
 
+  test("table-path assignment equals the expression kernels on every model shape") {
+    // the big-model path (per-level equi-join on parent + argmin aggregate)
+    // must reproduce the native kernels' assignment EXACTLY — same integer
+    // comparison key, same lower-cid tie-break — at depth 1 (flat), 2
+    // (hier), and 3 (tree), because it is registered as the evaluation-
+    // strategy twin of the expression path, not an approximation
+    val flat = Similarity.kmeansFit(emb, "vec_id", "embedding",
+      Similarity.cellCountFor(emb.count(), 64L), iters = 2)
+    val hier = Similarity.hierarchicalFit(emb, "vec_id", "embedding", 64L, 2)
+    val tree = Similarity.treeFit(emb, "vec_id", "embedding", 64L, depth = 3, iters = 2)
+    def viaTables(root: Seq[(Int, Seq[Long])],
+                  subs: Seq[Seq[(Int, Int, Seq[Long])]]): Map[Long, Int] =
+      Similarity.assignViaCentroidTables(emb, "vec_id", "embedding",
+          Similarity.centroidLevelTables(spark, root, subs))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def viaKernel(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaTables(flat.centroids, Nil) === viaKernel(flat.assign(emb)))
+    assert(viaTables(hier.coarse, Seq(hier.sub)) === viaKernel(hier.assign(emb)))
+    assert(viaTables(tree.root, tree.subLevels) === viaKernel(tree.assign(emb)))
+    // and the table path is partitioning-invariant like everything else
+    val repart = Similarity.assignViaCentroidTables(emb.repartition(7),
+        "vec_id", "embedding",
+        Similarity.centroidLevelTables(spark, hier.coarse, Seq(hier.sub)))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(repart === viaKernel(hier.assign(emb)))
+  }
+
   test("chunkedQueries slicing is exact: sliced topK == unsliced topK") {
     // the beyond-broadcast driver: per-query results are independent, so
     // any hash-slicing of the query set must reproduce the single-broadcast

@@ -61,7 +61,11 @@ class PlanAuditSpec extends SparkSpec {
         "stream_heavy_hitters", // same flag shape over the stream summary
         "cooccurrence_lift",    // broadcast of the 1-row total-token count
         "association_rules",    // broadcast of the 1-row total-basket count
-        "approx_stats_bounds") // 1-row exact/sketch aggregates broadcast-joined
+        "approx_stats_bounds", // 1-row exact/sketch aggregates broadcast-joined
+        // root-codebook broadcast cross: every row scores against the
+        // fanout-sized root level (same dots/row as the expression kernel);
+        // deeper levels equi-join on the parent node
+        "semantic_dedup_bigmodel")
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !intended(n) => n
     }
