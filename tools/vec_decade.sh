@@ -5,7 +5,7 @@
 # /tmp. Fixtures from tools/gen_vecs.py (gitignored). Run on an IDLE box.
 set -e
 cd /root/repo
-HIER=embedding_near_dup_hier,semantic_dedup_hier,embedding_near_dup_tree,semantic_dedup_srp_auto
+HIER=embedding_near_dup_hier,semantic_dedup_hier,embedding_near_dup_tree,semantic_dedup_srp_auto,semantic_dedup_bigmodel
 FLAT=embedding_near_dup_auto,semantic_dedup_auto
 
 run() { # dir tag queries
