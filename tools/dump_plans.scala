@@ -50,7 +50,9 @@ val picks = Seq(
   "dup_spans_winnow" -> "Content-defined (winnowed) span dedup: per-position k-gram md5 and the rows-frame minimum both ride the SAME doc-id window sort (one exchange), map-side-deduped distinct means only ~2/(w+1) of positions reach the fingerprint aggregate - the alignment-invariant span tier at sampled shuffle volume.",
   "stream_change_feed" -> "The CDC read side (fold plan shown; the feed itself is published exactly-once by the upsert replay's stage-then-atomic-rename protocol): a file-source readStream tails feed/, and the newest-version-per-key fold is ONE window exchange over the change rows.",
   "embedding_near_dup_tree" -> "Depth-3 tree quantizer: assignment chains nearest_cell_q -> nearest_sub_cell_q -> nearest_sub_cell_q in ONE narrow projection (n*3*f dots at fanout f = k^(1/3) - the log-depth exponent knob over the 2-level form's n*2*sqrt(k)), then the standard leaf-blocked pair verify.",
-  "span_decontam" -> "Span-level benchmark decontamination: the corpus side's winnowed fingerprints (sampled ~2/(w+1) of positions, map-side-deduped) probe the distinct-reduced BROADCAST benchmark fingerprint set - one broadcast hash join, never doc x doc - then the gaps-and-islands merge reports WHICH positions quote the eval set.")
+  "span_decontam" -> "Span-level benchmark decontamination: the corpus side's winnowed fingerprints (sampled ~2/(w+1) of positions, map-side-deduped) probe the distinct-reduced BROADCAST benchmark fingerprint set - one broadcast hash join, never doc x doc - then the gaps-and-islands merge reports WHICH positions quote the eval set.",
+  "stream_span_decontam" -> "Span decontam AT INGEST (read-back plan shown; the decontam itself runs inside the checkpointed document replay): each micro-batch winnows its documents and probes the same broadcast benchmark fingerprint set in-flight, so contaminated spans are flagged before the corpus lands - the batch span_decontam SQL is the oracle verbatim.",
+  "semantic_dedup_bigmodel" -> "The DataFrame-resident (big-model) assignment path: root codebook broadcast-crosses the corpus (fanout-sized, the intended nested-loop), the leaf level equi-joins on the parent node, and min(struct(score, cid)) reproduces the kernels' exact argmin + tie-break; map-side partial aggregation collapses the n*f scored rows to n before the exchange. Exists for the k-proportional-to-n regime where the leaf table outgrows any broadcast (SCALE.md round-9 envelope note).")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
