@@ -270,6 +270,22 @@ object SimilarityCatalog extends Catalog {
       out.orderBy("vec_id")
     }),
 
+    // the TWO-STAGE verify over the same banding (the round-9 fix for the
+    // measured srp-auto scale negative): stage 1 prunes banded candidates
+    // on the hamming distance of the 8-byte sketches already in hand
+    // (popcount of xor, declared tau = ceil(0.35 * bits) -- <1e-5 true-pair
+    // loss at the dedup threshold, SCALE.md round 9), stage 2 ships the
+    // full quantized vectors to SURVIVORS only. The single-stage form
+    // shipped ~0.5 KB of vector payload per candidate pair and measured
+    // 12.8x wall on 3.16x data; this is the production form beyond ~500k
+    // vectors. Oracle replays sketch -> band -> hamming -> exact verify.
+    "semantic_dedup_srp_pre" -> ((s, d) => {
+      val (rpb, out) = Srp.semanticDedupSrpPrefilter(Tables(s, d).embeddings,
+        "vec_id", "embedding", Dim, NearDupCos)
+      srpPreWidth = Some(rpb)
+      out.orderBy("vec_id")
+    }),
+
     // product quantization (Jégou et al., TPAMI 2011): M per-subspace
     // codebooks fitted by grouped Lloyd, each vector stored as an M-int
     // code word. The codes table IS the 100 TB artifact — a 64-dim float
@@ -407,6 +423,12 @@ object SimilarityCatalog extends Catalog {
     * per band) — the oracle replays the identical banding at this width.
     */
   @volatile private var srpAutoWidth: Option[Int] = None
+
+  /** Captured band width of the last `semantic_dedup_srp_pre` run — the
+    * oracle replays banding AND the hamming prefilter at this width
+    * (τ = [[Srp.hammingTauFor]] is a pure function of the width).
+    */
+  @volatile private var srpPreWidth: Option[Int] = None
 
   /** Once-per-(JVM, sfDir) memo of the scale-adaptive k ∝ n k-means fit
     * consumed by `semantic_dedup_auto` and `embedding_near_dup_auto` —
@@ -1183,6 +1205,67 @@ object SimilarityCatalog extends Catalog {
          |ORDER BY e.vec_id""".stripMargin
   }
 
+  /** The prefilter-sketch CTE (`projp, smp, skp`): [[Srp.preSketches]]'
+    * PreLongs packed longs, exact mirror — hyperplane indices offset 64,
+    * [[Srp.PreBitsPerLong]] bits per long, same sign family and zero-tie
+    * rule as the banding sketch. Reuses `ex` from the banding CTE chain.
+    */
+  private def srpPreCtes: String = {
+    val nPre = Srp.PreLongs * Srp.PreBitsPerLong
+    val projCols = (0 until nPre).map(j => s"t_$j").mkString(", ")
+    val projValues = (0 until Dim).map { d =>
+      s"($d, ${(0 until nPre).map(j => Srp.sign(64 + j, d)).mkString(", ")})"
+    }.mkString(",\n    ")
+    val sums = (0 until nPre)
+      .map(j => s"CAST(sum(x * t_$j) AS BIGINT) AS pp_$j").mkString(",\n    ")
+    val packed = (0 until Srp.PreLongs).map { l =>
+      (0 until Srp.PreBitsPerLong)
+        .map(i => s"(CASE WHEN pp_${l * Srp.PreBitsPerLong + i} > 0 " +
+          s"THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ") + s" AS pf_$l"
+    }.mkString(",\n    ")
+    s"""projp(dim, $projCols) AS (VALUES
+       |    $projValues),
+       |smp AS (SELECT vec_id,
+       |    $sums
+       |  FROM ex JOIN projp USING (dim) GROUP BY vec_id),
+       |skp AS (SELECT vec_id,
+       |    $packed
+       |  FROM smp)""".stripMargin
+  }
+
+  private def srpPreOracle: Option[(String, String)] = srpPreWidth.map { rpb =>
+    val tau = Srp.hammingTauFor(Srp.PreLongs * Srp.PreBitsPerLong)
+    val ham = (0 until Srp.PreLongs)
+      .map(l => s"bit_count(xor(sa.pf_$l, sb.pf_$l))").mkString(" + ")
+    "semantic_dedup_srp_pre" ->
+      s"""WITH $prepSql,
+         |${srpSketchCtesWidth(rpb)},
+         |$srpPreCtes,
+         |scand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+         |    AND a.vec_id < b.vec_id),
+         |spre AS (SELECT scand.id_a, scand.id_b
+         |  FROM scand
+         |  JOIN skp sa ON sa.vec_id = scand.id_a
+         |  JOIN skp sb ON sb.vec_id = scand.id_b
+         |  WHERE $ham <= $tau),
+         |ssc AS (
+         |  SELECT spre.id_a, spre.id_b, x.n2 AS na, y.n2 AS nb,
+         |    (SELECT CAST(sum(xx * yy) AS BIGINT)
+         |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+         |  FROM spre
+         |  JOIN pn x ON x.vec_id = spre.id_a
+         |  JOIN pn y ON y.vec_id = spre.id_b),
+         |sdup AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM ssc
+         |  WHERE CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+         |  GROUP BY id_b)
+         |SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS is_kept
+         |FROM embeddings e LEFT JOIN sdup d USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin
+  }
+
   private def srpOracle: String = {
     s"""$srpSketchCtes,
        |cand AS (SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS nn_id
@@ -1200,8 +1283,8 @@ object SimilarityCatalog extends Catalog {
 
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
-      nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ hierOracle.toMap ++
-      bigModelOracle.toMap ++
+      nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ srpPreOracle.toMap ++
+      hierOracle.toMap ++ bigModelOracle.toMap ++
       nearDupHierOracle.toMap ++ nearDupTreeOracle.toMap ++
       pqOracles ++ ivfPqOracle ++ ivfPqIndexOracle.toMap ++
       annRecallOracle.toMap ++ Map(

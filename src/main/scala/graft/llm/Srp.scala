@@ -163,6 +163,124 @@ object Srp {
       .select(col(id), col("dup_of"), col("dup_of").isNull.as("is_kept"))
   }
 
+  /** The prefilter sketch: [[PreLongs]] additional longs of
+    * [[PreBitsPerLong]] SRP bits each (hyperplane indices offset past the
+    * banding sketch's, same declared [[sign]] family), joined at 8 B apiece
+    * where the full quantized vector costs ~0.5 KB. Width derivation: the
+    * BANDING sketch cannot prefilter — a banded candidate already agrees
+    * on rpb of its ≤63 bits, and the conditional hamming mean of a random
+    * direction over the remaining bits sits almost exactly at any sane τ
+    * (measured: ~45% of spurious candidates survive, and the stage-2
+    * payload stays the bottleneck). 126 independent bits separate the
+    * populations: a true pair at cos ≥ 0.85 differs per bit with
+    * p = arccos(0.85)/π ≈ 0.177 → Binomial(126, 0.177), mean 22.3,
+    * σ 4.28; a random direction (p = 0.5) has mean 63, σ 5.6.
+    */
+  val PreLongs = 2
+  val PreBitsPerLong = 63
+
+  /** Hamming prefilter bound over `totalPreBits` independent prefilter
+    * bits: τ = ⌈mean + 4.5σ⌉ of the TRUE-pair distribution at the dedup
+    * threshold (declared, replayed in the oracle) — a true pair is pruned
+    * with probability < 10⁻⁵, while a random direction at the conditional
+    * mean is ~3.7σ ABOVE τ at 126 bits (P(survive) ≈ 10⁻⁴: out of ~80 M
+    * banded candidates at 632k vectors, ~10⁴ spurious survivors reach the
+    * exact verify instead of ~36 M).
+    */
+  def hammingTauFor(totalPreBits: Int): Int = {
+    val p = math.acos(0.85) / math.Pi
+    math.ceil(totalPreBits * p + 4.5 * math.sqrt(totalPreBits * p * (1 - p))).toInt
+  }
+
+  /** `(id, pf_0 … pf_{PreLongs−1})`: the prefilter sketch columns —
+    * [[PreLongs]] independent [[graft.functions.SrpSketchQ]] longs whose
+    * hyperplane indices start past the banding sketch's (offset 64), so
+    * no prefilter bit ever repeats a banding bit.
+    */
+  def preSketches(prepared: DataFrame, id: String, dim: Int): DataFrame = {
+    val cols = (0 until PreLongs).map { l =>
+      val byBit = (0 until PreBitsPerLong).map(i =>
+        (0 until dim).map(d => sign(64 + l * PreBitsPerLong + i, d)))
+      graft.functions.SrpSketchQ(col("q"), byBit).as(s"pf_$l")
+    }
+    prepared.select(col(id) +: cols: _*)
+  }
+
+  /** [[semanticDedupSrpAuto]] with a TWO-STAGE candidate verify — the fix
+    * for the measured srp-auto scale negative (SCALE.md round 9: the
+    * single-stage verify ships both full quantized vectors to every banded
+    * candidate, ~50 GB of join payload at 632k vectors → spill cascade,
+    * 12.8× wall on 3.16× data). Stage 1 joins the 16-byte independent
+    * prefilter sketch ([[preSketches]]) and prunes on hamming distance
+    * ([[hammingTauFor]] — at 126 bits the true-pair and random-direction
+    * distributions are ~7σ apart, so survivors ≈ true pairs); stage 2
+    * ships full vectors ONLY to survivors and verifies with the exact
+    * integer cosine, identical to the single-stage form. The prefilter is
+    * part of the operator's declared semantics (a true pair beyond τ is
+    * dropped — probability < 10⁻⁵ at the dedup threshold) and the oracle
+    * replays sketch → band → hamming → verify bit-for-bit, so the gate
+    * stays hash-exact.
+    */
+  def semanticDedupSrpPrefilter(df: DataFrame, id: String, vec: String,
+                                dim: Int, threshold: Double,
+                                targetBucket: Long = 64L): (Int, DataFrame) = {
+    val rpb = rowsPerBandFor(df.count(), targetBucket)
+    (rpb, semanticDedupSrpPrefilterWidth(df, id, vec, dim, threshold, rpb))
+  }
+
+  /** The two-stage pipeline at an explicit band width; `tau` < 0 derives
+    * [[hammingTauFor]] (an explicit τ ≥ PreLongs·PreBitsPerLong disables
+    * pruning — the spec pins that degenerate form ≡
+    * [[semanticDedupSrpWidth]]).
+    */
+  def semanticDedupSrpPrefilterWidth(df: DataFrame, id: String, vec: String,
+                                     dim: Int, threshold: Double,
+                                     rowsPerBand: Int, tau: Int = -1): DataFrame = {
+    val totalBits = Bands * rowsPerBand
+    val t = if (tau < 0) hammingTauFor(PreLongs * PreBitsPerLong) else tau
+    val p = Similarity.prepare(df, id, vec)
+      .select(col(id), col("q"), col("n2")).localCheckpoint(false)
+    val sk = sketches(p, id, vec, dim, totalBits).localCheckpoint(false)
+    // The prefilter sketch (one narrow codegen pass per vector) rides ON
+    // the band rows — PreLongs·8 B of extra payload on the n·Bands-row
+    // band frame — so the hamming prune evaluates INSIDE the band join's
+    // output projection. The candidate pair frame is never exchanged: the
+    // only pair-volume work is the in-partition popcount, and the distinct
+    // + exact verify see survivors only (≈ true pairs at the declared τ).
+    // The first cut of this operator joined the sketches onto the pair
+    // frame instead — three full pair-frame shuffles, measured 10.6× on
+    // 3.16× data at the 632k→2M step from spill alone.
+    val bandsPf = bandRows(sk, id, rowsPerBand)
+      .join(preSketches(p, id, dim), Seq(id))
+      .localCheckpoint(false)
+    val hamming = (0 until PreLongs)
+      .map(l => bit_count(col(s"pa_$l").bitwiseXOR(col(s"pb_$l"))))
+      .reduce(_ + _)
+    val pre = bandsPf
+      .select(col(id).as("id_a") +: col("band") +:
+        (0 until PreLongs).map(l => col(s"pf_$l").as(s"pa_$l")): _*)
+      .join(bandsPf.select(col(id).as("id_b") +: col("band") +:
+        (0 until PreLongs).map(l => col(s"pf_$l").as(s"pb_$l")): _*),
+        Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(hamming <= t)
+      .select("id_a", "id_b").distinct()
+    // stage 2: full vectors for survivors only, exact integer cosine
+    val dupOf = pre
+      .join(p.select(col(id).as("id_a"), col("q").as("qa"), col("n2").as("na")),
+        Seq("id_a"))
+      .join(p.select(col(id).as("id_b"), col("q").as("qb"), col("n2").as("nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineQ(Similarity.dotQ(col("qa"), col("qb")),
+          col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_b").as(id)).agg(min(col("id_a")).as("dup_of"))
+    df.select(col(id))
+      .join(dupOf, Seq(id), "left")
+      .select(col(id), col("dup_of"), col("dup_of").isNull.as("is_kept"))
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
               dim: Int, k: Int): DataFrame = {
     val pc = Similarity.prepare(corpus, id, vec)

@@ -325,6 +325,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(assigned.subsetOf(leaves))
   }
 
+  test("srp two-stage prefilter: disabled-tau degenerates to the single-stage form") {
+    // tau >= totalBits disables pruning, so the two-stage pipeline must be
+    // EXACTLY the single-stage dedup — the prefilter only ever removes
+    // candidates, and stage 2 is byte-identical verify logic
+    import graft.llm.Srp
+    val rpb = Srp.rowsPerBandFor(emb.count(), 64L)
+    val single = Srp.semanticDedupSrpWidth(emb, "vec_id", "embedding", 64, 0.85, rpb)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    val noPrune = Srp.semanticDedupSrpPrefilterWidth(emb, "vec_id", "embedding",
+        64, 0.85, rpb, tau = Srp.PreLongs * Srp.PreBitsPerLong)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    assert(noPrune === single)
+  }
+
+  test("srp prefilter keeps identical twins and prunes a far pair") {
+    import graft.llm.Srp
+    // two identical vectors (hamming 0 — must survive any tau and dedup)
+    // plus an unrelated far vector
+    val base = (0 until 64).map(i => ((i * 37 % 19) - 9).toFloat / 10f)
+    val far = (0 until 64).map(i => (((i * 53 + 7) % 17) - 8).toFloat / 9f)
+    val df = Seq((1L, base), (2L, base), (9L, far))
+      .toDF("vec_id", "embedding")
+    val out = Srp.semanticDedupSrpPrefilterWidth(df, "vec_id", "embedding",
+        64, 0.85, 4)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(2L) === Some(1L), "identical twin collapses to the min id")
+    assert(out(1L) === None && out(9L) === None)
+    // the derived tau follows the declared formula: mean + 4.5 sigma of
+    // Binomial(126, arccos(0.85)/pi)
+    assert(Srp.hammingTauFor(Srp.PreLongs * Srp.PreBitsPerLong) === 42)
+  }
+
   test("table-path assignment equals the expression kernels on every model shape") {
     // the big-model path (per-level equi-join on parent + argmin aggregate)
     // must reproduce the native kernels' assignment EXACTLY — same integer
