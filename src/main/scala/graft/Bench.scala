@@ -141,9 +141,15 @@ object Bench {
     // micro-batch of every stream started while a timed query runs; the
     // compact per-batch line keeps the artifact bounded.
     val progressBuf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // set while a timed query runs iff it actually started a stream — the
+    // stall sleep/drain below is pointless (and, at a larger-than-budgeted
+    // sf, a ~200 ms-per-query tax) for batch queries that can never
+    // produce StreamingQueryProgress
+    val streamStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        streamStarted.set(true)
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         val p = e.progress
@@ -179,6 +185,7 @@ object Bench {
     canary()
     val results = names.zipWithIndex.map { case (name, i) =>
       drainProgress()
+      streamStarted.set(false)
       val t0 = System.nanoTime()
       val ok = try { run(name); true } catch {
         case e: Throwable =>
@@ -188,7 +195,7 @@ object Bench {
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       val stallAt = budgets.get(name).map(b => math.max(2.0 * b, 5.0)).getOrElse(10.0)
-      if (elapsed > stallAt) {
+      if (elapsed > stallAt && streamStarted.get()) {
         // listener delivery is async; give the bus a beat to flush the tail
         Thread.sleep(200)
         val prog = drainProgress()

@@ -907,8 +907,23 @@ object Similarity {
         .crossJoin(broadcast(levels.head.drop("parent")))
         .select(col(id), struct(scoreCol, col("cid"), col("q")).as("sc")))
     levels.tail.foldLeft(first) { (cur, lvl) =>
-      argmin(cur.join(lvl, cur("node") === lvl("parent"))
-        .select(cur(id).as(id), struct(scoreCol, col("cid"), col("q")).as("sc")))
+      // LEFT join + raise_error on the join-miss condition: an id whose
+      // assigned node has no children in the next level table is a
+      // malformed/incomplete levels input — an inner join would silently
+      // drop the row (the output shrinks with no signal). The check rides
+      // the SCORE expression (which argmin's not-null filter always
+      // evaluates — a cid-side check could be pruned away with the struct),
+      // and is unambiguous there: every row entering a deeper level has
+      // non-null q (it survived the previous argmin), so a null cn2 can
+      // only mean a centroid-table gap. Fail-loud at zero extra jobs.
+      val checkedScore = when(col("cn2").isNull,
+        raise_error(concat(lit("assignViaCentroidTables: node "),
+          cur("node").cast("string"),
+          lit(" has no children in the next centroid level"))))
+        .otherwise(col("cn2") - lit(2L) * graft.functions.DotQ(col("q"), col("cq")))
+        .as("score")
+      argmin(cur.join(lvl, cur("node") === lvl("parent"), "left")
+        .select(cur(id).as(id), struct(checkedScore, col("cid"), col("q")).as("sc")))
     }.select(col(id), col("node").as("cluster"))
   }
 

@@ -60,6 +60,10 @@ object SimilarityCatalog extends Catalog {
     // like ivf_kmeans_assign's (semanticAutoOracle below). The fit itself
     // is memoized per (JVM, sfDir) — `embedding_near_dup_auto` consumes
     // the SAME fit, the fit-once/consume-many shape (pcaFit's idiom).
+    // PINNED COMPARATOR — super-linear past ~10⁵ vectors (the flat k ∝ n
+    // assignment is n·k = n²/target dots; measured 56.7→253.7 s at
+    // 200k→632k, SCALE.md round 9): use semantic_dedup_hier / _tree /
+    // _bigmodel for real corpora.
     "semantic_dedup_auto" -> ((s, d) => {
       val model = autoFit(s, d)
       autoCentroids = Some(model.centroids)
@@ -76,6 +80,10 @@ object SimilarityCatalog extends Catalog {
     // holds per-cell pair volume, and so total candidate volume, linear
     // in n. Same exact quantized cosine; oracle replays the captured
     // centroids (nearDupAutoOracle below).
+    // PINNED COMPARATOR — super-linear past ~10⁵ vectors (shares the flat
+    // k ∝ n fit's n²/target assignment dots; measured 65.7→185.9 s at
+    // 200k→632k, SCALE.md round 9): use embedding_near_dup_hier / _tree
+    // for real corpora.
     "embedding_near_dup_auto" -> ((s, d) => {
       val model = autoFit(s, d)
       nearDupAutoCentroids = Some(model.centroids)
@@ -263,6 +271,10 @@ object SimilarityCatalog extends Catalog {
     // and its spurious-collision verify cost grows quadratically; measured
     // 56 s at sf1-constrate vs ~3 s for this form). The chosen width is
     // captured for the oracle like the auto fits' centroids.
+    // PINNED COMPARATOR — super-linear past ~10⁵ vectors (the single-stage
+    // verify ships full vectors to every banded candidate; measured 12.8×
+    // on 3.16× data at 200k→632k from pair-payload spill, SCALE.md
+    // round 9): use semantic_dedup_srp_pre for real corpora.
     "semantic_dedup_srp_auto" -> ((s, d) => {
       val (rpb, out) = Srp.semanticDedupSrpAuto(Tables(s, d).embeddings,
         "vec_id", "embedding", Dim, NearDupCos)
@@ -272,10 +284,13 @@ object SimilarityCatalog extends Catalog {
 
     // the TWO-STAGE verify over the same banding (the round-9 fix for the
     // measured srp-auto scale negative): stage 1 prunes banded candidates
-    // on the hamming distance of the 8-byte sketches already in hand
-    // (popcount of xor, declared tau = ceil(0.35 * bits) -- <1e-5 true-pair
-    // loss at the dedup threshold, SCALE.md round 9), stage 2 ships the
-    // full quantized vectors to SURVIVORS only. The single-stage form
+    // on the hamming distance of an independent prefilter sketch whose
+    // width AND tau derive from the verify threshold (Srp.preLongsFor /
+    // Srp.hammingTauFor at NearDupCos: 21 longs, tau 591 -- <1e-5
+    // true-pair loss AT the threshold; a fixed 2-long/tau-42 sketch sized
+    // for cos 0.85 would silently prune true pairs in the 0.35-0.6 band),
+    // stage 2 ships the full quantized vectors to SURVIVORS only. The
+    // single-stage form
     // shipped ~0.5 KB of vector payload per candidate pair and measured
     // 12.8x wall on 3.16x data; this is the production form beyond ~500k
     // vectors. Oracle replays sketch -> band -> hamming -> exact verify.
@@ -426,7 +441,8 @@ object SimilarityCatalog extends Catalog {
 
   /** Captured band width of the last `semantic_dedup_srp_pre` run — the
     * oracle replays banding AND the hamming prefilter at this width
-    * (τ = [[Srp.hammingTauFor]] is a pure function of the width).
+    * (prefilter width and τ are pure functions of the verify threshold:
+    * [[Srp.preLongsFor]] / [[Srp.hammingTauFor]] at [[NearDupCos]]).
     */
   @volatile private var srpPreWidth: Option[Int] = None
 
@@ -1206,19 +1222,21 @@ object SimilarityCatalog extends Catalog {
   }
 
   /** The prefilter-sketch CTE (`projp, smp, skp`): [[Srp.preSketches]]'
-    * PreLongs packed longs, exact mirror — hyperplane indices offset 64,
+    * `preLongs` packed longs, exact mirror — hyperplane indices offset 64,
     * [[Srp.PreBitsPerLong]] bits per long, same sign family and zero-tie
     * rule as the banding sketch. Reuses `ex` from the banding CTE chain.
+    * (The wide form — one sum column per prefilter bit — measures ~13×
+    * faster in DuckDB than the long unnest-join form at 1 323 bits.)
     */
-  private def srpPreCtes: String = {
-    val nPre = Srp.PreLongs * Srp.PreBitsPerLong
+  private def srpPreCtes(preLongs: Int): String = {
+    val nPre = preLongs * Srp.PreBitsPerLong
     val projCols = (0 until nPre).map(j => s"t_$j").mkString(", ")
     val projValues = (0 until Dim).map { d =>
       s"($d, ${(0 until nPre).map(j => Srp.sign(64 + j, d)).mkString(", ")})"
     }.mkString(",\n    ")
     val sums = (0 until nPre)
       .map(j => s"CAST(sum(x * t_$j) AS BIGINT) AS pp_$j").mkString(",\n    ")
-    val packed = (0 until Srp.PreLongs).map { l =>
+    val packed = (0 until preLongs).map { l =>
       (0 until Srp.PreBitsPerLong)
         .map(i => s"(CASE WHEN pp_${l * Srp.PreBitsPerLong + i} > 0 " +
           s"THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
@@ -1235,13 +1253,18 @@ object SimilarityCatalog extends Catalog {
   }
 
   private def srpPreOracle: Option[(String, String)] = srpPreWidth.map { rpb =>
-    val tau = Srp.hammingTauFor(Srp.PreLongs * Srp.PreBitsPerLong)
-    val ham = (0 until Srp.PreLongs)
-      .map(l => s"bit_count(xor(sa.pf_$l, sb.pf_$l))").mkString(" + ")
+    // width and tau are pure functions of the registered verify threshold
+    // (Srp.preLongsFor / Srp.hammingTauFor) — the oracle replays both
+    val preLongs = Srp.preLongsFor(NearDupCos)
+    val tau = Srp.hammingTauFor(preLongs * Srp.PreBitsPerLong, NearDupCos)
+    // DuckDB bit_count returns TINYINT — 21 popcounts summed overflow 127
+    val ham = (0 until preLongs)
+      .map(l => s"CAST(bit_count(xor(sa.pf_$l, sb.pf_$l)) AS INTEGER)")
+      .mkString(" + ")
     "semantic_dedup_srp_pre" ->
       s"""WITH $prepSql,
          |${srpSketchCtesWidth(rpb)},
-         |$srpPreCtes,
+         |${srpPreCtes(preLongs)},
          |scand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
          |    AND a.vec_id < b.vec_id),

@@ -163,42 +163,78 @@ object Srp {
       .select(col(id), col("dup_of"), col("dup_of").isNull.as("is_kept"))
   }
 
-  /** The prefilter sketch: [[PreLongs]] additional longs of
+  /** The prefilter sketch: [[preLongsFor]] additional longs of
     * [[PreBitsPerLong]] SRP bits each (hyperplane indices offset past the
-    * banding sketch's, same declared [[sign]] family), joined at 8 B apiece
-    * where the full quantized vector costs ~0.5 KB. Width derivation: the
-    * BANDING sketch cannot prefilter — a banded candidate already agrees
-    * on rpb of its ≤63 bits, and the conditional hamming mean of a random
-    * direction over the remaining bits sits almost exactly at any sane τ
-    * (measured: ~45% of spurious candidates survive, and the stage-2
-    * payload stays the bottleneck). 126 independent bits separate the
-    * populations: a true pair at cos ≥ 0.85 differs per bit with
-    * p = arccos(0.85)/π ≈ 0.177 → Binomial(126, 0.177), mean 22.3,
-    * σ 4.28; a random direction (p = 0.5) has mean 63, σ 5.6.
+    * banding sketch's, same declared [[sign]] family), joined at 8 B
+    * apiece where the full quantized vector costs ~0.5 KB. Why a separate
+    * sketch at all: the BANDING sketch cannot prefilter — a banded
+    * candidate already agrees on rpb of its ≤63 bits, and the conditional
+    * hamming mean of a random direction over the remaining bits sits
+    * almost exactly at any sane τ (measured: ~45% of spurious candidates
+    * survive, and the stage-2 payload stays the bottleneck).
     */
-  val PreLongs = 2
   val PreBitsPerLong = 63
 
-  /** Hamming prefilter bound over `totalPreBits` independent prefilter
-    * bits: τ = ⌈mean + 4.5σ⌉ of the TRUE-pair distribution at the dedup
-    * threshold (declared, replayed in the oracle) — a true pair is pruned
-    * with probability < 10⁻⁵, while a random direction at the conditional
-    * mean is ~3.7σ ABOVE τ at 126 bits (P(survive) ≈ 10⁻⁴: out of ~80 M
-    * banded candidates at 632k vectors, ~10⁴ spurious survivors reach the
-    * exact verify instead of ~36 M).
+  /** How far (in σ of the RANDOM-pair hamming distribution) τ must sit
+    * below the random mean for the prune to bite: 3.7σ ⇒ a spurious
+    * banded candidate survives with P ≈ 10⁻⁴ (out of ~80 M banded
+    * candidates at 632k vectors, ~10⁴ spurious survivors reach the exact
+    * verify instead of ~36 M).
     */
-  def hammingTauFor(totalPreBits: Int): Int = {
-    val p = math.acos(0.85) / math.Pi
+  val PreRandomGapSigmas = 3.7
+
+  /** Per-bit disagreement probability of a pair at exactly cosine
+    * `threshold` under the SRP family: p = arccos(threshold)/π — the same
+    * collision identity the banding S-curve uses. The TRUE-pair loss
+    * bound below is computed at this p, i.e. at the worst admissible pair
+    * (any pair above the threshold flips strictly fewer bits in
+    * expectation).
+    */
+  def flipProbFor(threshold: Double): Double = math.acos(threshold) / math.Pi
+
+  /** Hamming prefilter bound over `totalPreBits` independent prefilter
+    * bits at a given verify threshold: τ = ⌈mean + 4.5σ⌉ of the TRUE-pair
+    * distribution Binomial(totalPreBits, [[flipProbFor]](threshold))
+    * (declared, replayed in the oracle) — a true pair AT the threshold is
+    * pruned with probability < 10⁻⁵. τ must be derived from the operator's
+    * actual threshold: the first cut hardcoded p = arccos(0.85)/π while
+    * the catalog verifies at cos 0.35, where a true pair flips bits with
+    * p ≈ 0.386 (mean ≈ 48.7 over 126 bits, far above that τ = 42) — true
+    * pairs in roughly the cos 0.35–0.6 band were silently pruned, and the
+    * gate could not see it because the oracle replays the same τ.
+    */
+  def hammingTauFor(totalPreBits: Int, threshold: Double): Int = {
+    val p = flipProbFor(threshold)
     math.ceil(totalPreBits * p + 4.5 * math.sqrt(totalPreBits * p * (1 - p))).toInt
   }
 
-  /** `(id, pf_0 … pf_{PreLongs−1})`: the prefilter sketch columns —
-    * [[PreLongs]] independent [[graft.functions.SrpSketchQ]] longs whose
+  /** Prefilter width (in [[PreBitsPerLong]]-bit longs) for a verify
+    * threshold: the smallest width whose τ (true-pair mean + 4.5σ) still
+    * sits ≥ [[PreRandomGapSigmas]] σ below the random-direction mean —
+    * solve 0.5·z·√B ≤ (0.5 − p)·B − 4.5·√(B·p(1−p)) for the bit count B.
+    * Lower thresholds need wider sketches (the two binomials are closer):
+    * cos 0.85 → 2 longs (126 bits, τ 42 — the original fixed width was
+    * exactly this point), cos 0.5 → 10, cos 0.35 → 21 (168 B — still 3×
+    * under the full vector, and the prune is what keeps the pair frame
+    * off the wire). Safety does NOT depend on the width (τ tracks the
+    * true-pair distribution at any B); width only buys prune power.
+    */
+  def preLongsFor(threshold: Double): Int = {
+    val p = flipProbFor(threshold)
+    require(threshold > 0 && p < 0.5,
+      s"hamming prefilter needs a cosine threshold in (0, 1), got $threshold")
+    val s = (4.5 * math.sqrt(p * (1 - p)) + 0.5 * PreRandomGapSigmas) / (0.5 - p)
+    math.max(1, math.ceil(s * s / PreBitsPerLong).toInt)
+  }
+
+  /** `(id, pf_0 … pf_{preLongs−1})`: the prefilter sketch columns —
+    * `preLongs` independent [[graft.functions.SrpSketchQ]] longs whose
     * hyperplane indices start past the banding sketch's (offset 64), so
     * no prefilter bit ever repeats a banding bit.
     */
-  def preSketches(prepared: DataFrame, id: String, dim: Int): DataFrame = {
-    val cols = (0 until PreLongs).map { l =>
+  def preSketches(prepared: DataFrame, id: String, dim: Int,
+                  preLongs: Int): DataFrame = {
+    val cols = (0 until preLongs).map { l =>
       val byBit = (0 until PreBitsPerLong).map(i =>
         (0 until dim).map(d => sign(64 + l * PreBitsPerLong + i, d)))
       graft.functions.SrpSketchQ(col("q"), byBit).as(s"pf_$l")
@@ -210,16 +246,18 @@ object Srp {
     * for the measured srp-auto scale negative (SCALE.md round 9: the
     * single-stage verify ships both full quantized vectors to every banded
     * candidate, ~50 GB of join payload at 632k vectors → spill cascade,
-    * 12.8× wall on 3.16× data). Stage 1 joins the 16-byte independent
-    * prefilter sketch ([[preSketches]]) and prunes on hamming distance
-    * ([[hammingTauFor]] — at 126 bits the true-pair and random-direction
-    * distributions are ~7σ apart, so survivors ≈ true pairs); stage 2
-    * ships full vectors ONLY to survivors and verifies with the exact
-    * integer cosine, identical to the single-stage form. The prefilter is
-    * part of the operator's declared semantics (a true pair beyond τ is
-    * dropped — probability < 10⁻⁵ at the dedup threshold) and the oracle
-    * replays sketch → band → hamming → verify bit-for-bit, so the gate
-    * stays hash-exact.
+    * 12.8× wall on 3.16× data). Stage 1 joins the [[preLongsFor]]-long
+    * independent prefilter sketch ([[preSketches]]) and prunes on hamming
+    * distance ([[hammingTauFor]] — width AND τ derived from the operator's
+    * verify threshold, so the true-pair and random-direction distributions
+    * are ≥ (4.5 + [[PreRandomGapSigmas]])σ apart at ANY threshold, and
+    * survivors ≈ true pairs); stage 2 ships full vectors ONLY to survivors
+    * and verifies with the exact integer cosine, identical to the
+    * single-stage form. The prefilter is part of the operator's declared
+    * semantics (a true pair beyond τ is dropped — probability < 10⁻⁵ AT
+    * the dedup threshold, lower above it) and the oracle replays
+    * sketch → band → hamming → verify bit-for-bit, so the gate stays
+    * hash-exact.
     */
   def semanticDedupSrpPrefilter(df: DataFrame, id: String, vec: String,
                                 dim: Int, threshold: Double,
@@ -229,15 +267,16 @@ object Srp {
   }
 
   /** The two-stage pipeline at an explicit band width; `tau` < 0 derives
-    * [[hammingTauFor]] (an explicit τ ≥ PreLongs·PreBitsPerLong disables
-    * pruning — the spec pins that degenerate form ≡
-    * [[semanticDedupSrpWidth]]).
+    * [[hammingTauFor]] at the verify threshold (an explicit
+    * τ ≥ preLongs·PreBitsPerLong disables pruning — the spec pins that
+    * degenerate form ≡ [[semanticDedupSrpWidth]]).
     */
   def semanticDedupSrpPrefilterWidth(df: DataFrame, id: String, vec: String,
                                      dim: Int, threshold: Double,
                                      rowsPerBand: Int, tau: Int = -1): DataFrame = {
     val totalBits = Bands * rowsPerBand
-    val t = if (tau < 0) hammingTauFor(PreLongs * PreBitsPerLong) else tau
+    val preLongs = preLongsFor(threshold)
+    val t = if (tau < 0) hammingTauFor(preLongs * PreBitsPerLong, threshold) else tau
     val p = Similarity.prepare(df, id, vec)
       .select(col(id), col("q"), col("n2")).localCheckpoint(false)
     val sk = sketches(p, id, vec, dim, totalBits).localCheckpoint(false)
@@ -251,16 +290,16 @@ object Srp {
     // frame instead — three full pair-frame shuffles, measured 10.6× on
     // 3.16× data at the 632k→2M step from spill alone.
     val bandsPf = bandRows(sk, id, rowsPerBand)
-      .join(preSketches(p, id, dim), Seq(id))
+      .join(preSketches(p, id, dim, preLongs), Seq(id))
       .localCheckpoint(false)
-    val hamming = (0 until PreLongs)
+    val hamming = (0 until preLongs)
       .map(l => bit_count(col(s"pa_$l").bitwiseXOR(col(s"pb_$l"))))
       .reduce(_ + _)
     val pre = bandsPf
       .select(col(id).as("id_a") +: col("band") +:
-        (0 until PreLongs).map(l => col(s"pf_$l").as(s"pa_$l")): _*)
+        (0 until preLongs).map(l => col(s"pf_$l").as(s"pa_$l")): _*)
       .join(bandsPf.select(col(id).as("id_b") +: col("band") +:
-        (0 until PreLongs).map(l => col(s"pf_$l").as(s"pb_$l")): _*),
+        (0 until preLongs).map(l => col(s"pf_$l").as(s"pb_$l")): _*),
         Seq("band"))
       .filter(col("id_a") < col("id_b"))
       .filter(hamming <= t)

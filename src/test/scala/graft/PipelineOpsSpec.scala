@@ -334,7 +334,7 @@ class PipelineOpsSpec extends SparkSpec {
     val single = Srp.semanticDedupSrpWidth(emb, "vec_id", "embedding", 64, 0.85, rpb)
       .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
     val noPrune = Srp.semanticDedupSrpPrefilterWidth(emb, "vec_id", "embedding",
-        64, 0.85, rpb, tau = Srp.PreLongs * Srp.PreBitsPerLong)
+        64, 0.85, rpb, tau = Srp.preLongsFor(0.85) * Srp.PreBitsPerLong)
       .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
     assert(noPrune === single)
   }
@@ -352,9 +352,70 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
     assert(out(2L) === Some(1L), "identical twin collapses to the min id")
     assert(out(1L) === None && out(9L) === None)
-    // the derived tau follows the declared formula: mean + 4.5 sigma of
-    // Binomial(126, arccos(0.85)/pi)
-    assert(Srp.hammingTauFor(Srp.PreLongs * Srp.PreBitsPerLong) === 42)
+    // width and tau follow the declared threshold-derived formulas:
+    // tau = mean + 4.5 sigma of Binomial(bits, arccos(threshold)/pi),
+    // width = smallest longs count keeping tau >= 3.7 sigma under the
+    // random-direction mean. cos 0.85 reproduces the original fixed
+    // point (2 longs, tau 42); the catalog's cos 0.35 needs 21 longs
+    // (the two binomials are closer) and tau 591.
+    assert(Srp.preLongsFor(0.85) === 2)
+    assert(Srp.hammingTauFor(2 * Srp.PreBitsPerLong, 0.85) === 42)
+    assert(Srp.preLongsFor(0.35) === 21)
+    assert(Srp.hammingTauFor(21 * Srp.PreBitsPerLong, 0.35) === 591)
+  }
+
+  test("srp prefilter keeps a true pair just above the verify threshold") {
+    // cos(v1, v2) ~ 0.45: inside the dedup band (NearDupCos = 0.35) but far
+    // below 0.85. Under a fixed-width prefilter sized for cos >= 0.85
+    // (126 bits, tau 42) this pair's expected hamming (~0.35/bit ~ 465)
+    // made it prune with near-certainty — a silent true-pair loss the gate
+    // could not see because the oracle replayed the same tau. The
+    // threshold-derived width/tau must keep it.
+    import graft.llm.Similarity
+    val v1 = (0 until 64).map(i =>
+      if (i < 32) ((i * 37 % 19) - 9).toFloat / 10f else 0f)
+    val w = (0 until 64).map(i =>
+      if (i >= 32) (((i * 53 + 7) % 17) - 8).toFloat / 9f else 0f)
+    val n1 = math.sqrt(v1.map(x => x.toDouble * x).sum).toFloat
+    val nw = math.sqrt(w.map(x => x.toDouble * x).sum).toFloat
+    val v2 = v1.zip(w).map { case (a, b) => 0.45f * a / n1 + 0.893f * b / nw }
+    val df = Seq((1L, v1.map(_ / n1)), (2L, v2)).toDF("vec_id", "embedding")
+    val out = Srp.semanticDedupSrpPrefilterWidth(df, "vec_id", "embedding",
+        64, 0.35, 1)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(out(2L) === Some(1L),
+      "a cos~0.45 pair must survive the threshold-derived prefilter")
+    assert(out(1L) === None)
+    // and the pair genuinely sits in the regime the old fixed tau pruned:
+    // its prefilter hamming is way beyond 42 yet under the derived 591
+    val pl = Srp.preLongsFor(0.35)
+    val pf = Srp.preSketches(
+        Similarity.prepare(df, "vec_id", "embedding"), "vec_id", 64, pl)
+      .orderBy("vec_id").collect()
+    val ham = (1 to pl).map(c =>
+      java.lang.Long.bitCount(pf(0).getLong(c) ^ pf(1).getLong(c))).sum
+    assert(ham > 42 && ham <= Srp.hammingTauFor(pl * Srp.PreBitsPerLong, 0.35),
+      s"pair hamming $ham should exceed the old fixed tau yet pass the derived one")
+  }
+
+  test("table-path assignment fails loudly on a gap in the centroid tables") {
+    // a node with no children in the next level table means the levels
+    // input is malformed/incomplete — the old inner join silently dropped
+    // every id assigned to that node; the left join + raise_error must
+    // surface it instead
+    val hier = Similarity.hierarchicalFit(emb, "vec_id", "embedding", 64L, 2)
+    val tables = Similarity.centroidLevelTables(spark, hier.coarse, Seq(hier.sub))
+    // pick a coarse cell that actually owns rows, then orphan it
+    val victim = Similarity.assignViaCentroidTables(emb, "vec_id", "embedding",
+      Seq(tables.head)).select("cluster").head().getInt(0)
+    val gapped = Seq(tables.head, tables(1).filter(col("parent") =!= victim))
+    val e = intercept[Throwable] {
+      Similarity.assignViaCentroidTables(emb, "vec_id", "embedding", gapped)
+        .collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + messages(t.getCause)
+    assert(messages(e).contains("no children in the next centroid level"))
   }
 
   test("table-path assignment equals the expression kernels on every model shape") {

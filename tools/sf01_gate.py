@@ -60,14 +60,24 @@ def run_gate(out_dir: str, sf_dir: str, timeout: int, tier: str) -> dict:
             line = next((l for l in p.stdout.splitlines()
                          if l.startswith(("PASS", "FAIL", "SKIP"))), "")
             if line.startswith("PASS"):
-                rows = int(line.split("(")[1].split(" ")[0])
-                results[name] = {"status": "pass", "rows": rows, "tier": tier,
-                                 "oracle_sec": round(time.time() - t0, 1)}
+                # tolerate a PASS line without the expected "(N rows" shape:
+                # record it unparsed instead of aborting the whole gate run
+                try:
+                    rows = int(line.split("(")[1].split(" ")[0])
+                    results[name] = {"status": "pass", "rows": rows,
+                                     "tier": tier,
+                                     "oracle_sec": round(time.time() - t0, 1)}
+                except (IndexError, ValueError):
+                    results[name] = {"status": "unparsed", "tier": tier,
+                                     "detail": line[:300]}
             elif line.startswith("SKIP"):
                 results[name] = {"status": "rows_only", "tier": tier}
             else:
+                detail = line if line else "no PASS/FAIL/SKIP line in output"
+                stderr_tail = (p.stderr or "").strip()[-200:]
                 results[name] = {"status": "fail", "tier": tier,
-                                 "detail": line[:300]}
+                                 "detail": (detail + (" | stderr: " + stderr_tail
+                                            if stderr_tail else ""))[:500]}
         except subprocess.TimeoutExpired:
             results[name] = {"status": "oracle_timeout", "tier": tier,
                              "timeout_sec": timeout}
