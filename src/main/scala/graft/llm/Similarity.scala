@@ -891,10 +891,6 @@ object Similarity {
     require(levels.nonEmpty, "at least one centroid level")
     def scoreCol: Column =
       (col("cn2") - lit(2L) * graft.functions.DotQ(col("q"), col("cq"))).as("score")
-    def argmin(scored: DataFrame): DataFrame =
-      scored.filter(col("sc.score").isNotNull)
-        .groupBy(col(id)).agg(min(col("sc")).as("w"))
-        .select(col(id), col("w.q").as("q"), col("w.cid").as("node"))
     // ROOT level: every row scores against every root centroid — the same
     // per-row dot count the expression kernel reads. The root codebook is
     // FANOUT-sized (never leaf-count-sized), so it broadcasts; an explicit
@@ -902,29 +898,65 @@ object Similarity {
     // parent key would constant-fold into the same nested-loop shape,
     // minus the intent — and would shuffle everything to one partition if
     // the broadcast were ever declined).
-    val first = argmin(
+    val first = tableArgmin(
       prepare(df, id, vec).select(col(id), col("q"))
         .crossJoin(broadcast(levels.head.drop("parent")))
-        .select(col(id), struct(scoreCol, col("cid"), col("q")).as("sc")))
-    levels.tail.foldLeft(first) { (cur, lvl) =>
-      // LEFT join + raise_error on the join-miss condition: an id whose
-      // assigned node has no children in the next level table is a
-      // malformed/incomplete levels input — an inner join would silently
-      // drop the row (the output shrinks with no signal). The check rides
-      // the SCORE expression (which argmin's not-null filter always
-      // evaluates — a cid-side check could be pruned away with the struct),
-      // and is unambiguous there: every row entering a deeper level has
-      // non-null q (it survived the previous argmin), so a null cn2 can
-      // only mean a centroid-table gap. Fail-loud at zero extra jobs.
-      val checkedScore = when(col("cn2").isNull,
-        raise_error(concat(lit("assignViaCentroidTables: node "),
-          cur("node").cast("string"),
-          lit(" has no children in the next centroid level"))))
-        .otherwise(col("cn2") - lit(2L) * graft.functions.DotQ(col("q"), col("cq")))
-        .as("score")
-      argmin(cur.join(lvl, cur("node") === lvl("parent"), "left")
-        .select(cur(id).as(id), struct(checkedScore, col("cid"), col("q")).as("sc")))
-    }.select(col(id), col("node").as("cluster"))
+        .select(col(id), struct(scoreCol, col("cid"), col("q")).as("sc")), id)
+    levels.tail.foldLeft(first)(tableLevelStep(_, id, _))
+      .select(col(id), col("node").as("cluster"))
+  }
+
+  private def tableArgmin(scored: DataFrame, id: String): DataFrame =
+    scored.filter(col("sc.score").isNotNull)
+      .groupBy(col(id)).agg(min(col("sc")).as("w"))
+      .select(col(id), col("w.q").as("q"), col("w.cid").as("node"))
+
+  /** One table-resident level of [[assignViaCentroidTables]]: `cur` is
+    * `(id, q, node)`, `lvl` a `(parent, cid, cq, cn2)` centroid table;
+    * returns `(id, q, node)` at the child level. Shared by the all-table
+    * path and [[HierKMeansModel.assignHybrid]]'s leaf step.
+    *
+    * LEFT join + raise_error on the join-miss condition: an id whose
+    * assigned node has no children in the next level table is a
+    * malformed/incomplete levels input — an inner join would silently
+    * drop the row (the output shrinks with no signal). The check rides
+    * the SCORE expression (which the argmin's not-null filter always
+    * evaluates — a cid-side check could be pruned away with the struct),
+    * and is unambiguous there: every row entering a deeper level has
+    * non-null q (it survived the previous argmin), so a null cn2 can
+    * only mean a centroid-table gap. Fail-loud at zero extra jobs.
+    */
+  private def tableLevelStep(cur: DataFrame, id: String,
+                             lvl: DataFrame): DataFrame = {
+    val checkedScore = when(col("cn2").isNull,
+      raise_error(concat(lit("assignViaCentroidTables: node "),
+        cur("node").cast("string"),
+        lit(" has no children in the next centroid level"))))
+      .otherwise(col("cn2") - lit(2L) * graft.functions.DotQ(col("q"), col("cq")))
+      .as("score")
+    tableArgmin(cur.join(lvl, cur("node") === lvl("parent"), "left")
+      .select(cur(id).as(id), struct(checkedScore, col("cid"), col("q")).as("sc")), id)
+  }
+
+  /** The HYBRID evaluation strategy between [[HierKMeansModel.assign]]
+    * (both levels as broadcast expression kernels — fastest, but the
+    * model must fit the task-binary/broadcast envelope, a few hundred MB)
+    * and [[assignViaCentroidTables]] (every level a storage-resident
+    * table join — unbounded model, measured ~5–7× kernel cost): the
+    * COARSE level runs the [[graft.functions.NearestCellQ]] kernel (it is
+    * fanout-sized — √k centroids — and fits the envelope at any corpus
+    * size), and only the LEAF level, the one that actually grows with the
+    * corpus, pays the table join. This is the production shape SCALE.md
+    * names for 10¹¹-vector models: kernel speed wherever the level fits,
+    * table residency only where it can't.
+    */
+  def assignHybrid(df: DataFrame, id: String, vec: String,
+                   coarse: Seq[(Int, Seq[Long])],
+                   leafTable: DataFrame): DataFrame = {
+    val kernelCoarse = prepare(df, id, vec).select(col(id), col("q"),
+      graft.functions.NearestCellQ(col("q"), coarse).as("node"))
+    tableLevelStep(kernelCoarse, id, leafTable)
+      .select(col(id), col("node").as("cluster"))
   }
 
   /** Centroid-level DataFrames for [[assignViaCentroidTables]] from a

@@ -132,6 +132,27 @@ object SimilarityCatalog extends Catalog {
         .orderBy("vec_id")
     }),
 
+    // the HYBRID assignment between the two evaluation-strategy ends
+    // above: coarse level through the broadcast expression kernel (it is
+    // fanout-sized, sqrt(k) centroids — fits the envelope at any corpus
+    // size), leaf level — the only one that grows with the corpus —
+    // through the storage-resident centroid-table join. The per-level
+    // cutover keeps kernel speed wherever the model level fits and pays
+    // table residency only where it can't: the production shape for
+    // 10^11-vector models (SCALE.md). Same fit, same verdicts, same
+    // oracle SQL as semantic_dedup_hier/_bigmodel.
+    "semantic_dedup_hybrid" -> ((s, d) => {
+      val model = hierFit(s, d)
+      hybridCapture = Some((model.coarse, model.sub))
+      val df = Tables(s, d).embeddings
+      val assigned = Similarity.assignHybrid(df, "vec_id", "embedding",
+        model.coarse,
+        Similarity.centroidLevelTables(s, model.coarse, Seq(model.sub)).last)
+      Similarity.semanticDedup(df.join(assigned, Seq("vec_id")),
+          "vec_id", "embedding", "cluster", NearDupCos)
+        .orderBy("vec_id")
+    }),
+
     // the near-dup PAIR search on the two-level quantizer's leaves: the
     // flat-auto form above still pays the n·k assignment (measured 12.6×
     // on 10× data at the sf1cr→sf10cr decade, SCALE.md) — blocking on the
@@ -274,11 +295,29 @@ object SimilarityCatalog extends Catalog {
     // PINNED COMPARATOR — super-linear past ~10⁵ vectors (the single-stage
     // verify ships full vectors to every banded candidate; measured 12.8×
     // on 3.16× data at 200k→632k from pair-payload spill, SCALE.md
-    // round 9): use semantic_dedup_srp_pre for real corpora.
+    // round 9): use semantic_dedup_srp_bucket for real corpora.
     "semantic_dedup_srp_auto" -> ((s, d) => {
       val (rpb, out) = Srp.semanticDedupSrpAuto(Tables(s, d).embeddings,
         "vec_id", "embedding", Dim, NearDupCos)
       srpAutoWidth = Some(rpb)
+      out.orderBy("vec_id")
+    }),
+
+    // the WITHIN-BUCKET verify over the same banding — the round-10
+    // production form. The candidate problem was payload, not compute:
+    // instead of materializing the global pair list and joining ~0.5 KB
+    // of vector onto each side of every pair (pairs x 1 KB -> spill), the
+    // vectors ride the band rows (ONE shuffle of ~corpus volume) and the
+    // exact cosine evaluates inside the band self-join's projection; only
+    // passing pairs reach the distinct. Verdict-identical to
+    // semantic_dedup_srp_auto at the same captured width (spec-pinned),
+    // so the oracle is the same band + verify replay. Measured
+    // 5.7/9.0/15.0 s at 200k/632k/2M -- 2.6x per decade, the cheapest
+    // registered dedup at 2M (SCALE.md round 10).
+    "semantic_dedup_srp_bucket" -> ((s, d) => {
+      val (rpb, out) = Srp.semanticDedupSrpBucketAuto(Tables(s, d).embeddings,
+        "vec_id", "embedding", Dim, NearDupCos)
+      srpBucketWidth = Some(rpb)
       out.orderBy("vec_id")
     }),
 
@@ -289,11 +328,13 @@ object SimilarityCatalog extends Catalog {
     // Srp.hammingTauFor at NearDupCos: 21 longs, tau 591 -- <1e-5
     // true-pair loss AT the threshold; a fixed 2-long/tau-42 sketch sized
     // for cos 0.85 would silently prune true pairs in the 0.35-0.6 band),
-    // stage 2 ships the full quantized vectors to SURVIVORS only. The
-    // single-stage form
-    // shipped ~0.5 KB of vector payload per candidate pair and measured
-    // 12.8x wall on 3.16x data; this is the production form beyond ~500k
-    // vectors. Oracle replays sketch -> band -> hamming -> exact verify.
+    // stage 2 ships the full quantized vectors to SURVIVORS only.
+    // REGIME-LIMITED COMPARATOR (SCALE.md round 10): the prune only bites
+    // when bucket-mate cosine mass sits below tau's implied cosine (the
+    // SemDeDup/high-dim regime); on the d=64 fixtures at 632k+ most
+    // candidates survive and stage 2 pays the pair payload anyway (83 s
+    // at 632k) -- use semantic_dedup_srp_bucket for real corpora.
+    // Oracle replays sketch -> band -> hamming -> exact verify.
     "semantic_dedup_srp_pre" -> ((s, d) => {
       val (rpb, out) = Srp.semanticDedupSrpPrefilter(Tables(s, d).embeddings,
         "vec_id", "embedding", Dim, NearDupCos)
@@ -439,6 +480,12 @@ object SimilarityCatalog extends Catalog {
     */
   @volatile private var srpAutoWidth: Option[Int] = None
 
+  /** Captured band width of the last `semantic_dedup_srp_bucket` run —
+    * verdict-identical to the srp-auto pipeline at the same width, so the
+    * oracle is the same band + verify replay at this capture.
+    */
+  @volatile private var srpBucketWidth: Option[Int] = None
+
   /** Captured band width of the last `semantic_dedup_srp_pre` run — the
     * oracle replays banding AND the hamming prefilter at this width
     * (prefilter width and τ are pure functions of the verify threshold:
@@ -478,6 +525,13 @@ object SimilarityCatalog extends Catalog {
     * path, so its oracle is byte-identical to the hier one).
     */
   @volatile private var bigModelCapture:
+    Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])] = None
+
+  /** Captured two-level centroids of the last `semantic_dedup_hybrid`
+    * run (kernel coarse + table leaf; verdicts identical to hier/bigmodel,
+    * so the oracle is the same hierDedupSql replay).
+    */
+  @volatile private var hybridCapture:
     Option[(Seq[(Int, Seq[Long])], Seq[(Int, Int, Seq[Long])])] = None
 
   /** Once-per-(JVM, sfDir) memo of the hierarchical fit (same
@@ -754,21 +808,46 @@ object SimilarityCatalog extends Catalog {
       .mkString(",\n    ")
     val sums = (0 until nBits)
       .map(j => s"CAST(sum(x * s_$j) AS BIGINT) AS p_$j").mkString(",\n    ")
-    val bits = (0 until nBits)
-      .map(j => s"(CASE WHEN p_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
-      .mkString(" + ")
-    s"""proj(dim, $projCols) AS (VALUES
-       |    $projValues),
-       |ex AS (SELECT vec_id, unnest(q) AS x,
-       |    CAST(unnest(range(0, len(q))) AS INTEGER) AS dim FROM pn),
-       |sm AS (SELECT vec_id,
-       |    $sums
-       |  FROM ex JOIN proj USING (dim) GROUP BY vec_id),
-       |sk AS (SELECT vec_id, $bits AS sketch FROM sm),
-       |bands AS (SELECT vec_id, b,
-       |    (sketch >> (CAST(b AS INTEGER) * $rowsPerBand))
-       |      & ${(1L << rowsPerBand) - 1} AS bv
-       |  FROM sk CROSS JOIN (SELECT unnest(range(0, ${Srp.Bands})) AS b))""".stripMargin
+    val prefix =
+      s"""proj(dim, $projCols) AS (VALUES
+         |    $projValues),
+         |ex AS (SELECT vec_id, unnest(q) AS x,
+         |    CAST(unnest(range(0, len(q))) AS INTEGER) AS dim FROM pn),
+         |sm AS (SELECT vec_id,
+         |    $sums
+         |  FROM ex JOIN proj USING (dim) GROUP BY vec_id)""".stripMargin
+    if (rowsPerBand <= 15) {
+      // packed layout: all four bands in one sketch long (Srp.sketches /
+      // Srp.bandRows)
+      val bits = (0 until nBits)
+        .map(j => s"(CASE WHEN p_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""$prefix,
+         |sk AS (SELECT vec_id, $bits AS sketch FROM sm),
+         |bands AS (SELECT vec_id, b,
+         |    (sketch >> (CAST(b AS INTEGER) * $rowsPerBand))
+         |      & ${(1L << rowsPerBand) - 1} AS bv
+         |  FROM sk CROSS JOIN (SELECT unnest(range(0, ${Srp.Bands})) AS b))""".stripMargin
+    } else {
+      // uncapped layout: one long per band over the SAME hyperplane family
+      // j = b·rowsPerBand + i (Srp.bandedRowsWide) — bit-identical band
+      // values wherever both layouts are defined
+      val bandVals = (0 until Srp.Bands).map { b =>
+        (0 until rowsPerBand)
+          .map(i => s"(CASE WHEN p_${b * rowsPerBand + i} > 0 " +
+            s"THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ") + s" AS bv_$b"
+      }.mkString(",\n    ")
+      val union = (0 until Srp.Bands)
+        .map(b => s"SELECT vec_id, $b AS b, bv_$b AS bv FROM sk")
+        .mkString("\n  UNION ALL ")
+      s"""$prefix,
+         |sk AS (SELECT vec_id,
+         |    $bandVals
+         |  FROM sm),
+         |bands AS (
+         |  $union)""".stripMargin
+    }
   }
 
   /** semantic_dedup_hier oracle: replay BOTH captured argmin levels —
@@ -835,6 +914,11 @@ object SimilarityCatalog extends Catalog {
   private def bigModelOracle: Option[(String, String)] =
     bigModelCapture.map { case (coarse, sub) =>
       "semantic_dedup_bigmodel" -> hierDedupSql(coarse, sub)
+    }
+
+  private def hybridOracle: Option[(String, String)] =
+    hybridCapture.map { case (coarse, sub) =>
+      "semantic_dedup_hybrid" -> hierDedupSql(coarse, sub)
     }
 
   private def hierOracle: Option[(String, String)] = hierCapture.map { case (coarse, sub) =>
@@ -1198,33 +1282,45 @@ object SimilarityCatalog extends Catalog {
   /** semantic_dedup_srp_auto oracle: the srp-dedup SQL at the CAPTURED
     * band width — same sketch formula, wider band keys.
     */
+  /** The srp-dedup SQL at a band width — shared by the srp-auto and
+    * srp-bucket oracles (the two queries differ only in WHERE the engine
+    * evaluates the verify; the declared band + verify semantics, and so
+    * the replay, are identical).
+    */
+  private def srpDedupSqlAtWidth(rpb: Int): String =
+    s"""WITH $prepSql,
+       |${srpSketchCtesWidth(rpb)},
+       |scand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+       |    AND a.vec_id < b.vec_id),
+       |ssc AS (
+       |  SELECT scand.id_a, scand.id_b, x.n2 AS na, y.n2 AS nb,
+       |    (SELECT CAST(sum(xx * yy) AS BIGINT)
+       |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+       |  FROM scand
+       |  JOIN pn x ON x.vec_id = scand.id_a
+       |  JOIN pn y ON y.vec_id = scand.id_b),
+       |sdup AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM ssc
+       |  WHERE CAST(dot AS DOUBLE) /
+       |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+       |  GROUP BY id_b)
+       |SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS is_kept
+       |FROM embeddings e LEFT JOIN sdup d USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+
   private def srpAutoOracle: Option[(String, String)] = srpAutoWidth.map { rpb =>
-    "semantic_dedup_srp_auto" ->
-      s"""WITH $prepSql,
-         |${srpSketchCtesWidth(rpb)},
-         |scand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
-         |    AND a.vec_id < b.vec_id),
-         |ssc AS (
-         |  SELECT scand.id_a, scand.id_b, x.n2 AS na, y.n2 AS nb,
-         |    (SELECT CAST(sum(xx * yy) AS BIGINT)
-         |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
-         |  FROM scand
-         |  JOIN pn x ON x.vec_id = scand.id_a
-         |  JOIN pn y ON y.vec_id = scand.id_b),
-         |sdup AS (SELECT id_b AS vec_id, min(id_a) AS dup_of FROM ssc
-         |  WHERE CAST(dot AS DOUBLE) /
-         |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
-         |  GROUP BY id_b)
-         |SELECT e.vec_id, d.dup_of, d.dup_of IS NULL AS is_kept
-         |FROM embeddings e LEFT JOIN sdup d USING (vec_id)
-         |ORDER BY e.vec_id""".stripMargin
+    "semantic_dedup_srp_auto" -> srpDedupSqlAtWidth(rpb)
+  }
+
+  private def srpBucketOracle: Option[(String, String)] = srpBucketWidth.map { rpb =>
+    "semantic_dedup_srp_bucket" -> srpDedupSqlAtWidth(rpb)
   }
 
   /** The prefilter-sketch CTE (`projp, smp, skp`): [[Srp.preSketches]]'
-    * `preLongs` packed longs, exact mirror — hyperplane indices offset 64,
-    * [[Srp.PreBitsPerLong]] bits per long, same sign family and zero-tie
-    * rule as the banding sketch. Reuses `ex` from the banding CTE chain.
+    * `preLongs` packed longs, exact mirror — hyperplane indices offset
+    * [[Srp.PreOffset]], [[Srp.PreBitsPerLong]] bits per long, same sign
+    * family and zero-tie rule as the banding sketch. Reuses `ex` from the
+    * banding CTE chain.
     * (The wide form — one sum column per prefilter bit — measures ~13×
     * faster in DuckDB than the long unnest-join form at 1 323 bits.)
     */
@@ -1232,7 +1328,7 @@ object SimilarityCatalog extends Catalog {
     val nPre = preLongs * Srp.PreBitsPerLong
     val projCols = (0 until nPre).map(j => s"t_$j").mkString(", ")
     val projValues = (0 until Dim).map { d =>
-      s"($d, ${(0 until nPre).map(j => Srp.sign(64 + j, d)).mkString(", ")})"
+      s"($d, ${(0 until nPre).map(j => Srp.sign(Srp.PreOffset + j, d)).mkString(", ")})"
     }.mkString(",\n    ")
     val sums = (0 until nPre)
       .map(j => s"CAST(sum(x * t_$j) AS BIGINT) AS pp_$j").mkString(",\n    ")
@@ -1306,8 +1402,9 @@ object SimilarityCatalog extends Catalog {
 
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
-      nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ srpPreOracle.toMap ++
-      hierOracle.toMap ++ bigModelOracle.toMap ++
+      nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ srpBucketOracle.toMap ++
+      srpPreOracle.toMap ++
+      hierOracle.toMap ++ bigModelOracle.toMap ++ hybridOracle.toMap ++
       nearDupHierOracle.toMap ++ nearDupTreeOracle.toMap ++
       pqOracles ++ ivfPqOracle ++ ivfPqIndexOracle.toMap ++
       annRecallOracle.toMap ++ Map(

@@ -40,23 +40,26 @@ object Srp {
 
   /** Scale-adaptive band width: bits per band so that a band's bucket
     * count tracks the corpus (`2^bits ≈ n / targetBucket`), floored at the
-    * fixed default and capped so [[Bands]] bands still pack into one long.
-    * The fixed 4-bit default gives 16 buckets per band FOREVER — bucket
-    * occupancy, and therefore spurious-candidate volume, then grows
-    * linearly (quadratically in pair terms) with the corpus: the
-    * sf1-constrate run measured 56 s of exact-cosine verification on
+    * fixed default. The fixed 4-bit default gives 16 buckets per band
+    * FOREVER — bucket occupancy, and therefore spurious-candidate volume,
+    * then grows linearly (quadratically in pair terms) with the corpus:
+    * the sf1-constrate run measured 56 s of exact-cosine verification on
     * structure-free data, almost all of it refuting random 4-bit
     * collisions. Near-identical vectors (θ → 0, the SemDeDup regime)
     * still collide on a wider band with probability (1 − θ/π)^bits per
     * band, OR'd over [[Bands]] bands — the S-curve keeps its knee at
     * near-duplicate angles while random directions fall off exponentially
     * in the width.
+    *
+    * UNCAPPED past 15 bits/band (the round-9 backlog ceiling): widths ≤ 15
+    * pack all [[Bands]] bands into one sketch long; wider bands get one
+    * sketch long each ([[bandedRows]]), so occupancy tracks `targetBucket`
+    * to n ≈ targetBucket·2⁶³ — no single-index build will see the new cap.
     */
   def rowsPerBandFor(n: Long, targetBucket: Long, bands: Int = Bands): Int = {
     require(targetBucket >= 1 && bands >= 1)
-    val maxBits = 63 / bands // all bands must pack into one non-negative long
     var bits = RowsPerBand
-    while (bits < math.min(16, maxBits) && (n >> bits) > targetBucket) bits += 1
+    while (bits < PreBitsPerLong && (n >> bits) > targetBucket) bits += 1
     bits
   }
 
@@ -102,6 +105,43 @@ object Srp {
     sk.select(col(id), explode(array(keys: _*)).as("band"))
   }
 
+  /** `(id, band)` rows at ANY band width up to 63 bits/band — the uncapped
+    * banding (round-9 backlog item). Widths ≤ 15 pack all [[Bands]] bands
+    * into ONE sketch long (the original layout, kept for its single
+    * narrow projection); wider bands compute one [[graft.functions
+    * .SrpSketchQ]] long PER BAND over the SAME declared hyperplane family
+    * `j = b·rowsPerBand + i` the packed layout reads, so the two paths
+    * produce IDENTICAL band keys wherever both are defined (spec-pinned)
+    * and the wide path is a strict extension, not a second family. The
+    * prefilter sketch family starts at [[PreOffset]] = 256, clear of the
+    * banding family's maximum index [[Bands]]·63 − 1 = 251, so prefilter
+    * bits stay independent of band bits at every width.
+    */
+  def bandedRows(df: DataFrame, id: String, vec: String, dim: Int,
+                 rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= PreBitsPerLong,
+      s"band width must be in 1..$PreBitsPerLong bits, got $rowsPerBand")
+    if (rowsPerBand <= 15)
+      bandRows(sketches(df, id, vec, dim, Bands * rowsPerBand), id, rowsPerBand)
+    else bandedRowsWide(df, id, vec, dim, rowsPerBand)
+  }
+
+  /** The per-band-long path of [[bandedRows]], callable at any width so
+    * the spec can pin wide ≡ packed on the shared ≤15-bit domain.
+    */
+  private[graft] def bandedRowsWide(df: DataFrame, id: String, vec: String,
+                                  dim: Int, rowsPerBand: Int): DataFrame = {
+    val p = Similarity.prepare(df, id, vec)
+    val cols = (0 until Bands).map { b =>
+      val byBit = (0 until rowsPerBand).map(i =>
+        (0 until dim).map(d => sign(b * rowsPerBand + i, d)))
+      graft.functions.SrpSketchQ(col("q"), byBit).as(s"bs_$b")
+    }
+    val keys = (0 until Bands).map(b => concat_ws(":", lit(b), col(s"bs_$b")))
+    p.select(col(id) +: cols: _*)
+      .select(col(id), explode(array(keys: _*)).as("band"))
+  }
+
   /** SRP-bucketed approximate top-k: candidates from the band-bucket join
     * (queries broadcast), exact integer-cosine re-rank, k per query with
     * deterministic ties. Same output shape as [[Similarity.cosineTopK]];
@@ -142,8 +182,7 @@ object Srp {
                             threshold: Double, rowsPerBand: Int): DataFrame = {
     val p = Similarity.prepare(df, id, vec)
       .select(col(id), col("q"), col("n2")).localCheckpoint(false)
-    val bands = bandRows(sketches(p, id, vec, dim, Bands * rowsPerBand), id,
-      rowsPerBand)
+    val bands = bandedRows(p, id, vec, dim, rowsPerBand)
     val cand = bands.select(col(id).as("id_a"), col("band"))
       .join(bands.select(col(id).as("id_b"), col("band")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -174,6 +213,13 @@ object Srp {
     * survive, and the stage-2 payload stays the bottleneck).
     */
   val PreBitsPerLong = 63
+
+  /** First hyperplane index of the prefilter family — clear of the
+    * banding family's maximum possible index ([[Bands]]·63 − 1 = 251 at
+    * the uncapped width), so no prefilter bit ever repeats a banding bit
+    * at ANY band width.
+    */
+  val PreOffset = 256
 
   /** How far (in σ of the RANDOM-pair hamming distribution) τ must sit
     * below the random mean for the prune to bite: 3.7σ ⇒ a spurious
@@ -229,17 +275,61 @@ object Srp {
 
   /** `(id, pf_0 … pf_{preLongs−1})`: the prefilter sketch columns —
     * `preLongs` independent [[graft.functions.SrpSketchQ]] longs whose
-    * hyperplane indices start past the banding sketch's (offset 64), so
-    * no prefilter bit ever repeats a banding bit.
+    * hyperplane indices start at [[PreOffset]], past the banding family's
+    * maximum at any width, so no prefilter bit ever repeats a banding bit.
     */
   def preSketches(prepared: DataFrame, id: String, dim: Int,
                   preLongs: Int): DataFrame = {
     val cols = (0 until preLongs).map { l =>
       val byBit = (0 until PreBitsPerLong).map(i =>
-        (0 until dim).map(d => sign(64 + l * PreBitsPerLong + i, d)))
+        (0 until dim).map(d => sign(PreOffset + l * PreBitsPerLong + i, d)))
       graft.functions.SrpSketchQ(col("q"), byBit).as(s"pf_$l")
     }
     prepared.select(col(id) +: cols: _*)
+  }
+
+  /** [[semanticDedupSrpAuto]] with the verify run WITHIN the band bucket —
+    * the round-10 production form, and the measured winner over both the
+    * pair-frame verify and the hamming-prefilter two-stage form. The pair
+    * problem was never compute (a banded candidate costs one 64-MAC dot,
+    * ~2 s of arithmetic for 50 M candidates on this box) — it was
+    * PAYLOAD: materializing the global candidate-pair list and then
+    * joining a ~0.5 KB quantized vector onto EACH SIDE of every pair
+    * ships pairs×1 KB (32+ GB at 632k → spill cascade). Here the vectors
+    * ride the BAND rows instead — one n·[[Bands]]-row shuffle of ~corpus
+    * volume — and the exact cosine evaluates INSIDE the band self-join's
+    * output projection (whole-stage codegen, never exchanged); only
+    * PASSING pairs reach the distinct. Verdicts are identical to
+    * [[semanticDedupSrpWidth]] bit-for-bit (same banding, same verify,
+    * spec-pinned), so the oracle is the same band+verify replay. Measured
+    * (SCALE.md round 10): 5.7/9.0/15.0 s at 200k/632k/2M — 2.6× per
+    * 10× data, vs 23/299/— single-stage and 15/83/— prefilter two-stage.
+    */
+  def semanticDedupSrpBucketAuto(df: DataFrame, id: String, vec: String,
+                                 dim: Int, threshold: Double,
+                                 targetBucket: Long = 64L): (Int, DataFrame) = {
+    val rpb = rowsPerBandFor(df.count(), targetBucket)
+    (rpb, semanticDedupSrpBucketWidth(df, id, vec, dim, threshold, rpb))
+  }
+
+  def semanticDedupSrpBucketWidth(df: DataFrame, id: String, vec: String,
+                                  dim: Int, threshold: Double,
+                                  rowsPerBand: Int): DataFrame = {
+    val p = Similarity.prepare(df, id, vec)
+      .select(col(id), col("q"), col("n2")).localCheckpoint(false)
+    val bv = bandedRows(p, id, vec, dim, rowsPerBand).join(p, Seq(id))
+    val dupOf = bv
+      .select(col("band"), col(id).as("id_a"), col("q").as("qa"), col("n2").as("na"))
+      .join(bv.select(col("band"), col(id).as("id_b"), col("q").as("qb"),
+        col("n2").as("nb")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosineQ(Similarity.dotQ(col("qa"), col("qb")),
+        col("na"), col("nb")) >= threshold)
+      .select("id_a", "id_b").distinct()
+      .groupBy(col("id_b").as(id)).agg(min(col("id_a")).as("dup_of"))
+    df.select(col(id))
+      .join(dupOf, Seq(id), "left")
+      .select(col(id), col("dup_of"), col("dup_of").isNull.as("is_kept"))
   }
 
   /** [[semanticDedupSrpAuto]] with a TWO-STAGE candidate verify — the fix
@@ -258,6 +348,15 @@ object Srp {
     * the dedup threshold, lower above it) and the oracle replays
     * sketch → band → hamming → verify bit-for-bit, so the gate stays
     * hash-exact.
+    *
+    * REGIME LIMIT, measured (SCALE.md round 10): the prune only bites
+    * when the bucket-mate cosine mass sits BELOW τ's implied cosine
+    * (≈ 0.17 at threshold 0.35) — the SemDeDup/high-dimension regime. On
+    * the d = 64 vec fixtures at n ≥ 632k, bucket-mates are conditioned on
+    * agreeing rpb sketch bits and their cosines center ≈ 0.2+, so ~2/3 of
+    * candidates survive τ and stage 2 pays the pair payload anyway
+    * (83 s at 632k). Use [[semanticDedupSrpBucketWidth]], whose cost does
+    * not depend on where the candidate mass sits, as the production form.
     */
   def semanticDedupSrpPrefilter(df: DataFrame, id: String, vec: String,
                                 dim: Int, threshold: Double,
@@ -274,12 +373,11 @@ object Srp {
   def semanticDedupSrpPrefilterWidth(df: DataFrame, id: String, vec: String,
                                      dim: Int, threshold: Double,
                                      rowsPerBand: Int, tau: Int = -1): DataFrame = {
-    val totalBits = Bands * rowsPerBand
     val preLongs = preLongsFor(threshold)
     val t = if (tau < 0) hammingTauFor(preLongs * PreBitsPerLong, threshold) else tau
     val p = Similarity.prepare(df, id, vec)
       .select(col(id), col("q"), col("n2")).localCheckpoint(false)
-    val sk = sketches(p, id, vec, dim, totalBits).localCheckpoint(false)
+    val bands0 = bandedRows(p, id, vec, dim, rowsPerBand).localCheckpoint(false)
     // The prefilter sketch (one narrow codegen pass per vector) rides ON
     // the band rows — PreLongs·8 B of extra payload on the n·Bands-row
     // band frame — so the hamming prune evaluates INSIDE the band join's
@@ -289,7 +387,7 @@ object Srp {
     // The first cut of this operator joined the sketches onto the pair
     // frame instead — three full pair-frame shuffles, measured 10.6× on
     // 3.16× data at the 632k→2M step from spill alone.
-    val bandsPf = bandRows(sk, id, rowsPerBand)
+    val bandsPf = bands0
       .join(preSketches(p, id, dim, preLongs), Seq(id))
       .localCheckpoint(false)
     val hamming = (0 until preLongs)

@@ -235,9 +235,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Srp.rowsPerBandFor(1024L, 64L) === 4)
     assert(Srp.rowsPerBandFor(2048L, 64L) === 5)
     assert(Srp.rowsPerBandFor(20000L, 64L) === 9)
-    assert(Srp.rowsPerBandFor(Long.MaxValue, 1L) === 15, "cap keeps 4 bands in a long")
+    // UNCAPPED past the old 15-bit/band packing ceiling: bucket count
+    // keeps tracking the corpus (2^bits ≈ n/target) into the wide-band
+    // regime where each band gets its own sketch long
+    assert(Srp.rowsPerBandFor(1L << 24, 64L) === 18, "old cap was 15")
+    assert(Srp.rowsPerBandFor(1L << 40, 64L) === 34)
+    assert(Srp.rowsPerBandFor(Long.MaxValue, 1L) === 62)
     // wider bands only ever shrink buckets: auto ≡ fixed on small corpora
     assert(Srp.rowsPerBandFor(500L, 64L) === Srp.RowsPerBand)
+  }
+
+  test("wide banding path is bit-identical to the packed path on shared widths") {
+    // the per-band-long layout reads the SAME declared hyperplane family
+    // j = b*rowsPerBand + i as the packed single-long layout, so on widths
+    // where both are defined (<= 15 bits/band) the band KEYS must match
+    // exactly — the uncapped path is a strict extension, not a second family
+    for (rpb <- Seq(4, 9, 15)) {
+      val packed = Srp.bandRows(
+          Srp.sketches(emb, "vec_id", "embedding", 64, Srp.Bands * rpb),
+          "vec_id", rpb)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val wide = Srp.bandedRowsWide(emb, "vec_id", "embedding", 64, rpb)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(wide === packed, s"layouts diverge at $rpb bits/band")
+    }
+  }
+
+  test("uncapped-width SRP dedup still collapses identical vectors") {
+    // identical twins agree on every sketch bit, so they collide on every
+    // band at ANY width — including past the old 15-bit packing ceiling —
+    // in both the single-stage and the two-stage prefilter pipelines
+    val base = (0 until 64).map(i => ((i * 37 % 19) - 9).toFloat / 10f)
+    val far = (0 until 64).map(i => (((i * 53 + 7) % 17) - 8).toFloat / 9f)
+    val df = Seq((1L, base), (2L, base), (9L, far)).toDF("vec_id", "embedding")
+    for (pipeline <- Seq(
+        Srp.semanticDedupSrpWidth(df, "vec_id", "embedding", 64, 0.85, 20),
+        Srp.semanticDedupSrpPrefilterWidth(df, "vec_id", "embedding", 64, 0.85, 20))) {
+      val out = pipeline.collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(out(2L) === Some(1L) && out(1L) === None && out(9L) === None)
+    }
   }
 
   test("adaptive-width SRP dedup still collapses identical vectors") {
@@ -323,6 +360,21 @@ class PipelineOpsSpec extends SparkSpec {
     val assigned = t1.assign(emb).select("cluster").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(assigned.subsetOf(leaves))
+  }
+
+  test("srp within-bucket verify is verdict-identical to the pair-frame form") {
+    // same banding, same exact verify — the bucket form only moves WHERE
+    // the cosine evaluates (inside the band self-join's projection instead
+    // of a vector join onto the global pair list), so outputs must match
+    // bit-for-bit at every width, including past the old 15-bit packing cap
+    import graft.llm.Srp
+    for (rpb <- Seq(Srp.rowsPerBandFor(emb.count(), 64L), 16)) {
+      val pairForm = Srp.semanticDedupSrpWidth(emb, "vec_id", "embedding", 64, 0.35, rpb)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+      val bucketForm = Srp.semanticDedupSrpBucketWidth(emb, "vec_id", "embedding", 64, 0.35, rpb)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+      assert(bucketForm === pairForm, s"forms diverge at width $rpb")
+    }
   }
 
   test("srp two-stage prefilter: disabled-tau degenerates to the single-stage form") {
@@ -438,6 +490,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaTables(flat.centroids, Nil) === viaKernel(flat.assign(emb)))
     assert(viaTables(hier.coarse, Seq(hier.sub)) === viaKernel(hier.assign(emb)))
     assert(viaTables(tree.root, tree.subLevels) === viaKernel(tree.assign(emb)))
+    // the HYBRID strategy (kernel coarse + table leaf) sits between the
+    // two ends and must equal both — same integer key, same tie-break
+    val viaHybrid = Similarity.assignHybrid(emb, "vec_id", "embedding",
+        hier.coarse,
+        Similarity.centroidLevelTables(spark, hier.coarse, Seq(hier.sub)).last)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaHybrid === viaKernel(hier.assign(emb)))
     // and the table path is partitioning-invariant like everything else
     val repart = Similarity.assignViaCentroidTables(emb.repartition(7),
         "vec_id", "embedding",

@@ -74,8 +74,10 @@ class ViewsSpec extends SparkSpec {
       "embedding_near_dup_tree", // same capture mechanism (depth-3 tree fit)
       "ann_recall",              // needs BOTH pq and ivfpq captures
       "semantic_dedup_srp_auto", // captures its chosen band width
+      "semantic_dedup_srp_bucket", // same capture mechanism (band width)
       "semantic_dedup_srp_pre",  // same capture mechanism (band width)
-      "semantic_dedup_bigmodel") // same capture mechanism (level tables)
+      "semantic_dedup_bigmodel", // same capture mechanism (level tables)
+      "semantic_dedup_hybrid")   // same capture mechanism (level tables)
     // subset, not equality: the capture-based oracles APPEAR once another
     // test in the same JVM has run their fit, so `missing` legitimately
     // shrinks below the declared set mid-suite

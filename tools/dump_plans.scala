@@ -52,7 +52,10 @@ val picks = Seq(
   "embedding_near_dup_tree" -> "Depth-3 tree quantizer: assignment chains nearest_cell_q -> nearest_sub_cell_q -> nearest_sub_cell_q in ONE narrow projection (n*3*f dots at fanout f = k^(1/3) - the log-depth exponent knob over the 2-level form's n*2*sqrt(k)), then the standard leaf-blocked pair verify.",
   "span_decontam" -> "Span-level benchmark decontamination: the corpus side's winnowed fingerprints (sampled ~2/(w+1) of positions, map-side-deduped) probe the distinct-reduced BROADCAST benchmark fingerprint set - one broadcast hash join, never doc x doc - then the gaps-and-islands merge reports WHICH positions quote the eval set.",
   "stream_span_decontam" -> "Span decontam AT INGEST (read-back plan shown; the decontam itself runs inside the checkpointed document replay): each micro-batch winnows its documents and probes the same broadcast benchmark fingerprint set in-flight, so contaminated spans are flagged before the corpus lands - the batch span_decontam SQL is the oracle verbatim.",
-  "semantic_dedup_bigmodel" -> "The DataFrame-resident (big-model) assignment path: root codebook broadcast-crosses the corpus (fanout-sized, the intended nested-loop), the leaf level equi-joins on the parent node, and min(struct(score, cid)) reproduces the kernels' exact argmin + tie-break; map-side partial aggregation collapses the n*f scored rows to n before the exchange. Exists for the k-proportional-to-n regime where the leaf table outgrows any broadcast (SCALE.md round-9 envelope note).")
+  "semantic_dedup_bigmodel" -> "The DataFrame-resident (big-model) assignment path: root codebook broadcast-crosses the corpus (fanout-sized, the intended nested-loop), the leaf level equi-joins on the parent node, and min(struct(score, cid)) reproduces the kernels' exact argmin + tie-break; map-side partial aggregation collapses the n*f scored rows to n before the exchange. Exists for the k-proportional-to-n regime where the leaf table outgrows any broadcast (SCALE.md round-9 envelope note).",
+  "semantic_dedup_srp_pre" -> "Two-stage SRP dedup (regime-limited comparator, SCALE.md round 10): the threshold-derived hamming prefilter (srp_sketch_q longs riding the band rows, popcount inside the band join's projection - the pair frame is never exchanged) prunes candidates before full vectors ship to survivors. Width and tau are pure functions of the verify threshold, replayed by the oracle.",
+  "semantic_dedup_srp_bucket" -> "The WITHIN-BUCKET verify - the round-10 production dedup shape: vectors ride the band rows (one shuffle of ~corpus volume, independent of pair count) and the exact quantized cosine evaluates INSIDE the band self-join's whole-stage-codegen projection; only passing pairs reach the distinct. Measured 2.6x per 10x data at 200k-2M, no tau, no regime caveat.",
+  "semantic_dedup_hybrid" -> "The hybrid assignment (kernel coarse + table leaf): nearest_cell_q scores the fanout-sized coarse level as a narrow codegen projection (no join), and only the LEAF level - the one that grows with the corpus - pays the storage-resident centroid-table equi-join + argmin. The per-level cutover point between the expression-kernel and big-model evaluation strategies, registered.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")
