@@ -312,8 +312,8 @@ object SimilarityCatalog extends Catalog {
     // passing pairs reach the distinct. Verdict-identical to
     // semantic_dedup_srp_auto at the same captured width (spec-pinned),
     // so the oracle is the same band + verify replay. Measured
-    // 5.7/9.0/15.0 s at 200k/632k/2M -- 2.6x per decade, the cheapest
-    // registered dedup at 2M (SCALE.md round 10).
+    // 4.4/5.5/14.0 s at 200k/632k/2M -- sub-linear, the cheapest
+    // TRAINING-FREE dedup at every measured point (SCALE.md round 10).
     "semantic_dedup_srp_bucket" -> ((s, d) => {
       val (rpb, out) = Srp.semanticDedupSrpBucketAuto(Tables(s, d).embeddings,
         "vec_id", "embedding", Dim, NearDupCos)

@@ -302,8 +302,9 @@ object Srp {
     * PASSING pairs reach the distinct. Verdicts are identical to
     * [[semanticDedupSrpWidth]] bit-for-bit (same banding, same verify,
     * spec-pinned), so the oracle is the same band+verify replay. Measured
-    * (SCALE.md round 10): 5.7/9.0/15.0 s at 200k/632k/2M — 2.6× per
-    * 10× data, vs 23/299/— single-stage and 15/83/— prefilter two-stage.
+    * (SCALE.md round 10): 4.4/5.5/14.0 s at 200k/632k/2M — sub-linear,
+    * vs 23/299/— single-stage and 15/83/— prefilter two-stage; the
+    * cheapest TRAINING-FREE dedup at every measured point.
     */
   def semanticDedupSrpBucketAuto(df: DataFrame, id: String, vec: String,
                                  dim: Int, threshold: Double,
@@ -317,7 +318,21 @@ object Srp {
                                   rowsPerBand: Int): DataFrame = {
     val p = Similarity.prepare(df, id, vec)
       .select(col(id), col("q"), col("n2")).localCheckpoint(false)
+    // Size the band-join partitioning to the frame it actually moves:
+    // n·Bands rows of ~(dim·8 + 72) B each. A fixed session partition
+    // count hits the external-sort spill cliff once per-partition volume
+    // outgrows task memory (measured at 6.3M vectors on local[32]:
+    // 114 s at 32 partitions → 59 s at 128, same plan otherwise); sizing
+    // by bytes is what a real cluster's AQE initialPartitionNum does.
+    // The explicit hash repartition on the join key also means the band
+    // self-join needs no further exchange, and the identical subplan on
+    // both sides collapses to one ReusedExchange.
+    val n = p.count()
+    val parts = math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      (n * Bands * (dim * 8L + 72L) / (128L << 20) + 1L).toInt)
     val bv = bandedRows(p, id, vec, dim, rowsPerBand).join(p, Seq(id))
+      .repartition(parts, col("band"))
     val dupOf = bv
       .select(col("band"), col(id).as("id_a"), col("q").as("qa"), col("n2").as("na"))
       .join(bv.select(col("band"), col(id).as("id_b"), col("q").as("qb"),
