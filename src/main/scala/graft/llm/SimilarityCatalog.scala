@@ -321,6 +321,19 @@ object SimilarityCatalog extends Catalog {
       out.orderBy("vec_id")
     }),
 
+    // the training-free near-dup PAIR search: the within-bucket verify
+    // emitting the passing pairs themselves -- the fit-free sibling of
+    // embedding_near_dup_auto/_hier/_tree (all of which need a k-means
+    // build; this needs one sketch pass). Same declared band + verify
+    // semantics as the srp dedups; oracle replays band -> exact cosine
+    // at the captured width and emits the scored pairs.
+    "embedding_near_dup_srp" -> ((s, d) => {
+      val (rpb, out) = Srp.nearDupPairsSrpAuto(Tables(s, d).embeddings,
+        "vec_id", "embedding", Dim, NearDupCos)
+      nearDupSrpWidth = Some(rpb)
+      out.orderBy("id_a", "id_b")
+    }),
+
     // the TWO-STAGE verify over the same banding (the round-9 fix for the
     // measured srp-auto scale negative): stage 1 prunes banded candidates
     // on the hamming distance of an independent prefilter sketch whose
@@ -485,6 +498,12 @@ object SimilarityCatalog extends Catalog {
     * oracle is the same band + verify replay at this capture.
     */
   @volatile private var srpBucketWidth: Option[Int] = None
+
+  /** Captured band width of the last `embedding_near_dup_srp` run — the
+    * oracle replays band → exact cosine at this width and emits the
+    * scored pairs.
+    */
+  @volatile private var nearDupSrpWidth: Option[Int] = None
 
   /** Captured band width of the last `semantic_dedup_srp_pre` run — the
     * oracle replays banding AND the hamming prefilter at this width
@@ -1316,6 +1335,27 @@ object SimilarityCatalog extends Catalog {
     "semantic_dedup_srp_bucket" -> srpDedupSqlAtWidth(rpb)
   }
 
+  private def nearDupSrpOracle: Option[(String, String)] = nearDupSrpWidth.map { rpb =>
+    "embedding_near_dup_srp" ->
+      s"""WITH $prepSql,
+         |${srpSketchCtesWidth(rpb)},
+         |scand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+         |    AND a.vec_id < b.vec_id),
+         |ssc AS (
+         |  SELECT scand.id_a, scand.id_b, x.n2 AS na, y.n2 AS nb,
+         |    (SELECT CAST(sum(xx * yy) AS BIGINT)
+         |     FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+         |  FROM scand
+         |  JOIN pn x ON x.vec_id = scand.id_a
+         |  JOIN pn y ON y.vec_id = scand.id_b)
+         |SELECT id_a, id_b,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine
+         |FROM ssc
+         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= $NearDupCos
+         |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** The prefilter-sketch CTE (`projp, smp, skp`): [[Srp.preSketches]]'
     * `preLongs` packed longs, exact mirror — hyperplane indices offset
     * [[Srp.PreOffset]], [[Srp.PreBitsPerLong]] bits per long, same sign
@@ -1403,7 +1443,7 @@ object SimilarityCatalog extends Catalog {
   def oracleSql: Map[String, String] =
     kmeansOracle.toMap ++ purityOracle.toMap ++ semanticAutoOracle.toMap ++
       nearDupAutoOracle.toMap ++ srpAutoOracle.toMap ++ srpBucketOracle.toMap ++
-      srpPreOracle.toMap ++
+      nearDupSrpOracle.toMap ++ srpPreOracle.toMap ++
       hierOracle.toMap ++ bigModelOracle.toMap ++ hybridOracle.toMap ++
       nearDupHierOracle.toMap ++ nearDupTreeOracle.toMap ++
       pqOracles ++ ivfPqOracle ++ ivfPqIndexOracle.toMap ++

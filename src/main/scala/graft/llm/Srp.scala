@@ -318,33 +318,68 @@ object Srp {
                                   rowsPerBand: Int): DataFrame = {
     val p = Similarity.prepare(df, id, vec)
       .select(col(id), col("q"), col("n2")).localCheckpoint(false)
-    // Size the band-join partitioning to the frame it actually moves:
-    // n·Bands rows of ~(dim·8 + 72) B each. A fixed session partition
-    // count hits the external-sort spill cliff once per-partition volume
-    // outgrows task memory (measured at 6.3M vectors on local[32]:
-    // 114 s at 32 partitions → 59 s at 128, same plan otherwise); sizing
-    // by bytes is what a real cluster's AQE initialPartitionNum does.
-    // The explicit hash repartition on the join key also means the band
-    // self-join needs no further exchange, and the identical subplan on
-    // both sides collapses to one ReusedExchange.
-    val n = p.count()
-    val parts = math.max(
-      df.sparkSession.sessionState.conf.numShufflePartitions,
-      (n * Bands * (dim * 8L + 72L) / (128L << 20) + 1L).toInt)
-    val bv = bandedRows(p, id, vec, dim, rowsPerBand).join(p, Seq(id))
-      .repartition(parts, col("band"))
-    val dupOf = bv
-      .select(col("band"), col(id).as("id_a"), col("q").as("qa"), col("n2").as("na"))
-      .join(bv.select(col("band"), col(id).as("id_b"), col("q").as("qb"),
-        col("n2").as("nb")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(Similarity.cosineQ(Similarity.dotQ(col("qa"), col("qb")),
-        col("na"), col("nb")) >= threshold)
+    val dupOf = bucketPassingPairs(p, id, vec, dim, threshold, rowsPerBand)
       .select("id_a", "id_b").distinct()
       .groupBy(col("id_b").as(id)).agg(min(col("id_a")).as("dup_of"))
     df.select(col(id))
       .join(dupOf, Seq(id), "left")
       .select(col(id), col("dup_of"), col("dup_of").isNull.as("is_kept"))
+  }
+
+  /** Training-free near-dup PAIR search — the within-bucket verify
+    * emitting the passing pairs themselves (`(id_a, id_b, cosine)`,
+    * distinct, id_a < id_b): the SRP-banded, fit-free sibling of
+    * [[Similarity.cellNearDupPairs]] over learned cells, completing the
+    * pair-tier matrix (flat-auto / hier / tree quantizers all need a
+    * k-means build; this needs none). Same declared band + verify
+    * semantics as [[semanticDedupSrpWidth]], same scale shape as
+    * [[semanticDedupSrpBucketWidth]]. Returns the captured width for the
+    * oracle replay.
+    */
+  def nearDupPairsSrpAuto(df: DataFrame, id: String, vec: String, dim: Int,
+                          threshold: Double,
+                          targetBucket: Long = 64L): (Int, DataFrame) = {
+    val rpb = rowsPerBandFor(df.count(), targetBucket)
+    val p = Similarity.prepare(df, id, vec)
+      .select(col(id), col("q"), col("n2")).localCheckpoint(false)
+    (rpb, bucketPassingPairs(p, id, vec, dim, threshold, rpb).distinct())
+  }
+
+  /** The shared within-bucket pair pipeline: band the prepared frame,
+    * ride the vectors on the band rows, evaluate the exact quantized
+    * cosine inside the band self-join's projection, and emit passing
+    * `(id_a, id_b, cosine)` rows. NOT distinct: a pair colliding in k
+    * bands appears k times (its cosine is functionally determined, so
+    * callers' distinct collapses them exactly).
+    *
+    * The band-join partition count is sized to the frame it actually
+    * moves — n·[[Bands]] rows of ~(dim·8 + 72) B each. A fixed session
+    * partition count hits the external-sort spill cliff once
+    * per-partition volume outgrows task memory (measured at 6.3M vectors
+    * on local[32]: 114 s at 32 partitions → 59 s at 128, same plan
+    * otherwise); sizing by bytes is what a real cluster's AQE
+    * initialPartitionNum does. The explicit hash repartition on the join
+    * key also means the band self-join needs no further exchange, and
+    * the identical subplan on both sides collapses to one
+    * ReusedExchange.
+    */
+  private def bucketPassingPairs(p: DataFrame, id: String, vec: String,
+                                 dim: Int, threshold: Double,
+                                 rowsPerBand: Int): DataFrame = {
+    val n = p.count()
+    val parts = math.max(
+      p.sparkSession.sessionState.conf.numShufflePartitions,
+      (n * Bands * (dim * 8L + 72L) / (128L << 20) + 1L).toInt)
+    val bv = bandedRows(p, id, vec, dim, rowsPerBand).join(p, Seq(id))
+      .repartition(parts, col("band"))
+    bv.select(col("band"), col(id).as("id_a"), col("q").as("qa"), col("n2").as("na"))
+      .join(bv.select(col("band"), col(id).as("id_b"), col("q").as("qb"),
+        col("n2").as("nb")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineQ(Similarity.dotQ(col("qa"), col("qb")),
+          col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** [[semanticDedupSrpAuto]] with a TWO-STAGE candidate verify — the fix

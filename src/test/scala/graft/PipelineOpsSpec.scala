@@ -377,6 +377,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("srp near-dup pair search equals the banded-candidate pair-frame composition") {
+    // the training-free pair query must emit EXACTLY the banded candidates
+    // that pass the exact cosine verify — reference composition: band rows
+    // -> distinct candidate pairs -> join full vectors -> score
+    import graft.llm.{Similarity, Srp}
+    val (rpb, got0) = Srp.nearDupPairsSrpAuto(emb, "vec_id", "embedding", 64, 0.35)
+    val got = got0.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p = Similarity.prepare(emb, "vec_id", "embedding")
+      .select(col("vec_id"), col("q"), col("n2"))
+    val bands = Srp.bandedRows(p, "vec_id", "embedding", 64, rpb)
+    val expected = bands.select(col("vec_id").as("id_a"), col("band"))
+      .join(bands.select(col("vec_id").as("id_b"), col("band")), Seq("band"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+      .join(p.select(col("vec_id").as("id_a"), col("q").as("qa"), col("n2").as("na")), Seq("id_a"))
+      .join(p.select(col("vec_id").as("id_b"), col("q").as("qb"), col("n2").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineQ(Similarity.dotQ(col("qa"), col("qb")),
+          col("na"), col("nb")).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should contain at least one passing pair")
+  }
+
   test("srp two-stage prefilter: disabled-tau degenerates to the single-stage form") {
     // tau >= totalBits disables pruning, so the two-stage pipeline must be
     // EXACTLY the single-stage dedup — the prefilter only ever removes

@@ -75,6 +75,7 @@ class ViewsSpec extends SparkSpec {
       "ann_recall",              // needs BOTH pq and ivfpq captures
       "semantic_dedup_srp_auto", // captures its chosen band width
       "semantic_dedup_srp_bucket", // same capture mechanism (band width)
+      "embedding_near_dup_srp",  // same capture mechanism (band width)
       "semantic_dedup_srp_pre",  // same capture mechanism (band width)
       "semantic_dedup_bigmodel", // same capture mechanism (level tables)
       "semantic_dedup_hybrid")   // same capture mechanism (level tables)
