@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   *   is listed in "errors" so a broken query can never read as a fast pass.
   */
 object Bench {
+  /** Historical idle-box median of the value_counts canary at sf0.1
+    * local[32] (medians of the committed r9+r10 trio series). The
+    * denominator of the artifact's canary_ratio field.
+    */
+  val CanaryRefSec = 0.27
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -220,7 +226,21 @@ object Bench {
     val stallJson = stallProgress.map { case (k, v) =>
       s""""$k":${v.mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"io_canary_series":$ioCanaryJson,"spin_series":$spinJson,"sched_delay_series":$schedDelayJson,"stall_progress":$stallJson,"sf":"$sfDir"}""")
+    // Host-noise self-description (round-10 verdict #7): the committed
+    // per-round driver series is only readable as a TREND if each artifact
+    // states how noisy its host was. canary_ratio = this run's canary
+    // median over the repo's historical idle-box median (r9+r10 trio
+    // medians, 0.23-0.31; update CanaryRefSec if the canary query or the
+    // box changes); noisy_host flags a >25% deviation — per-query times in
+    // a flagged artifact adjudicate against canary_ratio, not against the
+    // previous round's absolute numbers.
+    val canaryOk = canarySeries.filter(_ > 0).sorted
+    val canaryMedian =
+      if (canaryOk.isEmpty) -1.0
+      else canaryOk(canaryOk.size / 2)
+    val canaryRatio = if (canaryMedian > 0) canaryMedian / CanaryRefSec else -1.0
+    val noisyHost = canaryRatio > 1.25 || (canaryRatio > 0 && canaryRatio < 0.75)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"canary_median":${fmt4(canaryMedian)},"canary_ref":$CanaryRefSec,"canary_ratio":${fmt4(canaryRatio)},"noisy_host":$noisyHost,"io_canary_series":$ioCanaryJson,"spin_series":$spinJson,"sched_delay_series":$schedDelayJson,"stall_progress":$stallJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,6 +29,18 @@ object CorpusCatalog extends Catalog {
   val SourceCap = 12
   /** Train/val/test cut points (hash-bucket boundaries at 800/900). */
   val SplitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  /** End-to-end pipeline decontamination cut: drop docs with more than
+    * half their 3-gram shingles found in the benchmark set (verbatim and
+    * near-verbatim leaks; the fixture's partial template overlaps sit at
+    * containment ≤ 0.25 and survive).
+    */
+  val PipelineContamMax = 0.5
+  /** pipeline_end_to_end's captured scale-adaptive SRP width (the same
+    * capture mechanism as SimilarityCatalog's srp queries: the oracle for
+    * a width-adaptive query appears once the query has run and recorded
+    * the width it chose).
+    */
+  private var pipelineSrpWidth: Option[Int] = None
 
   /** The split CASE as SQL over an arbitrary id expression — the oracle
     * mirror of Corpus.splitExpr.
@@ -161,9 +173,106 @@ object CorpusCatalog extends Catalog {
       Corpus.shardManifest(Tables(s, d).documents, "doc_id", "lang", "text",
           TokensPerShard)
         .orderBy("lang", "shard_id")),
+
+    // the INTEGRATION gate row: benchmark carve-out -> curation (exact +
+    // near dedup + quality) -> semantic dedup (srp_bucket, the production
+    // form) -> n-gram decontamination -> split assignment -> sequence
+    // packing, composed over ONE corpus and hashed end-to-end. Piecewise
+    // green stages can still mis-compose (wrong survivor frame handed
+    // downstream); this row pins the composition itself. The SRP band
+    // width is scale-adaptive on the curated-survivor count, captured for
+    // the oracle like every srp query.
+    "pipeline_end_to_end" -> ((s, d) => {
+      val t = Tables(s, d)
+      val (rpb, out) = Pipeline.endToEnd(t.documents, t.embeddings,
+        BenchmarkSource, SimilarityCatalog.Dim, SimilarityCatalog.NearDupCos,
+        PipelineContamMax, SplitFractions, TokensPerShard)
+      pipelineSrpWidth = Some(rpb)
+      out
+    }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** The end-to-end pipeline oracle: the SAME stage composition re-derived
+    * in DuckDB — curation CTE chain (TextCatalog's, over the carved
+    * corpus), the srp band+verify replay at the captured width
+    * (SimilarityCatalog's, over the survivors' vectors), the containment
+    * replay (side-tagged union, so the shared shingle spelling needs no
+    * renamed CTEs), the split CASE, and the running-token packing window.
+    * Each stage sits in its own nested WITH scope, so fragment CTE names
+    * (`ex`, `tt`, `sh`) never collide across stages.
+    */
+  private def pipelineOracle: Option[(String, String)] = pipelineSrpWidth.map { rpb =>
+    val norm = OracleSql.norm
+    "pipeline_end_to_end" ->
+      s"""WITH cd AS (SELECT doc_id, text, lang FROM documents
+         |  WHERE source <> '$BenchmarkSource'),
+         |cur AS (
+         |  WITH ${TextCatalog.curationKeptCtesFrom("cd")}
+         |  SELECT doc_id, text, len(w) AS n_tokens FROM k
+         |  WHERE len(w) >= 20
+         |    AND ${TextCatalog.qualitySql}
+         |      >= 0.5),
+         |sdup AS (
+         |  WITH p AS (SELECT vec_id,
+         |      list_transform(embedding, x ->
+         |        CAST(floor(CAST(x AS DOUBLE) * ${Similarity.QScale}.0) AS BIGINT)) AS q
+         |    FROM embeddings WHERE vec_id IN (SELECT doc_id FROM cur)),
+         |  nrm AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2
+         |    FROM (SELECT vec_id, unnest(q) AS x FROM p) GROUP BY vec_id),
+         |  pn AS (SELECT p.vec_id, p.q, nrm.n2 FROM p JOIN nrm USING (vec_id)),
+         |  ${SimilarityCatalog.srpSketchCtesWidth(rpb)},
+         |  scand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |    FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+         |      AND a.vec_id < b.vec_id),
+         |  ssc AS (
+         |    SELECT scand.id_a, scand.id_b, x.n2 AS na, y.n2 AS nb,
+         |      (SELECT CAST(sum(xx * yy) AS BIGINT)
+         |       FROM (SELECT unnest(x.q) AS xx, unnest(y.q) AS yy)) AS dot
+         |    FROM scand
+         |    JOIN pn x ON x.vec_id = scand.id_a
+         |    JOIN pn y ON y.vec_id = scand.id_b)
+         |  SELECT id_b AS vec_id FROM ssc
+         |  WHERE CAST(dot AS DOUBLE) /
+         |    (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+         |      >= ${SimilarityCatalog.NearDupCos}
+         |  GROUP BY id_b),
+         |sem AS (SELECT doc_id, text, n_tokens FROM cur
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM sdup)),
+         |contam AS (
+         |  WITH cb AS (SELECT doc_id, 'c' AS side, text FROM sem
+         |    UNION ALL
+         |    SELECT doc_id, 'b' AS side, text FROM documents
+         |    WHERE source = '$BenchmarkSource'),
+         |  tw AS (SELECT doc_id, side, string_split($norm, ' ') AS w FROM cb),
+         |  shs AS (SELECT doc_id, side,
+         |      list_distinct([w[i] || '|' || w[i+1] || '|' || w[i+2]
+         |                     FOR i IN range(1, len(w) - 1)]) AS s
+         |    FROM tw WHERE len(w) >= 3),
+         |  bench AS (SELECT DISTINCT unnest(s) AS shingle FROM shs WHERE side = 'b'),
+         |  corp AS (SELECT doc_id, unnest(s) AS shingle FROM shs WHERE side = 'c'),
+         |  per AS (SELECT c.doc_id, count(*) AS n_shingles,
+         |      count(b.shingle) AS n_overlap
+         |    FROM corp c LEFT JOIN bench b USING (shingle) GROUP BY c.doc_id)
+         |  SELECT doc_id FROM per
+         |  WHERE CAST(n_overlap AS DOUBLE) / n_shingles > $PipelineContamMax),
+         |clean AS (SELECT doc_id, n_tokens FROM sem
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |sp AS (SELECT c.doc_id, d.lang, ${splitCaseSql("c.doc_id")} AS split,
+         |    c.n_tokens
+         |  FROM clean c JOIN cd d USING (doc_id)),
+         |r AS (SELECT *, coalesce(SUM(n_tokens) OVER (
+         |    PARTITION BY split, lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+         |  FROM sp)
+         |SELECT split, lang, CAST(floor(run / $TokensPerShard.0) AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM r GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = pipelineOracle.toMap ++ Map(
     "stratified_sample" -> {
       val cases = SampleRates.toSeq.sortBy(_._1).reverse
         .foldLeft((DefaultRate * 1000).toLong.toString) { case (acc, (s, r)) =>

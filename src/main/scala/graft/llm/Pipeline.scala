@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The INTEGRATION shape a production training-data run actually executes —
+  * every stage is a scale-safe operator proven piecewise elsewhere in this
+  * tier; this composes them in the canonical order over one corpus and is
+  * verified end-to-end against a DuckDB oracle of the same composition
+  * (`pipeline_end_to_end`). Piecewise-green stages can still mis-compose
+  * (wrong survivor frame handed to the next stage, a dedup universe that
+  * silently includes quality losers, split assigned before decontamination);
+  * the end-to-end hash pins the composition itself.
+  *
+  * Stage order (and why it is the canonical one):
+  *
+  *  1. benchmark carve-out — eval docs never enter the corpus;
+  *  2. curation ([[Curation.curate]]): exact dedup → near-dup drop →
+  *     quality gate (dedup before quality, so quality never resurrects a
+  *     duplicate's twin);
+  *  3. SEMANTIC dedup over the survivors' embeddings
+  *     ([[Srp.semanticDedupSrpBucketAuto]] — the measured production form:
+  *     one band shuffle of ~corpus volume, verify inside the band join's
+  *     codegen projection). Runs AFTER text-level dedup so the expensive
+  *     vector stage sees only text-unique docs; a doc with no embedding
+  *     row is KEPT (the stage can render no verdict on it), which the
+  *     anti-join-against-losers shape gives for free;
+  *  4. n-gram decontamination ([[Corpus.contaminationScores]], broadcast
+  *     benchmark shingles): drop docs whose benchmark 3-gram containment
+  *     exceeds [[graft.llm.CorpusCatalog.PipelineContamMax]] — AFTER dedup
+  *     (decontam verdicts on dropped dups would be wasted work), BEFORE
+  *     splits (a contaminated doc must not occupy a split slot);
+  *  5. split assignment ([[Corpus.splitExpr]] — pure hash column, no join);
+  *  6. sequence packing within (split, lang): the [[Corpus.packShards]]
+  *     running-token window over curation's already-computed token counts,
+  *     aggregated to a shard manifest.
+  *
+  * Scale shape (the point of the composition): every inter-stage frame is
+  * an ID frame (plus a few narrow columns) — the corpus TEXT is scanned by
+  * the curation and decontamination stages only, the corpus VECTORS by the
+  * semantic stage only, and each "drop" is a left-anti join against a
+  * LOSER set (dup losers ≈ duplicate count, contaminated docs ≈ leak
+  * count — both ≪ corpus, broadcastable at any realistic rate), never a
+  * re-materialization of the survivor corpus. No stage introduces a
+  * shuffle class the piecewise operators don't already carry, so the
+  * composed plan at 100 TB is exactly the sum of its audited parts.
+  */
+object Pipeline {
+
+  /** @return (captured SRP band width, manifest frame) — the width is the
+    *         scale-adaptive choice [[Srp.rowsPerBandFor]] made on the
+    *         curated-survivor count; the oracle replays it bit-for-bit.
+    *         Manifest: `(split, lang, shard_id, n_docs, n_tokens,
+    *         first_doc, last_doc)` ordered.
+    */
+  def endToEnd(docs: DataFrame, emb: DataFrame,
+               benchmarkSource: String, dim: Int, dedupCos: Double,
+               contamMax: Double, fractions: Seq[(String, Double)],
+               tokensPerShard: Long): (Int, DataFrame) = {
+    val corp = docs.filter(col("source") =!= benchmarkSource)
+    val bench = docs.filter(col("source") === benchmarkSource)
+
+    // 2. text curation: (doc_id, n_tokens, quality_score) survivors
+    val cur = Curation.curate(corp, "doc_id", "text")
+
+    // 3. semantic dedup over the survivors' vectors; losers are dup-count
+    // sized, so the drop is an anti join against a small frame — and a doc
+    // with no embedding row never appears in a loser set (kept)
+    val embS = emb.join(cur.select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val (rpb, verdicts) =
+      Srp.semanticDedupSrpBucketAuto(embS, "vec_id", "embedding", dim, dedupCos)
+    val dupLosers = verdicts.filter(!col("is_kept"))
+      .select(col("vec_id").as("doc_id"))
+    val sem = cur.join(dupLosers, Seq("doc_id"), "left_anti")
+
+    // 4. decontamination: benchmark-shingle containment over survivors only
+    val contaminated = Corpus.contaminationScores(
+        corp.join(sem.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text")),
+        bench, "doc_id", "text")
+      .filter(col("containment") > contamMax)
+      .select("doc_id")
+    val clean = sem.join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 5. split: a pure hash expression over the id — no corpus join; lang
+    // rides in from the corpus scan for the packing strata
+    val sp = clean.join(corp.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("split", Corpus.splitExpr(col("doc_id"), fractions)._2)
+
+    // 6. pack: the running-token window over curation's token counts
+    // (no re-tokenization — n_tokens is already the declared count), then
+    // the shard manifest aggregate. first/last doc pin the packing ORDER
+    // into the gate hash, not just the totals.
+    val w = Window.partitionBy(col("split"), col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run: Column = coalesce(sum(col("n_tokens")).over(w), lit(0L))
+    (rpb,
+      sp.withColumn("shard_id", floor(run / lit(tokensPerShard)))
+        .groupBy(col("split"), col("lang"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("split"), col("lang"), col("shard_id")))
+  }
+}

@@ -193,9 +193,14 @@ object Similarity {
       // through a shuffle — the term the sf1-constrate run measured as the
       // whole auto-dedup tier's super-linear cost (k ∝ n makes it n²/target
       // SHUFFLED ROWS; as a projection the k·dim flops stay in-register)
+      // null/mis-shaped vectors argmin to null; the not-null filter makes
+      // the declared null contract (row absent from the output) true on
+      // this path exactly as the table path's pre-argmin filter does —
+      // in-codegen, no exchange added
       prepare(df, id, vec)
         .select(col(id),
           graft.functions.NearestCellQ(col("q"), centroids).as("cluster"))
+        .filter(col("cluster").isNotNull)
 
     /** Margin-based adaptive probe set: every cell whose squared distance
       * is within `alpha`× the nearest cell's, capped at `maxProbes` (the
@@ -634,10 +639,13 @@ object Similarity {
                                    sub: Seq[(Int, Int, Seq[Long])],
                                    id: String, vec: String) {
     def assign(df: DataFrame): DataFrame =
+      // same declared null contract as KMeansModel.assign: null vectors
+      // argmin to null and the row is dropped, matching the table path
       prepare(df, id, vec).select(col(id),
         graft.functions.NearestSubCellQ(col("q"),
           graft.functions.NearestCellQ(col("q"), coarse),
           sub).as("cluster"))
+        .filter(col("cluster").isNotNull)
   }
 
   /** Two-level hierarchical k-means at a scale-adaptive LEAF count
@@ -753,7 +761,9 @@ object Similarity {
         (parent, tbl) => graft.functions.NearestSubCellQ(col("q"), parent, tbl)
       }
     def assign(df: DataFrame): DataFrame =
+      // same declared null contract as the flat/hier kernels
       prepare(df, id, vec).select(col(id), nodeCol.as("cluster"))
+        .filter(col("cluster").isNotNull)
   }
 
   /** Depth-d grouped-Lloyd tree fit. Level 1 is [[kmeansFit]] at fanout
@@ -874,10 +884,11 @@ object Similarity {
     *
     * Null/shape semantics match the kernels: a null/mis-shaped vector
     * scores null against every centroid, is filtered before the argmin,
-    * and the id is absent from the output — exactly what the expression
-    * path's null-then-join-back produces. Spec-pinned ≡ [[KMeansModel
-    * .assign]] / [[HierKMeansModel.assign]] / [[TreeKMeansModel.assign]]
-    * in `PipelineOpsSpec`.
+    * and the id is absent from the output — the same explicit not-null
+    * filter the expression paths carry after their argmin projection.
+    * Spec-pinned ≡ [[KMeansModel.assign]] / [[HierKMeansModel.assign]] /
+    * [[TreeKMeansModel.assign]] in `PipelineOpsSpec` (including on a
+    * frame containing a null vector).
     *
     * Model-size envelope: expression path ≤ a few hundred MB of centroids
     * (task-binary/broadcast bound); this path is bounded only by cluster
@@ -928,9 +939,11 @@ object Similarity {
     */
   private def tableLevelStep(cur: DataFrame, id: String,
                              lvl: DataFrame): DataFrame = {
+    // coalesce: concat null-propagates, and a null node would otherwise
+    // turn the fail-loud diagnostic into `[USER_RAISED_EXCEPTION] null`.
     val checkedScore = when(col("cn2").isNull,
       raise_error(concat(lit("assignViaCentroidTables: node "),
-        cur("node").cast("string"),
+        coalesce(cur("node").cast("string"), lit("null")),
         lit(" has no children in the next centroid level"))))
       .otherwise(col("cn2") - lit(2L) * graft.functions.DotQ(col("q"), col("cq")))
       .as("score")
@@ -955,7 +968,12 @@ object Similarity {
                    leafTable: DataFrame): DataFrame = {
     val kernelCoarse = prepare(df, id, vec).select(col(id), col("q"),
       graft.functions.NearestCellQ(col("q"), coarse).as("node"))
-    tableLevelStep(kernelCoarse, id, leafTable)
+    // Null/mis-shaped embeddings score to a null coarse node. The pure
+    // kernel and all-table paths both DROP such rows (the documented null
+    // contract); without this filter they would instead miss the leaf
+    // left-join and trip the centroid-gap raise_error, aborting the job —
+    // keep that check for genuine table gaps only.
+    tableLevelStep(kernelCoarse.filter(col("node").isNotNull), id, leafTable)
       .select(col(id), col("node").as("cluster"))
   }
 

@@ -819,7 +819,7 @@ object SimilarityCatalog extends Catalog {
     */
   private def srpSketchCtes: String = srpSketchCtesWidth(Srp.RowsPerBand)
 
-  private def srpSketchCtesWidth(rowsPerBand: Int): String = {
+  private[llm] def srpSketchCtesWidth(rowsPerBand: Int): String = {
     val nBits = Srp.Bands * rowsPerBand
     val projCols = (0 until nBits).map(j => s"s_$j").mkString(", ")
     val projValues = Srp.signs(Dim, nBits)

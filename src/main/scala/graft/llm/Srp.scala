@@ -54,12 +54,20 @@ object Srp {
     * UNCAPPED past 15 bits/band (the round-9 backlog ceiling): widths ≤ 15
     * pack all [[Bands]] bands into one sketch long; wider bands get one
     * sketch long each ([[bandedRows]]), so occupancy tracks `targetBucket`
-    * to n ≈ targetBucket·2⁶³ — no single-index build will see the new cap.
+    * up to [[MaxAdaptiveBandBits]] = 62 adaptive bits — the true ceiling,
+    * since for any representable corpus (`n ≤ 2⁶³−1` as a `Long`)
+    * `(n >> 62) ≤ 1 ≤ targetBucket`, so a 63rd bit can never be justified
+    * by occupancy. [[bandedRows]] still accepts an explicit 63-bit width
+    * for callers that want the full per-long sketch; the adaptive path
+    * simply never needs it (spec-pinned:
+    * `rowsPerBandFor(Long.MaxValue, 1) == 62`).
     */
+  val MaxAdaptiveBandBits = 62
+
   def rowsPerBandFor(n: Long, targetBucket: Long, bands: Int = Bands): Int = {
     require(targetBucket >= 1 && bands >= 1)
     var bits = RowsPerBand
-    while (bits < PreBitsPerLong && (n >> bits) > targetBucket) bits += 1
+    while (bits < MaxAdaptiveBandBits && (n >> bits) > targetBucket) bits += 1
     bits
   }
 
@@ -309,8 +317,15 @@ object Srp {
   def semanticDedupSrpBucketAuto(df: DataFrame, id: String, vec: String,
                                  dim: Int, threshold: Double,
                                  targetBucket: Long = 64L): (Int, DataFrame) = {
-    val rpb = rowsPerBandFor(df.count(), targetBucket)
-    (rpb, semanticDedupSrpBucketWidth(df, id, vec, dim, threshold, rpb))
+    // ONE count job on the checkpointed prepared frame serves both width
+    // selection and the band-join partition sizing (the first cut counted
+    // df here and p again inside the pair pipeline — two scans of the
+    // corpus for one number).
+    val p = Similarity.prepare(df, id, vec)
+      .select(col(id), col("q"), col("n2")).localCheckpoint(false)
+    val n = p.count()
+    val rpb = rowsPerBandFor(n, targetBucket)
+    (rpb, bucketDupVerdicts(df, p, id, vec, dim, threshold, rpb, n))
   }
 
   def semanticDedupSrpBucketWidth(df: DataFrame, id: String, vec: String,
@@ -318,7 +333,17 @@ object Srp {
                                   rowsPerBand: Int): DataFrame = {
     val p = Similarity.prepare(df, id, vec)
       .select(col(id), col("q"), col("n2")).localCheckpoint(false)
-    val dupOf = bucketPassingPairs(p, id, vec, dim, threshold, rowsPerBand)
+    bucketDupVerdicts(df, p, id, vec, dim, threshold, rowsPerBand, p.count())
+  }
+
+  /** Shared tail of the two bucket-dedup entry points: pair pipeline →
+    * min-id dup_of → left-join verdict frame. `n` is the prepared frame's
+    * row count, already known to both callers.
+    */
+  private def bucketDupVerdicts(df: DataFrame, p: DataFrame, id: String,
+                                vec: String, dim: Int, threshold: Double,
+                                rowsPerBand: Int, n: Long): DataFrame = {
+    val dupOf = bucketPassingPairs(p, id, vec, dim, threshold, rowsPerBand, n)
       .select("id_a", "id_b").distinct()
       .groupBy(col("id_b").as(id)).agg(min(col("id_a")).as("dup_of"))
     df.select(col(id))
@@ -339,10 +364,11 @@ object Srp {
   def nearDupPairsSrpAuto(df: DataFrame, id: String, vec: String, dim: Int,
                           threshold: Double,
                           targetBucket: Long = 64L): (Int, DataFrame) = {
-    val rpb = rowsPerBandFor(df.count(), targetBucket)
     val p = Similarity.prepare(df, id, vec)
       .select(col(id), col("q"), col("n2")).localCheckpoint(false)
-    (rpb, bucketPassingPairs(p, id, vec, dim, threshold, rpb).distinct())
+    val n = p.count()
+    val rpb = rowsPerBandFor(n, targetBucket)
+    (rpb, bucketPassingPairs(p, id, vec, dim, threshold, rpb, n).distinct())
   }
 
   /** The shared within-bucket pair pipeline: band the prepared frame,
@@ -365,8 +391,7 @@ object Srp {
     */
   private def bucketPassingPairs(p: DataFrame, id: String, vec: String,
                                  dim: Int, threshold: Double,
-                                 rowsPerBand: Int): DataFrame = {
-    val n = p.count()
+                                 rowsPerBand: Int, n: Long): DataFrame = {
     val parts = math.max(
       p.sparkSession.sessionState.conf.numShufflePartitions,
       (n * Bands * (dim * 8L + 72L) / (128L << 20) + 1L).toInt)

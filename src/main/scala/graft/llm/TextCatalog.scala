@@ -361,12 +361,19 @@ object TextCatalog extends Catalog {
   /** CTE chain `ex → pairs → kept → k` (exact dedup, near-dup drop,
     * tokenized survivors) shared by both curation oracles.
     */
-  private lazy val curationKeptCtes: String =
+  private lazy val curationKeptCtes: String = curationKeptCtesFrom("documents")
+
+  /** The exact dedup → near-dup → token-split CTE chain over an arbitrary
+    * source relation — shared with the composed end-to-end pipeline oracle
+    * (CorpusCatalog), which runs the same curation over the
+    * benchmark-carved corpus instead of raw `documents`.
+    */
+  private[llm] def curationKeptCtesFrom(src: String): String =
     s"""ex AS (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text,
        |      min(doc_id) OVER (PARTITION BY md5($norm)) AS canon
-       |    FROM documents)
+       |    FROM $src)
        |  WHERE doc_id = canon),
        |${OracleSql.jaccardPairsCtesFrom("ex")},
        |kept AS (

@@ -530,6 +530,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(repart === viaKernel(hier.assign(emb)))
   }
 
+  test("assignHybrid drops null-embedding rows like both pure paths") {
+    // the null contract: a null vector scores to a null coarse node, and
+    // every evaluation strategy must DROP that row (the kernel argmin's
+    // not-null filter does; the hybrid's leaf left-join would instead
+    // miss and trip the centroid-gap raise_error, aborting the job)
+    val hier = Similarity.hierarchicalFit(emb, "vec_id", "embedding", 64L, 2)
+    val leaf = Similarity.centroidLevelTables(spark, hier.coarse, Seq(hier.sub)).last
+    val dirty = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((-1L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    def canon(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val clean = canon(hier.assign(emb))
+    assert(canon(hier.assign(dirty)) === clean, "kernel path drops the null row")
+    assert(canon(Similarity.assignHybrid(dirty, "vec_id", "embedding",
+      hier.coarse, leaf)) === clean, "hybrid path drops it identically")
+    assert(canon(Similarity.assignViaCentroidTables(dirty, "vec_id", "embedding",
+      Similarity.centroidLevelTables(spark, hier.coarse, Seq(hier.sub)))) === clean,
+      "all-table path drops it identically")
+  }
+
   test("chunkedQueries slicing is exact: sliced topK == unsliced topK") {
     // the beyond-broadcast driver: per-query results are independent, so
     // any hash-slicing of the query set must reproduce the single-broadcast

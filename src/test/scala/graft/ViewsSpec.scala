@@ -78,7 +78,8 @@ class ViewsSpec extends SparkSpec {
       "embedding_near_dup_srp",  // same capture mechanism (band width)
       "semantic_dedup_srp_pre",  // same capture mechanism (band width)
       "semantic_dedup_bigmodel", // same capture mechanism (level tables)
-      "semantic_dedup_hybrid")   // same capture mechanism (level tables)
+      "semantic_dedup_hybrid",   // same capture mechanism (level tables)
+      "pipeline_end_to_end")     // same capture mechanism (srp band width)
     // subset, not equality: the capture-based oracles APPEAR once another
     // test in the same JVM has run their fit, so `missing` legitimately
     // shrinks below the declared set mid-suite

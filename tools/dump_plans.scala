@@ -55,7 +55,9 @@ val picks = Seq(
   "semantic_dedup_bigmodel" -> "The DataFrame-resident (big-model) assignment path: root codebook broadcast-crosses the corpus (fanout-sized, the intended nested-loop), the leaf level equi-joins on the parent node, and min(struct(score, cid)) reproduces the kernels' exact argmin + tie-break; map-side partial aggregation collapses the n*f scored rows to n before the exchange. Exists for the k-proportional-to-n regime where the leaf table outgrows any broadcast (SCALE.md round-9 envelope note).",
   "semantic_dedup_srp_pre" -> "Two-stage SRP dedup (regime-limited comparator, SCALE.md round 10): the threshold-derived hamming prefilter (srp_sketch_q longs riding the band rows, popcount inside the band join's projection - the pair frame is never exchanged) prunes candidates before full vectors ship to survivors. Width and tau are pure functions of the verify threshold, replayed by the oracle.",
   "semantic_dedup_srp_bucket" -> "The WITHIN-BUCKET verify - the round-10 production dedup shape: vectors ride the band rows (one shuffle of ~corpus volume, independent of pair count) and the exact quantized cosine evaluates INSIDE the band self-join's whole-stage-codegen projection; only passing pairs reach the distinct. Measured 2.6x per 10x data at 200k-2M, no tau, no regime caveat.",
-  "semantic_dedup_hybrid" -> "The hybrid assignment (kernel coarse + table leaf): nearest_cell_q scores the fanout-sized coarse level as a narrow codegen projection (no join), and only the LEAF level - the one that grows with the corpus - pays the storage-resident centroid-table equi-join + argmin. The per-level cutover point between the expression-kernel and big-model evaluation strategies, registered.")
+  "semantic_dedup_hybrid" -> "The hybrid assignment (kernel coarse + table leaf): nearest_cell_q scores the fanout-sized coarse level as a narrow codegen projection (no join), and only the LEAF level - the one that grows with the corpus - pays the storage-resident centroid-table equi-join + argmin. The per-level cutover point between the expression-kernel and big-model evaluation strategies, registered.",
+  "embedding_near_dup_srp" -> "Training-free near-dup PAIR search: the srp_bucket within-bucket verify emitting the passing (id_a, id_b, cosine) rows themselves - vectors ride the band rows, the exact cosine evaluates inside the band self-join's codegen projection, and output volume scales with the TRUE pair count (the fit-free sibling of the flat/hier/tree pair queries).",
+  "pipeline_end_to_end" -> "The integration gate: benchmark carve-out -> curation (exact + near dedup + quality) -> srp_bucket semantic dedup over survivors' vectors -> n-gram decontamination (broadcast benchmark shingles) -> hash split -> running-token packing, in ONE plan. Every inter-stage frame is an id frame; each drop is an anti join against a loser set (dup losers, contaminated docs - both ~leak-sized); text is scanned by curation + decontam only, vectors by the semantic stage only.")
 val sb = new StringBuilder
 sb.append("# PLANS - formatted physical plans of representative queries\n\n")
 sb.append("Generated from the current build at sf0.01 (plan shapes are scale-independent;\n")

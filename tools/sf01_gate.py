@@ -104,7 +104,8 @@ def main():
         counts = {}
         for v in merged.values():
             counts[v["status"]] = counts.get(v["status"], 0) + 1
-        out = {"sf": "0.1", "protocol": "full + 2000-doc pairslice for oracle timeouts",
+        out = {"sf": flags.get("sf", "0.1"),
+               "protocol": "full + 2000-doc pairslice for oracle timeouts",
                "counts": counts, "queries": merged}
         body = json.dumps(out, indent=1, sort_keys=True)
         print(body if "out" not in flags else counts)
