@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   *
   * Config: `SPARK_GRAFT_VEC_RUNS` — comma-separated `form:threshold:width`
   * where form ∈ {bucket, pairs}, width ∈ {auto, <bits>}. Default runs the
-  * production point (`bucket:0.35:auto`). Runs execute in order, each
-  * timed individually with no warmup (matching how the committed decade
-  * points were measured; the first run carries JVM warmup — order is in
-  * the artifact via the runs array).
+  * production point (`bucket:0.35:auto`). Runs execute in order; with
+  * `SPARK_GRAFT_VEC_WARMUP=1` each spec runs once untimed first (JVM +
+  * page-cache warmup — the steady-state number; without it the first
+  * touch of a multi-GB fixture on a degraded-storage host dominates the
+  * reading, measured 173 s vs 41 s warmed at 6.3M on the same build).
+  * The artifact carries an `io_probe_sec` field (16 fsync'd 256 KiB
+  * writes, the Bench io-canary shape) so a storage-sick host names
+  * itself in the file.
   */
 object VecBench {
   def main(args: Array[String]): Unit = {
@@ -39,12 +43,28 @@ object VecBench {
     val n = emb.count()
     val dim = graft.llm.SimilarityCatalog.Dim
     val targetBucket = 64L
+    val warmup = sys.env.get("SPARK_GRAFT_VEC_WARMUP").contains("1")
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val results = runsSpec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+    def ioProbe(): Double = {
+      import java.nio.file.{Files => NF, StandardOpenOption => O}
+      val dir = NF.createTempDirectory("graft-vec-iocanary")
+      val buf = java.nio.ByteBuffer.allocate(256 * 1024)
+      val t0 = System.nanoTime()
+      (0 until 16).foreach { i =>
+        buf.rewind()
+        val ch = java.nio.channels.FileChannel.open(dir.resolve(s"f$i"), O.CREATE, O.WRITE)
+        try { ch.write(buf); ch.force(true) } finally ch.close()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      dir.toFile.listFiles.foreach(_.delete()); dir.toFile.delete()
+      sec
+    }
+    val ioSec = ioProbe()
+
+    def runSpec(spec: String): (String, Double, Int, String, Long) = {
       val Array(form, thrS, widthS) = spec.split(":")
       val thr = thrS.toDouble
-      val t0 = System.nanoTime()
       val (rpb, out) = (form, widthS) match {
         case ("bucket", "auto") =>
           val (w, d) = graft.llm.Srp.semanticDedupSrpBucketAuto(
@@ -60,15 +80,22 @@ object VecBench {
           (w, d.count())
         case other => sys.error(s"unknown run spec: $other")
       }
-      val sec = (System.nanoTime() - t0) / 1e9
       // release each run's checkpointed frames so runs don't squeeze each
       // other's execution memory (the Bench session-hygiene rule)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (form, thr, rpb, widthS, out)
+    }
+
+    val results = runsSpec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { spec =>
+      if (warmup) runSpec(spec)
+      val t0 = System.nanoTime()
+      val (form, thr, rpb, widthS, out) = runSpec(spec)
+      val sec = (System.nanoTime() - t0) / 1e9
       s"""{"form":"$form","threshold":$thr,"rows_per_band":$rpb,""" +
         s""""width_mode":"$widthS","target_bucket":$targetBucket,""" +
-        s""""n":$n,"out":$out,"sec":${fmt(sec)}}"""
+        s""""warmed":$warmup,"n":$n,"out":$out,"sec":${fmt(sec)}}"""
     }
-    println(s"""{"metric":"vec_dedup","unit":"sec","sf":"$sfDir","n":$n,"dim":$dim,"runs":[${results.mkString(",")}]}""")
+    println(s"""{"metric":"vec_dedup","unit":"sec","sf":"$sfDir","n":$n,"dim":$dim,"io_probe_sec":${fmt(ioSec)},"runs":[${results.mkString(",")}]}""")
     spark.stop()
   }
 }
