@@ -211,6 +211,20 @@ object Bench {
       name -> (if (ok) elapsed else -1.0)
     }
     canary()
+    // Stage attribution for the six-stage composition gate (round-11
+    // verdict #4): one extra forced-boundary replay AFTER the timed loop
+    // (so it can't perturb the timed numbers), emitted as 5 scalars so a
+    // regression in the gate's total is attributable to a stage.
+    val pipelineStages: Seq[(String, Double)] =
+      if (names.contains("pipeline_end_to_end") &&
+          sys.env.getOrElse("SPARK_GRAFT_STAGE_ATTR", "1") != "0")
+        try graft.llm.CorpusCatalog.pipelineStageTimings(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] stage attribution failed: ${e.getMessage}")
+          Seq.empty
+        }
+        finally { release(); graft.engine.TempDirs.sweep() }
+      else Seq.empty
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = canarySeries.mkString("[", ",", "]")
@@ -239,8 +253,28 @@ object Bench {
       if (canaryOk.isEmpty) -1.0
       else canaryOk(canaryOk.size / 2)
     val canaryRatio = if (canaryMedian > 0) canaryMedian / CanaryRefSec else -1.0
-    val noisyHost = canaryRatio > 1.25 || (canaryRatio > 0 && canaryRatio < 0.75)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_series":$canaryJson,"canary_median":${fmt4(canaryMedian)},"canary_ref":$CanaryRefSec,"canary_ratio":${fmt4(canaryRatio)},"noisy_host":$noisyHost,"io_canary_series":$ioCanaryJson,"spin_series":$spinJson,"sched_delay_series":$schedDelayJson,"stall_progress":$stallJson,"sf":"$sfDir"}""")
+    // an unmeasurable host (no canary samples) is UNKNOWN, not quiet:
+    // emitting false here would let a box we couldn't probe self-describe
+    // as clean, inverting the field's intent
+    val noisyHostJson =
+      if (canaryRatio <= 0) "null"
+      else (canaryRatio > 1.25 || canaryRatio < 0.75).toString
+    // stdout carries only the per-query summary + host-noise scalars: the
+    // probe SERIES and per-batch stall progress blew past the driver's
+    // capture window two rounds running ("parsed": null in BENCH_r10/r11),
+    // so they go to a side file the summary points at.
+    val diagPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIAG", "bench_diag.json")
+    val diag =
+      s"""{"canary":"$canaryName","canary_series":$canaryJson,"io_canary_series":$ioCanaryJson,"spin_series":$spinJson,"sched_delay_series":$schedDelayJson,"stall_progress":$stallJson,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(diagPath),
+      diag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] diag write failed: ${e.getMessage}")
+    }
+    val stagesJson = pipelineStages
+      .map { case (k, v) => s""""$k":${fmt4(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"max_query_sec":$maxQ,"queries":$qs,"errors":$errJson,"canary":"$canaryName","canary_median":${fmt4(canaryMedian)},"canary_ref":$CanaryRefSec,"canary_ratio":${fmt4(canaryRatio)},"noisy_host":$noisyHostJson,"stall_count":${stallProgress.size},"pipeline_stages":$stagesJson,"diag_file":"$diagPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

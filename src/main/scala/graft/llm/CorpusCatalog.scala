@@ -192,6 +192,18 @@ object CorpusCatalog extends Catalog {
     }),
   )
 
+  /** Bench-side stage attribution for the composition gate: the same
+    * parameters as the `pipeline_end_to_end` catalog entry, replayed
+    * through [[Pipeline.stageTimings]] (forced stage boundaries). Not a
+    * registered query — it measures, it doesn't verify.
+    */
+  def pipelineStageTimings(s: SparkSession, d: String): Seq[(String, Double)] = {
+    val t = Tables(s, d)
+    Pipeline.stageTimings(t.documents, t.embeddings,
+      BenchmarkSource, SimilarityCatalog.Dim, SimilarityCatalog.NearDupCos,
+      PipelineContamMax, SplitFractions, TokensPerShard)
+  }
+
   /** The end-to-end pipeline oracle: the SAME stage composition re-derived
     * in DuckDB — curation CTE chain (TextCatalog's, over the carved
     * corpus), the srp band+verify replay at the captured width

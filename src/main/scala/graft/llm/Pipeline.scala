@@ -103,4 +103,72 @@ object Pipeline {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("split"), col("lang"), col("shard_id")))
   }
+
+  /** Per-stage wall-time attribution for the composition gate (round-11
+    * verdict #4): the same stage chain as [[endToEnd]], but each stage is
+    * FORCED at its boundary (eager localCheckpoint), so a regression in the
+    * 6-stage gate's total is attributable to a stage instead of adjudicated
+    * by elimination. This is a measurement replay, not the gate itself —
+    * the gate query stays the single lazy composed plan (barriers would
+    * change what the hash verifies: Catalyst's right to fuse across
+    * stages). Checkpointed inter-stage frames are the same ID frames the
+    * lazy plan exchanges, so per-stage times sum to within buffer-copy
+    * noise of the composed run.
+    *
+    * @return (stage name, seconds) in execution order.
+    */
+  def stageTimings(docs: DataFrame, emb: DataFrame,
+                   benchmarkSource: String, dim: Int, dedupCos: Double,
+                   contamMax: Double, fractions: Seq[(String, Double)],
+                   tokensPerShard: Long): Seq[(String, Double)] = {
+    val buf = scala.collection.mutable.ListBuffer[(String, Double)]()
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      buf += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val corp = docs.filter(col("source") =!= benchmarkSource)
+    val bench = docs.filter(col("source") === benchmarkSource)
+
+    val cur = timed("curate") {
+      Curation.curate(corp, "doc_id", "text").localCheckpoint(true)
+    }
+    val sem = timed("semantic_dedup") {
+      val embS = emb.join(cur.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val (_, verdicts) =
+        Srp.semanticDedupSrpBucketAuto(embS, "vec_id", "embedding", dim, dedupCos)
+      val dupLosers = verdicts.filter(!col("is_kept"))
+        .select(col("vec_id").as("doc_id"))
+      cur.join(dupLosers, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    }
+    val clean = timed("decontam") {
+      val contaminated = Corpus.contaminationScores(
+          corp.join(sem.select("doc_id"), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("text")),
+          bench, "doc_id", "text")
+        .filter(col("containment") > contamMax)
+        .select("doc_id")
+      sem.join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    }
+    val sp = timed("split") {
+      clean.join(corp.select("doc_id", "lang"), Seq("doc_id"))
+        .withColumn("split", Corpus.splitExpr(col("doc_id"), fractions)._2)
+        .localCheckpoint(true)
+    }
+    timed("pack") {
+      val w = Window.partitionBy(col("split"), col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val run: Column = coalesce(sum(col("n_tokens")).over(w), lit(0L))
+      sp.withColumn("shard_id", floor(run / lit(tokensPerShard)))
+        .groupBy(col("split"), col("lang"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("split"), col("lang"), col("shard_id"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    Seq(cur, sem, clean, sp).foreach(_.unpersist(blocking = false))
+    buf.toSeq
+  }
 }

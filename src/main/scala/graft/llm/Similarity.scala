@@ -373,16 +373,14 @@ object Similarity {
     var centroids: Seq[(Int, Seq[Long])] =
       chosen.toSeq.zipWithIndex.map { case (v, i) => i -> v.toSeq }
 
-    def assignment(): DataFrame =
-      // same narrow nearest-cell projection as KMeansModel.assign — each
-      // Lloyd round scans n rows instead of shuffling n·k dist rows
-      p.select(col(id),
-        graft.functions.NearestCellQ(col("q"), centroids).as("cluster"))
-
     for (_ <- 1 to iters) {
-      val sums = assignment()
-        .join(p, Seq(id))
-        .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "x")))
+      // one narrow pass: nearest-cell and posexplode over the SAME scan of
+      // p (the vectors are already there — re-joining assignment() back to
+      // p paid a hash join, i.e. two exchanges, per Lloyd round; same
+      // fold hierarchicalFit's loop uses)
+      val sums = p
+        .select(graft.functions.NearestCellQ(col("q"), centroids).as("cluster"),
+          posexplode(col("q")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -1194,21 +1192,34 @@ object Similarity {
       * must fit the broadcast threshold; beyond it, drive through
       * [[chunkedQueries]].
       */
-    def topK(codes: DataFrame, queries: DataFrame, probes: Int, k: Int): DataFrame = {
-      val km = KMeansModel(leaves, id, vec)
-      val pq2 = prepare(queries, id, vec)
-      val probed = pq2.join(km.assignTop(pq2, probes), Seq(id))
-        .select(col(id).as("query_id"), col("cluster").as("cell"),
-          graft.functions.ResidualQ(col("q"), col("cluster"), leafTable).as("rq"))
-      val scored = codes
-        .select(col(id).as("nn_id"), col("cell"), col("codes"))
-        .join(broadcast(probed), Seq("cell"))
-        .filter(col("nn_id") =!= col("query_id"))
-        .select(col("query_id"), col("nn_id"),
-          graft.functions.PqAdcQ(col("rq"), col("codes"), pq.codebooks).as("adc_dist"))
-      Relational.topKPerGroup(scored, Seq("query_id"),
-        Seq(col("adc_dist").asc, col("nn_id").asc), k)
-    }
+    def topK(codes: DataFrame, queries: DataFrame, probes: Int, k: Int): DataFrame =
+      ivfAdcTopK(codes, queries, id, vec, leaves, leafTable, pq, probes, k)
+  }
+
+  /** Shared ADC serving tail of every IVF-style index (two-level and
+    * tree-coarse): flat exact leaf ranking per query (queries are the
+    * small broadcast side — k dots per query is nothing there), per-probe
+    * residual, compressed-domain scoring of only the probed leaves' code
+    * lists. Each corpus vector lives in exactly one leaf → no duplicates.
+    */
+  private[llm] def ivfAdcTopK(codes: DataFrame, queries: DataFrame,
+                              id: String, vec: String,
+                              leaves: Seq[(Int, Seq[Long])],
+                              leafTable: Seq[(Int, Seq[Long])],
+                              pq: PqModel, probes: Int, k: Int): DataFrame = {
+    val km = KMeansModel(leaves, id, vec)
+    val pq2 = prepare(queries, id, vec)
+    val probed = pq2.join(km.assignTop(pq2, probes), Seq(id))
+      .select(col(id).as("query_id"), col("cluster").as("cell"),
+        graft.functions.ResidualQ(col("q"), col("cluster"), leafTable).as("rq"))
+    val scored = codes
+      .select(col(id).as("nn_id"), col("cell"), col("codes"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        graft.functions.PqAdcQ(col("rq"), col("codes"), pq.codebooks).as("adc_dist"))
+    Relational.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("adc_dist").asc, col("nn_id").asc), k)
   }
 
   /** IVF-PQ build: two-level [[hierarchicalFit]] (leaf count k ∝ n at
@@ -1232,6 +1243,71 @@ object Similarity {
         graft.functions.ResidualQ(col("q"), col("cell"), stub.leafTable).as("q"))
       .localCheckpoint(false)
     IvfPqModel(hier, pqFitCore(r, id, vec, m, ks, iters), id, vec)
+  }
+
+  /** IVF-PQ with a depth-d TREE coarse quantizer — the log-depth build of
+    * [[IvfPqModel]]: corpus-side leaf assignment costs n·d·f dots (f =
+    * per-level fanout) instead of the two-level form's n·2√k, the shape
+    * that stays usable once √k itself is large (10^11 vectors, k = n/64:
+    * two levels ≈ 80k dots/vector, depth-4 at fanout ~200 ≈ 800). The
+    * serving tail is IDENTICAL to [[IvfPqModel]] — flat exact leaf ranking
+    * for the (tiny) query side, residual PQ codes per leaf, ADC over
+    * probed code lists — so the ONLY behavioral delta is corpus-side leaf
+    * routing: a deeper tree mis-routes more boundary vectors, which is a
+    * RECALL cost, not a correctness cost. That cost is measured, not
+    * assumed: `ann_recall` scores this pipeline against the exact-L2
+    * ground truth next to flat PQ and two-level IVF-PQ (the gate the
+    * round-9 BACKLOG required before any tree-coarse registration).
+    */
+  final case class TreeIvfPqModel(tree: TreeKMeansModel, pq: PqModel,
+                                  id: String, vec: String) {
+    def leaves: Seq[(Int, Seq[Long])] =
+      tree.subLevels.last.map { case (_, leaf, cq) => (leaf, cq) }
+
+    /** Dense leaf-centroid table for [[graft.functions.ResidualQ]] — same
+      * zero-placeholder fill contract as [[IvfPqModel.leafTable]] (gaps
+      * can never be produced by the argmin chain).
+      */
+    private[llm] def leafTable: Seq[(Int, Seq[Long])] = {
+      val dim = leaves.head._2.length
+      val byLeaf = leaves.toMap
+      (0 to leaves.map(_._1).max).map(l =>
+        (l, byLeaf.getOrElse(l, Seq.fill(dim)(0L))))
+    }
+
+    /** `(id, cell, codes)` — one narrow codegen'd projection chaining the
+      * d tree argmins → residual → M sliced code argmins.
+      */
+    def encode(df: DataFrame): DataFrame =
+      prepare(df, id, vec)
+        .select(col(id), tree.nodeCol.as("cell"), col("q"))
+        .filter(col("cell").isNotNull)
+        .withColumn("q", graft.functions.ResidualQ(col("q"), col("cell"), leafTable))
+        .select(col(id), col("cell"), pq.codesCol.as("codes"))
+
+    def topK(codes: DataFrame, queries: DataFrame, probes: Int, k: Int): DataFrame =
+      ivfAdcTopK(codes, queries, id, vec, leaves, leafTable, pq, probes, k)
+  }
+
+  /** Tree-coarse IVF-PQ build: [[treeFit]] (leaf count k ∝ n at constant
+    * occupancy, reached in d argmin levels), then [[pqFitCore]] on the
+    * pinned residual frame — the same deterministic integer pipelines as
+    * [[ivfPqFit]], so the whole index replays exactly in the oracle.
+    */
+  def treeIvfPqFit(df: DataFrame, id: String, vec: String,
+                   targetCellSize: Long = 64L, depth: Int = 3, m: Int = 8,
+                   ks: Int = 16, iters: Int = 3,
+                   fanouts: Seq[Int] = Nil): TreeIvfPqModel = {
+    val p = prepare(df, id, vec)
+    val tree = treeFit(p, id, vec, targetCellSize, depth, iters, fanouts)
+    val stub = TreeIvfPqModel(tree, null, id, vec) // leafTable/nodeCol only
+    val r = p
+      .select(col(id), tree.nodeCol.as("cell"), col("q"))
+      .filter(col("cell").isNotNull)
+      .select(col(id),
+        graft.functions.ResidualQ(col("q"), col("cell"), stub.leafTable).as("q"))
+      .localCheckpoint(false)
+    TreeIvfPqModel(tree, pqFitCore(r, id, vec, m, ks, iters), id, vec)
   }
 
   def semanticDedup(df: DataFrame, id: String, vec: String, cell: String,

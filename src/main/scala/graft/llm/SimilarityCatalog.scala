@@ -407,6 +407,8 @@ object SimilarityCatalog extends Catalog {
       pqCapture = Some(pqModel.codebooks)
       val ivf = ivfPqFit(s, d)
       ivfPqCapture = Some((ivf.hier.coarse, ivf.hier.sub, ivf.pq.codebooks))
+      val tree = treeIvfPqFit(s, d)
+      treeIvfPqCapture = Some((tree.tree.root, tree.tree.subLevels, tree.pq.codebooks))
       val exact = Similarity.l2TopK(corpus(t), queriesDf(t), "vec_id", "embedding", K)
       val pqR = Similarity.recallAtK(
         Similarity.pqTopK(pqModel.encode(corpus(t)), queriesDf(t), "vec_id",
@@ -415,7 +417,14 @@ object SimilarityCatalog extends Catalog {
       val ivfR = Similarity.recallAtK(
         ivf.topK(ivf.encode(corpus(t)), queriesDf(t), IvfPqProbes, K), exact)
         .select(lit("ivfpq").as("method"), col("query_id"), col("n_hits"))
-      pqR.unionAll(ivfR).orderBy("method", "query_id")
+      // the tree-coarse pipeline is recall-GATED here (BACKLOG contract:
+      // no tree-coarse ANN registration without its recall measured next
+      // to the two-level form's — deeper trees mis-route more boundary
+      // corpus vectors; the serving tail is identical)
+      val treeR = Similarity.recallAtK(
+        tree.topK(tree.encode(corpus(t)), queriesDf(t), IvfPqProbes, K), exact)
+        .select(lit("tivfpq").as("method"), col("query_id"), col("n_hits"))
+      pqR.unionAll(ivfR).unionAll(treeR).orderBy("method", "query_id")
     }),
 
     // the full faiss serving shape (with the inverted-multi-index twist):
@@ -431,6 +440,21 @@ object SimilarityCatalog extends Catalog {
     "ivfpq_topk" -> ((s, d) => {
       val model = ivfPqFit(s, d)
       ivfPqCapture = Some((model.hier.coarse, model.hier.sub, model.pq.codebooks))
+      val t = Tables(s, d)
+      model.topK(model.encode(corpus(t)), queriesDf(t), IvfPqProbes, K)
+        .orderBy("query_id", "nn_id")
+    }),
+
+    // the LOG-DEPTH coarse quantizer under the full serving shape: same
+    // residual-PQ + ADC tail as ivfpq_topk, but corpus-side leaf routing
+    // descends the depth-3 tree (n·d·f dots, the only coarse shape still
+    // usable once √k is itself large — see TreeKMeansModel). Registered
+    // TOGETHER with its recall gate: ann_recall scores this pipeline
+    // against exact-L2 next to flat PQ and two-level IVF-PQ, closing the
+    // round-9 BACKLOG condition for fronting an ANN index with the tree.
+    "tree_ivfpq_topk" -> ((s, d) => {
+      val model = treeIvfPqFit(s, d)
+      treeIvfPqCapture = Some((model.tree.root, model.tree.subLevels, model.pq.codebooks))
       val t = Tables(s, d)
       model.topK(model.encode(corpus(t)), queriesDf(t), IvfPqProbes, K)
         .orderBy("query_id", "nn_id")
@@ -625,6 +649,25 @@ object SimilarityCatalog extends Catalog {
     ivfPqFits.getOrElseUpdate(d,
       Similarity.ivfPqFit(Tables(s, d).embeddings, "vec_id", "embedding",
         targetCellSize = 64L, m = PqM, ks = PqKs, iters = 3))
+
+  /** Captured (root, level tables, residual codebooks) of the last
+    * tree-coarse IVF-PQ fit — the tree_ivfpq_topk / ann_recall oracles
+    * replay the depth-d argmin chain + residual ADC from them.
+    */
+  @volatile private var treeIvfPqCapture:
+    Option[(Seq[(Int, Seq[Long])], Seq[Seq[(Int, Int, Seq[Long])]],
+            Seq[(Int, Int, Seq[Long])])] = None
+
+  /** Once-per-(JVM, sfDir) memo of the tree-coarse IVF-PQ fit (model only
+    * — same hygiene rationale as [[pqFit]]). Same depth-3 shape as
+    * [[treeFit]]: corpus-side assignment is n·d·f dots.
+    */
+  private val treeIvfPqFits =
+    scala.collection.concurrent.TrieMap.empty[String, Similarity.TreeIvfPqModel]
+  private def treeIvfPqFit(s: SparkSession, d: String): Similarity.TreeIvfPqModel =
+    treeIvfPqFits.getOrElseUpdate(d,
+      Similarity.treeIvfPqFit(Tables(s, d).embeddings, "vec_id", "embedding",
+        targetCellSize = 64L, depth = 3, m = PqM, ks = PqKs, iters = 3))
 
   /** Centroids of the last `kmeans_label_purity` fit (captured separately so
     * either query oracles independently under a subset run).
@@ -1136,9 +1179,6 @@ object SimilarityCatalog extends Catalog {
     val leafValues = sub.map { case (c, leaf, cq) =>
       s"($c, $leaf, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
     }.mkString(",\n    ")
-    val cbValues = codebooks.map { case (m, code, cq) =>
-      s"($m, $code, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
-    }.mkString(",\n    ")
     s"""${p}c(cid, cq) AS (VALUES
        |    $coarseValues),
        |${p}cn AS (SELECT cid, cq,
@@ -1170,7 +1210,24 @@ object SimilarityCatalog extends Catalog {
        |  SELECT vec_id, cid AS cell FROM ${p}lscored
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |    ORDER BY dist ASC, cid ASC) = 1),
-       |${p}cb(m, code, cq) AS (VALUES
+       |${adcTailCtes(codebooks, p)}""".stripMargin
+  }
+
+  /** The shared ADC tail of every IVF-style oracle chain (residual encode
+    * → flat leaf-ranked probe selection → ADC partials): depends on
+    * `${p}ca(vec_id, cell)` (corpus leaf assignment) and
+    * `${p}ltn(cid, cq, cn2)` (leaf-centroid table) existing in the WITH
+    * scope — the mirror of [[Similarity.ivfAdcTopK]] being shared by the
+    * two-level and tree-coarse indexes on the engine side. Ends in
+    * `${p}adc(query_id, nn_id, adc_dist)`.
+    */
+  private def adcTailCtes(codebooks: Seq[(Int, Int, Seq[Long])],
+                          p: String): String = {
+    val ds = Dim / PqM
+    val cbValues = codebooks.map { case (m, code, cq) =>
+      s"($m, $code, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+    }.mkString(",\n    ")
+    s"""${p}cb(m, code, cq) AS (VALUES
        |    $cbValues),
        |${p}enc_scored AS (
        |  SELECT pn.vec_id, cb.m, cb.code,
@@ -1210,6 +1267,68 @@ object SimilarityCatalog extends Catalog {
        |  WHERE ca.vec_id <> qa.query_id),
        |${p}adc AS (SELECT query_id, nn_id, CAST(sum(pd) AS BIGINT) AS adc_dist
        |  FROM ${p}partial GROUP BY query_id, nn_id)""".stripMargin
+  }
+
+  /** The complete TREE-coarse IVF-PQ chain: the depth-d leaf argmin chain
+    * (prefixed mirror of [[treeAssignCtes]] — identical comparison key and
+    * lower-cid tie-break per level) into `${p}ca`, the last level's table
+    * as `${p}ltn`, then the shared [[adcTailCtes]]. Ends in
+    * `${p}adc(query_id, nn_id, adc_dist)`.
+    */
+  private def treeIvfPqChainCtes(root: Seq[(Int, Seq[Long])],
+                                 subLevels: Seq[Seq[(Int, Int, Seq[Long])]],
+                                 codebooks: Seq[(Int, Int, Seq[Long])],
+                                 p: String): String = {
+    val rootValues = root.map { case (cid, cq) =>
+      s"($cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+    }.mkString(",\n    ")
+    val chain = new StringBuilder(
+      s"""${p}c(cid, cq) AS (VALUES
+         |    $rootValues),
+         |${p}cn AS (SELECT cid, cq,
+         |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+         |  FROM ${p}c),
+         |${p}cscored AS (
+         |  SELECT pn.vec_id, cn.cid,
+         |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+         |                 FROM (SELECT unnest(pn.q) AS x, unnest(cn.cq) AS y))
+         |      + cn.cn2 AS dist
+         |  FROM pn CROSS JOIN ${p}cn cn),
+         |${p}a1 AS (
+         |  SELECT vec_id, cid AS cluster FROM ${p}cscored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist ASC, cid ASC) = 1)""".stripMargin)
+    var prev = s"${p}a1"
+    subLevels.zipWithIndex.foreach { case (sub, i) =>
+      val l = i + 2
+      val values = sub.map { case (c, cid, cq) =>
+        s"($c, $cid, CAST([${cq.mkString(", ")}] AS BIGINT[]))"
+      }.mkString(",\n    ")
+      chain.append(s""",
+        |${p}sc$l(parent, cid, cq) AS (VALUES
+        |    $values),
+        |${p}scn$l AS (SELECT parent, cid, cq,
+        |    CAST((SELECT sum(x * x) FROM (SELECT unnest(cq) AS x)) AS BIGINT) AS cn2
+        |  FROM ${p}sc$l),
+        |${p}ss$l AS (
+        |  SELECT pn.vec_id, s.cid,
+        |    pn.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
+        |                 FROM (SELECT unnest(pn.q) AS x, unnest(s.cq) AS y))
+        |      + s.cn2 AS dist
+        |  FROM pn JOIN $prev ON $prev.vec_id = pn.vec_id
+        |  JOIN ${p}scn$l s ON s.parent = $prev.cluster),
+        |${p}a$l AS (
+        |  SELECT vec_id, cid AS cluster FROM ${p}ss$l
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist ASC, cid ASC) = 1)""".stripMargin)
+      prev = s"${p}a$l"
+    }
+    val lastLevel = subLevels.size + 1
+    chain.append(s""",
+      |${p}ca AS (SELECT vec_id, cluster AS cell FROM $prev),
+      |${p}ltn AS (SELECT cid, cq, cn2 FROM ${p}scn$lastLevel),
+      |${adcTailCtes(codebooks, p)}""".stripMargin)
+    chain.toString
   }
 
   private def ivfPqOracle: Map[String, String] =
@@ -1258,12 +1377,14 @@ object SimilarityCatalog extends Catalog {
     * [[Similarity.recallAtK]].
     */
   private def annRecallOracle: Option[(String, String)] =
-    for { codebooks <- pqCapture; (coarse, sub, rcb) <- ivfPqCapture } yield {
+    for { codebooks <- pqCapture; (coarse, sub, rcb) <- ivfPqCapture
+          (troot, tlevels, tcb) <- treeIvfPqCapture } yield {
       "ann_recall" ->
         s"""WITH $prepSql,
            |${pqAssignCtes(codebooks, "p_")},
            |${pqAdcCtes("p_")},
            |${ivfPqChainCtes(coarse, sub, rcb, "i_")},
+           |${treeIvfPqChainCtes(troot, tlevels, tcb, "t_")},
            |ex_scored AS (
            |  SELECT qv.vec_id AS query_id, cv.vec_id AS nn_id,
            |    qv.n2 - 2 * (SELECT CAST(sum(x * y) AS BIGINT)
@@ -1283,10 +1404,16 @@ object SimilarityCatalog extends Catalog {
            |  SELECT query_id, nn_id FROM i_adc
            |  QUALIFY row_number() OVER (PARTITION BY query_id
            |    ORDER BY adc_dist ASC, nn_id ASC) <= $K),
+           |t_top AS (
+           |  SELECT query_id, nn_id FROM t_adc
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY adc_dist ASC, nn_id ASC) <= $K),
            |qlist AS (SELECT DISTINCT query_id FROM ex_top),
            |p_hits AS (SELECT query_id, count(*) AS n FROM p_top
            |  JOIN ex_top USING (query_id, nn_id) GROUP BY query_id),
            |i_hits AS (SELECT query_id, count(*) AS n FROM i_top
+           |  JOIN ex_top USING (query_id, nn_id) GROUP BY query_id),
+           |t_hits AS (SELECT query_id, count(*) AS n FROM t_top
            |  JOIN ex_top USING (query_id, nn_id) GROUP BY query_id)
            |SELECT 'pq' AS method, q.query_id,
            |  CAST(coalesce(p_hits.n, 0) AS BIGINT) AS n_hits
@@ -1295,7 +1422,26 @@ object SimilarityCatalog extends Catalog {
            |SELECT 'ivfpq' AS method, q.query_id,
            |  CAST(coalesce(i_hits.n, 0) AS BIGINT) AS n_hits
            |FROM qlist q LEFT JOIN i_hits USING (query_id)
+           |UNION ALL
+           |SELECT 'tivfpq' AS method, q.query_id,
+           |  CAST(coalesce(t_hits.n, 0) AS BIGINT) AS n_hits
+           |FROM qlist q LEFT JOIN t_hits USING (query_id)
            |ORDER BY method, query_id""".stripMargin
+    }
+
+  /** tree_ivfpq_topk oracle: the ENTIRE captured tree-coarse index
+    * replayed — depth-d argmin chain, residual code assignment, flat
+    * leaf-ranked probe selection, ADC partials — all exact integers.
+    */
+  private def treeIvfPqOracle: Option[(String, String)] =
+    treeIvfPqCapture.map { case (root, subLevels, cb) =>
+      "tree_ivfpq_topk" ->
+        s"""WITH $prepSql,
+           |${treeIvfPqChainCtes(root, subLevels, cb, "")}
+           |SELECT query_id, nn_id, adc_dist FROM adc
+           |QUALIFY row_number() OVER (PARTITION BY query_id
+           |  ORDER BY adc_dist ASC, nn_id ASC) <= $K
+           |ORDER BY query_id, nn_id""".stripMargin
     }
 
   /** semantic_dedup_srp_auto oracle: the srp-dedup SQL at the CAPTURED
@@ -1447,7 +1593,7 @@ object SimilarityCatalog extends Catalog {
       hierOracle.toMap ++ bigModelOracle.toMap ++ hybridOracle.toMap ++
       nearDupHierOracle.toMap ++ nearDupTreeOracle.toMap ++
       pqOracles ++ ivfPqOracle ++ ivfPqIndexOracle.toMap ++
-      annRecallOracle.toMap ++ Map(
+      treeIvfPqOracle.toMap ++ annRecallOracle.toMap ++ Map(
     "semantic_dedup_srp" ->
       s"""WITH $prepSql,
          |$srpSketchCtes,

@@ -32,16 +32,13 @@ class ArtifactsSpec extends AnyFunSuite {
   private val registered: Set[String] = SparkEntry.queries.keySet
 
   private def queryNames(json: String): Set[String] = {
-    // names are the keys of the "queries" object — every key in these
-    // artifacts that maps to a bare number; top-level scalar fields
-    // (n_queries, canary_median, ...) are a known, finite set to exclude
-    val kv = """"([A-Za-z0-9_.]+)"\s*:\s*-?\d""".r
-    val nonQuery = Set("metric", "value", "n_queries", "max_query_sec",
-      "batchId", "inputRows", "rowsTotal", "rowsUpdated", "commitMs",
-      "canary_median", "canary_ref", "canary_ratio", "sf",
-      "addBatch", "commitOffsets", "getBatch", "latestOffset", "queryPlanning",
-      "triggerExecution", "walCommit", "getOffset", "setOffsetRange", "getEndOffset")
-    kv.findAllMatchIn(json).map(_.group(1)).toSet -- nonQuery
+    // names are the keys of the "queries" object — scope the scan to that
+    // object's span (flat name->number map, so it ends at the first '}')
+    // instead of excluding an ever-growing list of scalar artifact fields
+    val span = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(json)
+      .getOrElse(fail("artifact has no \"queries\":{...} object")).group(1)
+    """"([A-Za-z0-9_.]+)"\s*:""".r.findAllMatchIn(span).map(_.group(1)).toSet
   }
 
   test("every registered query is in the latest committed bench trio") {
@@ -59,10 +56,11 @@ class ArtifactsSpec extends AnyFunSuite {
     }
   }
 
-  test("every registered query is in the latest committed sf0.1 gate artifact") {
-    val re = """^CORRECTNESS_sf0\.1_r(\d+)\.json$""".r
-    val round = latestRound(repo, re).getOrElse(fail("no committed sf0.1 gate artifact"))
-    val f = new java.io.File(repo, s"CORRECTNESS_sf0.1_r$round.json")
+  private def checkGateArtifact(sfTag: String): Unit = {
+    val re = ("""^CORRECTNESS_""" + java.util.regex.Pattern.quote(sfTag) +
+      """_r(\d+)\.json$""").r
+    val round = latestRound(repo, re).getOrElse(fail(s"no committed $sfTag gate artifact"))
+    val f = new java.io.File(repo, s"CORRECTNESS_${sfTag}_r$round.json")
     // gate artifact: {"counts": ..., "protocol": ..., "queries": {name: {...}}}
     // — query names are exactly the object-valued keys minus the two
     // structural wrappers
@@ -73,5 +71,30 @@ class ArtifactsSpec extends AnyFunSuite {
       s"queries registered but absent from ${f.getName} — rerun tools/sf01_gate.py: $missing")
     val stale = keys -- registered
     assert(stale.isEmpty, s"stale queries in ${f.getName}: $stale")
+  }
+
+  test("every registered query is in the latest committed sf0.1 gate artifact") {
+    checkGateArtifact("sf0.1")
+  }
+
+  test("every registered query is in the latest committed sf1 gate artifact") {
+    checkGateArtifact("sf1")
+  }
+
+  test("test-report directory carries no report for a deleted spec") {
+    // sbt never deletes a TEST-*.xml when its spec is removed from
+    // src/test, so a deleted suite can leave green-looking residue that
+    // inflates report counts (round-11 verdict #3: HybridNullReviewSpec)
+    val reports = new java.io.File(repo, "target/test-reports")
+    if (reports.isDirectory) {
+      val live = new java.io.File(repo, "src/test/scala/graft")
+        .listFiles().map(_.getName.stripSuffix(".scala")).toSet
+      val orphans = reports.listFiles().map(_.getName)
+        .collect { case n if n.startsWith("TEST-graft.") && n.endsWith(".xml") =>
+          n.stripPrefix("TEST-graft.").stripSuffix(".xml") }
+        .filterNot(live)
+      assert(orphans.isEmpty,
+        s"stale test reports for deleted specs — rm them: ${orphans.toSeq}")
+    }
   }
 }

@@ -339,6 +339,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ta === ha)
   }
 
+  test("tree-coarse IVF-PQ at depth 2 with hierarchicalFit's split is the identical index") {
+    // the serving build must degenerate exactly like the fit: same coarse
+    // quantizer => same residuals => same codebooks => identical stored
+    // artifact and identical ADC ranking (the shared ivfAdcTopK tail is
+    // then trivially equal — this pins the ENCODE chains against each
+    // other, where the two implementations genuinely differ)
+    val n = emb.count()
+    val kTotal = Similarity.cellCountFor(n, 64L)
+    val k1 = math.max(2, math.ceil(math.sqrt(kTotal.toDouble)).toInt)
+    val k2 = math.max(1L, (kTotal + k1 - 1L) / k1).toInt
+    val ivf = Similarity.ivfPqFit(emb, "vec_id", "embedding", 64L, 8, 16, 3)
+    val tree = Similarity.treeIvfPqFit(emb, "vec_id", "embedding", 64L,
+      depth = 2, m = 8, ks = 16, iters = 3, fanouts = Seq(k1, k2))
+    assert(tree.tree.root === ivf.hier.coarse)
+    assert(tree.tree.subLevels.head === ivf.hier.sub)
+    assert(tree.pq.codebooks === ivf.pq.codebooks,
+      "residual codebooks must coincide when the coarse quantizers do")
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell"), col("codes"))
+        .collect().map(r => (r.getLong(0), (r.getInt(1), r.getSeq[Int](2)))).toMap
+    assert(enc(tree.encode(emb)) === enc(ivf.encode(emb)))
+  }
+
   test("depth-3 treeFit is partitioning-invariant and its leaf ids encode ancestry") {
     val t1 = Similarity.treeFit(emb, "vec_id", "embedding", 64L, depth = 3, iters = 2)
     val t2 = Similarity.treeFit(emb.repartition(7), "vec_id", "embedding", 64L,

@@ -31,8 +31,9 @@ class PlanAuditSpec extends SparkSpec {
       Set("cosine_topk", "ivf_kmeans_assign", "ivf_multiprobe_topk", "sql_cosine_topk",
         "pq_topk",          // broadcast query set × coded corpus (ADC sweep)
         "ivfpq_topk",       // broadcast centroid set in the probe selection
+        "tree_ivfpq_topk",  // same broadcast probe selection (shared ADC tail)
         "l2_topk",          // broadcast query set × corpus (exact ground truth)
-        "ann_recall",       // composes pq_topk + ivfpq_topk + l2_topk
+        "ann_recall",       // composes pq/ivfpq/tree_ivfpq_topk + l2_topk
         "embedding_contamination",
         "embedding_contamination_fixed", // fixed benchmark set broadcast
         "kmeans_label_purity", // broadcast centroid set in the fit/assign

@@ -17,7 +17,13 @@ DuckDB at 5 000 docs. Protocol:
 Usage:
   python3 tools/sf01_gate.py --make-slice <sfDir> <sliceDir>
   python3 tools/sf01_gate.py <outFull> <sfDir> [--timeout=180] [--out=FILE]
-  python3 tools/sf01_gate.py --merge <jsonFull> <jsonSlice> --out=FILE
+                             [--declared=q1,q2]   # pre-declared slice tier
+  python3 tools/sf01_gate.py --merge <jsonFull> <jsonSlice> --out=FILE [--sf=1]
+
+The same protocol runs at any sf (sf1 gate, round 12): point the full run
+at the bigger dir, --make-slice that dir for the pairslice tier, and
+--declared the known quadratic-oracle set so it doesn't burn full-tier
+timeouts.
 
 Dev tooling only (like selfcheck.py) -- not part of the Scala library.
 """
@@ -45,10 +51,19 @@ def make_slice(sf_dir: str, dst: str) -> None:
     print("slice ->", dst)
 
 
-def run_gate(out_dir: str, sf_dir: str, timeout: int, tier: str) -> dict:
+def run_gate(out_dir: str, sf_dir: str, timeout: int, tier: str,
+             declared=()) -> dict:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     for name in sorted(oracle):
+        if name in declared:
+            # tier declared up front (round-11 verdict: the known
+            # quadratic-oracle set shouldn't burn its timeout in the full
+            # tier every round) — recorded as a timeout so --merge replaces
+            # it with the slice-tier row like any measured timeout
+            results[name] = {"status": "oracle_timeout", "tier": tier,
+                             "declared": True}
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
             results[name] = {"status": "missing_output", "tier": tier}
             continue
@@ -105,15 +120,17 @@ def main():
         for v in merged.values():
             counts[v["status"]] = counts.get(v["status"], 0) + 1
         out = {"sf": flags.get("sf", "0.1"),
-               "protocol": "full + 2000-doc pairslice for oracle timeouts",
+               "protocol": flags.get(
+                   "protocol", "full + 2000-doc pairslice for oracle timeouts"),
                "counts": counts, "queries": merged}
         body = json.dumps(out, indent=1, sort_keys=True)
         print(body if "out" not in flags else counts)
         if "out" in flags:
             open(flags["out"], "w").write(body)
         return
+    declared = set(flags.get("declared", "").split(",")) - {""}
     res = run_gate(args[0], args[1], int(flags.get("timeout", "180")),
-                   flags.get("tier", "full"))
+                   flags.get("tier", "full"), declared)
     if "out" in flags:
         open(flags["out"], "w").write(json.dumps(res, indent=1, sort_keys=True))
 

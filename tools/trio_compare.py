@@ -23,7 +23,9 @@ def load(round_n):
     for i in (1, 2, 3):
         d = json.load(open(f"BENCH_local_r{round_n}_run{i}.json"))
         cs = [c for c in d.get("canary_series", []) if c > 0]
-        ratio = d.get("canary_ratio") or (statistics.median(cs) / REF if cs else 1.0)
+        # canary_ratio <= 0 is Bench's no-canary sentinel, not a ratio
+        r = d.get("canary_ratio")
+        ratio = r if r and r > 0 else (statistics.median(cs) / REF if cs else 1.0)
         runs.append((d["queries"], ratio))
     return runs
 
