@@ -77,10 +77,6 @@ class ArtifactsSpec extends AnyFunSuite {
     checkGateArtifact("sf0.1")
   }
 
-  test("every registered query is in the latest committed sf1 gate artifact") {
-    checkGateArtifact("sf1")
-  }
-
   test("test-report directory carries no report for a deleted spec") {
     // sbt never deletes a TEST-*.xml when its spec is removed from
     // src/test, so a deleted suite can leave green-looking residue that

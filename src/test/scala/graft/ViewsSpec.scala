@@ -72,6 +72,7 @@ class ViewsSpec extends SparkSpec {
       "stream_ivfpq_index",      // same capture mechanism (shared IVF-PQ fit)
       "embedding_near_dup_hier", // same capture mechanism (two-level fit)
       "embedding_near_dup_tree", // same capture mechanism (depth-3 tree fit)
+      "tree_ivfpq_topk",         // same capture mechanism (tree fit + codebooks)
       "ann_recall",              // needs BOTH pq and ivfpq captures
       "semantic_dedup_srp_auto", // captures its chosen band width
       "semantic_dedup_srp_bucket", // same capture mechanism (band width)
