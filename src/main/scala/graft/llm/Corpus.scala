@@ -335,16 +335,14 @@ object Corpus {
     */
   def sourceSimilarity(docs: DataFrame, id: String, source: String,
                        textCol: String, n: Int = 3): DataFrame = {
-    val toks = docs.select(col(id), col(source).as("src"),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(id)).orderBy("pos")
-    val leads = (1 until n).map(o => lead("tok", o).over(w).as(s"t$o"))
-    val ss = toks.select(col("src") +: col("tok") +: leads: _*)
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col("src"),
-        concat_ws("|", col("tok") +: (1 until n).map(o => col(s"t$o")): _*)
-          .as("shingle"))
+    // per-doc grams in one narrow codegen'd pass (round-12: the
+    // [[graft.functions.ShingleQ]] kernel — no posexplode → exchange+sort
+    // on the doc id → lead chain); in-kernel per-doc dedup shrinks the
+    // (src, shingle)-distinct's input, and distinct-of-per-doc-distinct is
+    // the same (src, shingle) set the window form produced
+    val ss = docs.select(col(source).as("src"),
+        explode(graft.functions.ShingleQ(
+          TextOps.tokens(col(textCol)), n, "|", distinct = true)).as("shingle"))
       .distinct()
       .localCheckpoint()
     val sizes = ss.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))

@@ -34,22 +34,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word-n-gram shingle rows `(id, shingle)`: posexplode the
-    * token array, then window-lead over token position builds each n-gram
-    * inside codegen (docs shorter than n tokens yield no rows — they are
-    * the exact-dedup tier's job).
+  /** Distinct word-n-gram shingle rows `(id, shingle)`: ONE narrow
+    * codegen'd pass — [[graft.functions.ShingleQ]] builds every n-gram from
+    * the token array per document and dedups in-kernel, so the frame is
+    * explode-of-a-projection with NO exchange (docs shorter than n tokens
+    * yield no rows — they are the exact-dedup tier's job).
+    *
+    * This replaces the posexplode → exchange+sort on the doc id → lead
+    * window chain → row-level distinct shape (round-12 optimization; plan
+    * dumps `plans/r12/shingle_frame_{before,after}.txt`): the window form
+    * shuffled one row per corpus TOKEN only to reach each token's n-1
+    * successors — adjacency the source row already holds in its array.
+    * Gram strings and per-doc gram sets are bit-identical (spec-pinned by
+    * ShingleQSpec), so every oracle is unchanged.
     */
-  def shingleRows(df: DataFrame, id: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = df.select(col(id),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(id).orderBy("pos")
-    val leads = (1 until n).map(o => lead("tok", o).over(w).as(s"t$o"))
-    toks.select(col(id) +: col("tok") +: leads: _*)
-      .filter(col(s"t${n - 1}").isNotNull)
-      .select(col(id),
-        concat_ws("|", col("tok") +: (1 until n).map(o => col(s"t$o")): _*).as("shingle"))
-      .distinct()
-  }
+  def shingleRows(df: DataFrame, id: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(id),
+      explode(graft.functions.ShingleQ(
+        TextOps.tokens(col(textCol)), n, "|", distinct = true)).as("shingle"))
 
   /** Deterministic salt for skew-splitting a hot join bucket: the salt a
     * doc id lands in when the containment join's hot branch spreads an
@@ -718,15 +720,16 @@ object Dedup {
   private[graft] def dupSpanWindows(df: DataFrame, id: String, textCol: String,
                                     k: Int): DataFrame = {
     require(k >= 2, s"window size k must be >= 2: $k")
-    val w = Window.partitionBy(id).orderBy("pos")
-    val parts = (0 until k).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(w))
+    // k-window construction is one narrow codegen'd pass over the token
+    // array ([[graft.functions.ShingleQ]], non-distinct: every position
+    // keeps its window) — no exchange+sort on the doc id, no lead chain
+    // (round-12; plans/r12/dupspanwin_frame_{before,after}.txt). posexplode
+    // restores the 1-based start position; strings/fingerprints identical.
     val wins = df
-      .select(col(id), posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "tok")))
-      .select(col(id), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-      .select(col(id), col("pos").as("start"), (col("pos") + (k - 1)).as("end"),
-        concat_ws(" ", parts: _*).as("wtext"), parts.last.as("wlast"))
-      .filter(col("wlast").isNotNull) // only complete k-windows
-      .select(col(id), col("start"), col("end"), md5(col("wtext")).as("fp"))
+      .select(col(id), posexplode(graft.functions.ShingleQ(
+        TextOps.tokens(col(textCol)), k, " ", distinct = false)).as(Seq("p0", "wtext")))
+      .select(col(id), (col("p0") + 1).cast("long").as("start"),
+        (col("p0") + k).cast("long").as("end"), md5(col("wtext")).as("fp"))
     val dups = wins.groupBy("fp").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)
     wins.join(dups, Seq("fp"))
@@ -818,23 +821,20 @@ object Dedup {
     require(w <= k, s"span merging needs w <= k (selected positions are <= w apart," +
       s" windows cover k tokens): w=$w k=$k")
     val Big = 1000000000000L // 10^12: 13-digit position complement, so string min = rightmost pos
-    val win = Window.partitionBy(id).orderBy("pos")
-    val parts = (0 until k).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(win))
-    val keyed = df
-      .select(col(id), posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "tok")))
-      .select(col(id), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-      .select(col(id), col("pos"),
-        concat_ws(" ", parts: _*).as("wtext"), parts.last.as("wlast"))
-      .filter(col("wlast").isNotNull) // only complete k-grams
-      .select(col(id), col("pos"),
-        concat(md5(col("wtext")),
-          lpad((lit(Big) - col("pos")).cast("string"), 13, "0")).as("key"))
-    // robust-winnow selection: for every window start the (min-hash,
-    // rightmost) key; trailing truncated frames select too (deterministic,
-    // mirrored in the oracle), so short docs (>= 1 k-gram) always sample
-    keyed
-      .select(col(id), min(col("key")).over(win.rowsBetween(0, w - 1)).as("min_key"))
-      .distinct()
+    // The whole selection — per-position k-gram md5 key with the 13-digit
+    // position complement, rows-frame min over the next w starts (trailing
+    // truncated frames select too), per-doc distinct — runs as ONE narrow
+    // codegen'd pass over the token array ([[graft.functions.WinnowQ]]),
+    // replacing posexplode → exchange+sort on the doc id → k-gram lead
+    // chain → min window → row-level distinct (round-12 optimization;
+    // plans/r12/winnow_frame_{before,after}.txt). The window form shuffled
+    // one 45-byte key per corpus TOKEN to sample ~2/(w+1) of them; now only
+    // the selected rows ever leave the projection. Selected keys are
+    // bit-identical (ShingleQSpec pins kernel ≡ chain), so the dedup/
+    // decontam oracles replay unchanged.
+    df.select(col(id),
+        explode(graft.functions.WinnowQ(TextOps.tokens(col(textCol)), k, w))
+          .as("min_key"))
       .select(col(id), substring(col("min_key"), 1, 32).as("fp"),
         (lit(Big) - substring(col("min_key"), 33, 13).cast("long")).as("start"))
       .withColumn("end", col("start") + (k - 1))
