@@ -20,15 +20,18 @@ object Curation {
   def curate(df: DataFrame, id: String, textCol: String,
              minTokens: Int = 20, minQuality: Double = 0.5,
              nearDupJaccard: Double = 0.8): DataFrame = {
-    val (base, losers) = labeledBase(df, id, textCol, nearDupJaccard)
+    val base = featuredNarrow(df, id, textCol)
+    val nearL = Dedup.nearDupPairs(exactSurvivorText(df, base, id, textCol),
+        id, textCol, nearDupJaccard)
+      .select(col("id_b").as(id)).distinct()
     base.filter(!col("exact_loser"))
-      .join(losers, Seq(id), "left_anti")
+      .join(nearL, Seq(id), "left_anti")
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
       .select(col(id), col("n_tokens"), col("quality_score"))
   }
 
   /** The per-stage builders [[curateResumable]] persists one at a time
-    * (the non-resumable paths fuse them via [[labeledBase]] instead).
+    * (the non-resumable paths fuse them via [[featuredNarrow]] instead).
     */
   private def exactStage(df: DataFrame, id: String, textCol: String): DataFrame =
     df.join(
@@ -93,40 +96,41 @@ object Curation {
     materialize("quality_gate", qualityStage(near, id, textCol, minTokens, minQuality))
   }
 
-  /** The one-pass basis every non-resumable entry point shares: the corpus
-    * with its exact-dup flag and quality stats carried narrow (ONE
-    * fingerprint window, checkpointed — it feeds both the caller's
-    * filter/labels branch and the near-dup chain's input), plus the
-    * near-dup loser id set among the exact survivors (the LSH verify chain
-    * runs once; the loser set is pair-graph sized, ≪ corpus, so joins
-    * against it broadcast).
+  /** The exact-dedup-labelled stats frame every non-resumable entry point
+    * shares: `(id, n_tokens, quality_score, exact_loser)` — one fingerprint
+    * window, checkpointed. NARROW on purpose (round-13; optimization guide
+    * §8 "decide with small rows, move big rows once", §2.3 "shuffle fewer
+    * bytes"): the round-12 featuredBase carried the corpus TEXT through the
+    * fingerprint exchange and localCheckpoint'ed it — a corpus-volume
+    * shuffle plus a corpus-volume materialization for what is a
+    * duplicate-count-sized decision. Now only `(id, fp, 2 stats)` enters
+    * the window exchange and the pinned frame, and the near-dup chain
+    * re-reads the text with one extra narrow scan instead
+    * ([[exactSurvivorText]]). Requires unique `id` per row, like the rest
+    * of the tier (ADVICE r12).
     */
-  private def labeledBase(df: DataFrame, id: String, textCol: String,
-                          nearDupJaccard: Double): (DataFrame, DataFrame) = {
-    val base = featuredBase(df, id, textCol)
-    val losers = Dedup.nearDupPairs(
-        base.filter(!col("exact_loser")).select(col(id), col(textCol)),
-        id, textCol, nearDupJaccard)
-      .select(col("id_b").as(id)).distinct()
-    (base, losers)
-  }
-
-  /** The exact-dedup-labelled feature frame both loser strategies start
-    * from: `(id, text, n_tokens, quality_score, exact_loser)` — the
-    * fingerprint window runs once, checkpointed (it feeds the survivor
-    * projection AND the final filter).
-    */
-  private def featuredBase(df: DataFrame, id: String, textCol: String): DataFrame = {
+  private def featuredNarrow(df: DataFrame, id: String, textCol: String): DataFrame = {
     val text: Column = col(textCol)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
-    df.select(col(id), text,
+    df.select(col(id),
         TextOps.fingerprintMd5(text).as("fingerprint"),
         TextOps.tokenCount(text).as("n_tokens"),
         TextOps.qualityScore(text).as("quality_score"))
       .withColumn("exact_loser", col(id) =!= min(col(id)).over(w))
-      .select(col(id), text, col("n_tokens"), col("quality_score"), col("exact_loser"))
+      .select(col(id), col("n_tokens"), col("quality_score"), col("exact_loser"))
       .localCheckpoint(false)
   }
+
+  /** The exact-dedup SURVIVORS' `(id, text)` for the near-dup chain: a
+    * fresh narrow text scan anti-joined against the LOSER ids read off the
+    * pinned stats frame — loser-sized (≪ corpus, the tier's premise), so
+    * the join broadcasts and the corpus text never shuffles or
+    * materializes anywhere in the curation pipeline.
+    */
+  private def exactSurvivorText(df: DataFrame, base: DataFrame, id: String,
+                                textCol: String): DataFrame =
+    df.select(col(id), col(textCol))
+      .join(base.filter(col("exact_loser")).select(col(id)), Seq(id), "left_anti")
 
   /** [[curate]] under a per-doc near-dup verify budget
     * ([[Dedup.nearDupLoserIdsCapped]]): identical rows to [[curate]] on
@@ -141,12 +145,12 @@ object Curation {
   def curateCapped(df: DataFrame, id: String, textCol: String,
                    minTokens: Int = 20, minQuality: Double = 0.5,
                    nearDupJaccard: Double = 0.8, budget: Int = 8): DataFrame = {
-    val base = featuredBase(df, id, textCol)
-    val survivors = base.filter(!col("exact_loser"))
+    val base = featuredNarrow(df, id, textCol)
     val losers = Dedup.nearDupLoserIdsCapped(
-      survivors.select(col(id), col(textCol)), id, textCol, nearDupJaccard,
+      exactSurvivorText(df, base, id, textCol), id, textCol, nearDupJaccard,
       budget = budget)
-    survivors.join(losers, Seq(id), "left_anti")
+    base.filter(!col("exact_loser"))
+      .join(losers, Seq(id), "left_anti")
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
       .select(col(id), col("n_tokens"), col("quality_score"))
   }
@@ -157,7 +161,7 @@ object Curation {
     * drop accounting. Unlike unioning the four stage frames (which
     * re-plans each pipeline prefix — the document scan and fingerprint
     * window three times, the LSH verify chain twice), every upstream job
-    * here runs once ([[labeledBase]]).
+    * here runs once ([[featuredNarrow]] + one LSH chain).
     */
   /** Exit-stage labels WITH the per-doc features (internal: exitStages
     * projects the gate contract's two columns; curateObserved keeps the
@@ -166,8 +170,11 @@ object Curation {
   private def labeledStages(df: DataFrame, id: String, textCol: String,
                             minTokens: Int, minQuality: Double,
                             nearDupJaccard: Double): DataFrame = {
-    val (base, losers) = labeledBase(df, id, textCol, nearDupJaccard)
-    base.join(losers.withColumn("near_loser", lit(true)), Seq(id), "left")
+    val base = featuredNarrow(df, id, textCol)
+    val nearL = Dedup.nearDupPairs(exactSurvivorText(df, base, id, textCol),
+        id, textCol, nearDupJaccard)
+      .select(col("id_b").as(id)).distinct()
+    base.join(nearL.withColumn("near_loser", lit(true)), Seq(id), "left")
       .select(col(id), col("n_tokens"), col("quality_score"),
         when(col("exact_loser"), lit("exact_dup_loser"))
           .when(coalesce(col("near_loser"), lit(false)), lit("near_dup_loser"))

@@ -61,8 +61,16 @@ object Pipeline {
     val corp = docs.filter(col("source") =!= benchmarkSource)
     val bench = docs.filter(col("source") === benchmarkSource)
 
-    // 2. text curation: (doc_id, n_tokens, quality_score) survivors
-    val cur = Curation.curate(corp, "doc_id", "text")
+    // 2. text curation: (doc_id, n_tokens, quality_score) survivors.
+    // PINNED (round-13, guide §5 reuse): this ID frame feeds the semantic
+    // stage's semi-join, the dup-loser anti join, and — via `sem` — both
+    // decontamination branches; unpinned, each consuming branch re-planned
+    // and re-executed the whole curation chain (fingerprint window + LSH
+    // candidate/verify) inside the one gate action, so curation ran ~4x
+    // per gate run. The checkpoint materializes survivors once; it is
+    // ID-frame-sized by the tier's design, and the composed VALUES — what
+    // the end-to-end oracle hash verifies — are untouched.
+    val cur = Curation.curate(corp, "doc_id", "text").localCheckpoint(false)
 
     // 3. semantic dedup over the survivors' vectors; losers are dup-count
     // sized, so the drop is an anti join against a small frame — and a doc
@@ -73,7 +81,11 @@ object Pipeline {
       Srp.semanticDedupSrpBucketAuto(embS, "vec_id", "embedding", dim, dedupCos)
     val dupLosers = verdicts.filter(!col("is_kept"))
       .select(col("vec_id").as("doc_id"))
+    // pinned like `cur`: `sem` feeds the decontamination semi-join AND the
+    // clean anti join — unpinned, the SRP band self-join re-executed per
+    // branch. Same ID-frame size argument.
     val sem = cur.join(dupLosers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
 
     // 4. decontamination: benchmark-shingle containment over survivors only
     val contaminated = Corpus.contaminationScores(

@@ -409,7 +409,12 @@ object SimilarityCatalog extends Catalog {
       ivfPqCapture = Some((ivf.hier.coarse, ivf.hier.sub, ivf.pq.codebooks))
       val tree = treeIvfPqFit(s, d)
       treeIvfPqCapture = Some((tree.tree.root, tree.tree.subLevels, tree.pq.codebooks))
+      // the exact ranking feeds all three recall arms, each of which reads
+      // it twice (hit join + query-list distinct) — unpinned, the
+      // broadcast-query × corpus L2 sweep re-executed SIX times per run
+      // (round-13; guide §5 reuse). The frame is NumQueries·K rows — tiny.
       val exact = Similarity.l2TopK(corpus(t), queriesDf(t), "vec_id", "embedding", K)
+        .localCheckpoint(false)
       val pqR = Similarity.recallAtK(
         Similarity.pqTopK(pqModel.encode(corpus(t)), queriesDf(t), "vec_id",
           "embedding", pqModel, K), exact)

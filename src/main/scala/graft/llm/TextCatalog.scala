@@ -119,15 +119,21 @@ object TextCatalog extends Catalog {
         .orderBy("lang", "lang_pred")
     }),
 
-    "doc_fingerprints" -> ((s, d) => {
-      val docs = Tables(s, d).documents
-      docs.select(
+    // all three fingerprints in ONE narrow codegen'd projection (round-13):
+    // they derive from the same normalized token array, and the former
+    // join-of-three-derivations paid two doc-id exchanges (simhash +
+    // rolling aggregates) plus two joins for values a single pass over the
+    // scan computes. The null-text filter keeps the old inner-join
+    // semantics (the aggregate forms dropped such docs).
+    "doc_fingerprints" -> ((s, d) =>
+      Tables(s, d).documents
+        .filter(col("text").isNotNull)
+        .select(
           col("doc_id"),
-          TextOps.fingerprintMd5(col("text")).as("fp_md5"))
-        .join(TextOps.rollingHashAgg(docs, "doc_id", "text"), Seq("doc_id"))
-        .join(TextOps.simHashAgg(docs, "doc_id", "text"), Seq("doc_id"))
-        .orderBy("doc_id")
-    }),
+          TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+          graft.functions.RollingHashQ(TextOps.tokens(col("text"))).as("fp_rolling"),
+          graft.functions.SimHashQ(TextOps.tokens(col("text"))).as("fp_simhash"))
+        .orderBy("doc_id")),
 
     "text_fluency" -> ((s, d) =>
       TextOps.fluencyAgg(Tables(s, d).documents, "doc_id", "text")

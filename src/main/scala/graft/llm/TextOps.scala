@@ -85,26 +85,20 @@ object TextOps {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Relational rolling hash: the same fold as [[rollingHash]] — which
-    * equals sum(h_i * B^(n-1-i)) mod P — computed with codegen'd built-ins:
-    * posexplode the tokens, look the modpow B^k up in two literal arrays
-    * (k = 128*q + r, covers k < 16384 tokens/doc), accumulate the per-token
-    * terms in an exact DECIMAL(38) sum, reduce mod P at the end. One hash
-    * aggregate per doc; no interpreted lambdas (the HOF fold measured
-    * ~100x slower per token — see [[graft.llm.Dedup]]).
+  /** Relational rolling hash: the [[rollingHash]] fold (= sum(h_i *
+    * B^(n-1-i)) mod P) as ONE narrow codegen'd pass over the token array
+    * ([[graft.functions.RollingHashDoc]], round-13) — the former posexplode
+    * → doc-id window (count) → polyPow-term projection → DECIMAL(38) hash
+    * aggregate paid an `Exchange hashpartitioning(id)` + sort of one row
+    * per corpus TOKEN to fold an order the source array already has
+    * (optimization guide §2.4/§4); the kernel is bit-identical
+    * (spec-pinned by DocHashQSpec against the verbatim old chain and the
+    * column-level fold). Null-text parity and the unique-id precondition
+    * as in [[simHashAgg]].
     */
-  def rollingHashAgg(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val rows = df
-      .select(col(id), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-      .withColumn("h", hash60(col("tok")) % RollP)
-    val n = org.apache.spark.sql.expressions.Window.partitionBy(id)
-    val k = count(lit(1)).over(n) - 1 - col("pos") // exponent n-1-i
-    rows
-      .withColumn("term", col("h") * polyPow(k) % RollP)
-      .groupBy(col(id))
-      .agg((sum(col("term").cast("decimal(38,0)")) % RollP)
-        .cast("long").as("fp_rolling"))
-  }
+  def rollingHashAgg(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(id), graft.functions.RollingHashQ(tokens(col(textCol))).as("fp_rolling"))
 
   /** RollB^k mod RollP as a column (two table lookups: k = 128q + r covers
     * k < 16384 — callers must bound their sequence length accordingly).
@@ -131,23 +125,22 @@ object TextOps {
     r
   }
 
-  /** Relational SimHash: `(id, fp_simhash)` via token explode → ONE wide
-    * hash aggregate with 60 codegen'd vote sums → bit reassembly. This is
-    * the pipeline shape (the column-level [[simHash]] runs interpreted —
-    * Spark HOFs are CodegenFallback — and is ~100x slower per doc; keep it
-    * for small/test use only).
+  /** Relational SimHash: `(id, fp_simhash)` as ONE narrow codegen'd pass
+    * over the token array ([[graft.functions.SimHashDoc]], round-13) — the
+    * former explode → `Exchange hashpartitioning(id)` → 60-vote-sum
+    * aggregate paid a hash-map probe plus 60 aggregate-buffer updates per
+    * corpus TOKEN to fold adjacency-free math the source row already holds
+    * (optimization guide §2.4/§4); the kernel is bit-identical (spec-pinned
+    * by DocHashQSpec against the verbatim old chain and by LlmSpec against
+    * the column-level [[simHash]] fold). The aggregate form DROPPED
+    * null-text docs (explode of a null token array yields no group) — the
+    * filter keeps that contract. Requires unique `id` per input row (the
+    * aggregate merged duplicate-id rows into one bag; callers here are
+    * one-row-per-document tables).
     */
-  def simHashAgg(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val rows = df.select(col(id), explode(tokens(col(textCol))).as("tok"))
-      .select(col(id), hash60(col("tok")).as("h"))
-    val votes = (0 until 60).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
-    val bits = (0 until 60)
-      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    rows.groupBy(col(id)).agg(votes.head, votes.tail: _*)
-      .select(col(id), bits.as("fp_simhash"))
-  }
+  def simHashAgg(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(id), graft.functions.SimHashQ(tokens(col(textCol))).as("fp_simhash"))
 
   /** Hamming distance between two SimHash values (xor + popcount). */
   def hammingDist(a: Column, b: Column): Column =
@@ -853,32 +846,28 @@ object TextOps {
       "ian" -> 5, "ing" -> 4, "hao" -> 3, "wo_" -> 3, "men" -> 3)
   }
 
-  /** Character n-gram language ID, relational: explode the normalized
-    * text's char trigrams (codegen: `substr` over a position sequence),
-    * join the broadcast profile table, conditional-sum one score column per
-    * language, argmax with profile-order tie-breaks ("und" on zero score).
+  /** Character n-gram language ID as ONE narrow codegen'd pass
+    * ([[graft.functions.LangTriScores]], round-13): the per-language weight
+    * sums compute by sliding a 3-code-point window over the normalized text
+    * and probing the embedded profile table — the former shape exploded one
+    * row per character trigram of the corpus, broadcast-joined the profile,
+    * and hash-aggregated back to docs (at sf0.1 that is ~10M interpreted
+    * substr rows through a join, serial on the few scan splits tiny inputs
+    * give; at 100 TB it is a per-character row stream feeding an aggregate
+    * — optimization guide §2.4/§4). Scores and the argmax/tie-break/"und"
+    * fold are bit-identical (spec-pinned by DocHashQSpec against the
+    * verbatim old chain). Docs with no trigram — or null text, which the
+    * old left join + fill(0) also kept — score zero everywhere.
     * Returns `(id, s_<lang>..., lang_pred)`.
     */
   def langIdNgram(df: org.apache.spark.sql.DataFrame, id: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    // project the normalization ONCE: referencing normText(...) inside the
-    // transform lambda would re-run the regex per trigram (~10x slower)
-    val normed = df.select(col(id), normText(col(textCol)).as("nt"))
-    val nt = col("nt")
-    // sequence(a, b) counts DOWN when a > b — guard short docs explicitly
-    val tris = when(length(nt) >= 3,
-      transform(sequence(lit(1), length(nt) - 2), i => nt.substr(i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-    val exploded = normed.select(col(id), explode(tris).as("tri"))
-    val profile = broadcast(TrigramProfiles.toDF("lang", "tri", "w"))
     val langs = LangMarkers.map(_._1)
-    val scoreCols = langs.map(l =>
-      sum(when(col("lang") === l, col("w")).otherwise(0L)).as(s"s_$l"))
-    val scored = exploded.join(profile, Seq("tri"))
-      .groupBy(col(id)).agg(scoreCols.head, scoreCols.tail: _*)
-    val withScores = df.select(col(id)).join(scored, Seq(id), "left")
-      .na.fill(0L, langs.map(l => s"s_$l"))
+    val scored = df.select(col(id),
+      graft.functions.LangScoresQ(normText(col(textCol)), TrigramProfiles, langs)
+        .as("__sc"))
+    val withScores = scored.select(col(id) +: langs.zipWithIndex.map {
+      case (l, i) => coalesce(element_at(col("__sc"), i + 1), lit(0L)).as(s"s_$l")
+    }: _*)
     val best = langs.map(l => col(s"s_$l")).reduce((a, b) => greatest(a, b))
     val pred = langs.foldRight(lit("und"): Column) { case (l, acc) =>
       when(col(s"s_$l") === best && col(s"s_$l") > 0, lit(l)).otherwise(acc)
