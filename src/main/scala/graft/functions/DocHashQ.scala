@@ -118,6 +118,48 @@ case class LangTriScores(child: Expression, profiles: Seq[(String, String, Long)
     copy(child = newChild)
 }
 
+/** MinHash signature over a per-document DISTINCT gram array as one narrow
+  * codegen'd pass ([[graft.llm.Dedup.minhashSignatures]]'s kernel form,
+  * round-13): per gram, h = (60-bit md5 hash) mod p; sig_j = min over grams
+  * of (h·a(j) + b(j)) mod p — exactly the j-th `min` aggregate of the
+  * 64-column hash-aggregate chain, whose per-gram-row aggregate-buffer
+  * probes and doc-id exchange this replaces (optimization guide §2.4/§4).
+  * Returns null for an empty gram array (a doc shorter than the gram size
+  * produced no shingle rows and hence no aggregate group — callers filter,
+  * mirroring the old absent-group semantics). The affine constants flow in
+  * from the declared source ([[graft.llm.Dedup]]'s permutation family), so
+  * this expression carries no hash family of its own.
+  */
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(a.nonEmpty && a.length == b.length, "one (a, b) pair per permutation")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_q expects array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_q"
+
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    DocHashKernels.minHashSig(input.asInstanceOf[ArrayData], aArr, bArr, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, in => s"""
+      ${ev.value} = graft.functions.DocHashKernels.minHashSig($in, $aRef, $bRef, ${p}L);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Static kernels shared by the interpreted and generated paths. */
 object DocHashKernels {
 
@@ -179,6 +221,29 @@ object DocHashKernels {
     acc
   }
 
+  def minHashSig(in: ArrayData, a: Array[Long], b: Array[Long], p: Long): ArrayData = {
+    val n = in.numElements()
+    if (n == 0) return null
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val digest = md5.get()
+    var i = 0
+    while (i < n) {
+      if (!in.isNullAt(i)) {
+        val h = hash60(in.getUTF8String(i), digest) % p
+        var j = 0
+        while (j < k) {
+          val x = (h * a(j) + b(j)) % p
+          if (x < mins(j)) mins(j) = x
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   def langTriScores(u: UTF8String,
                     table: java.util.HashMap[String, Array[Long]],
                     nLangs: Int): ArrayData = {
@@ -216,6 +281,11 @@ object SimHashQ {
 object RollingHashQ {
   def apply(tokens: Column): Column =
     GraftSqlBridge.column(RollingHashDoc(GraftSqlBridge.expression(tokens)))
+}
+
+object MinHashQ {
+  def apply(grams: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(grams), a, b, p))
 }
 
 object LangScoresQ {

@@ -116,12 +116,58 @@ object Dedup {
 
   /** MinHash signatures from shingle rows: ONE wide hash aggregate with K
     * codegen'd `min` columns (sig_0 … sig_63) — partial-aggregated
-    * map-side, one exchange on the doc id.
+    * map-side, one exchange on the doc id. This is the EXECUTABLE SPEC
+    * form (tests pin the kernel against it); the pipeline paths use
+    * [[kernelSignatures]], which folds the identical math in one narrow
+    * pass per document.
     */
   def minhashSignatures(sh: DataFrame, id: String): DataFrame = {
     val h = TextOps.hash60(col("shingle")) % P
     val mins = (0 until K).map(i => min((h * permA(i) + permB(i)) % P).as(s"sig_$i"))
     sh.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** [[minhashSignatures]] as one narrow codegen'd pass (round-13;
+    * optimization guide §2.4/§4): `(id, __sig array<long>[K])` straight off
+    * the document scan — [[graft.functions.MinHashSig]] folds h·A_i+B_i
+    * mod P mins over the per-doc distinct gram array, replacing the
+    * shingle-row explode → doc-id exchange → 64-min-column aggregate
+    * (which paid an aggregate-buffer probe plus 64 buffer updates per
+    * shingle ROW). Docs with no gram (shorter than n tokens) are filtered,
+    * mirroring the aggregate's absent group. Bit-identical mins —
+    * spec-pinned by DocHashQSpec.
+    */
+  private[graft] def kernelSignatures(df: DataFrame, id: String, textCol: String,
+                                      n: Int): DataFrame =
+    df.select(col(id), graft.functions.MinHashQ(
+        graft.functions.ShingleQ(TextOps.tokens(col(textCol)), n, "|", distinct = true),
+        (0 until K).map(permA), (0 until K).map(permB), P).as("__sig"))
+      .filter(col("__sig").isNotNull)
+
+  /** `(id, band)` rows off the kernel signature array — same
+    * "band:sig,sig,sig,sig" keys as [[bandRows]] (longs render identically
+    * through concat_ws on both paths).
+    */
+  private def bandRowsArr(sig: DataFrame, id: String): DataFrame = {
+    val keys = (0 until Bands).map { b =>
+      concat_ws(",", lit(b) +: (0 until Rows).map(r =>
+        element_at(col("__sig"), b * Rows + r + 1)): _*)
+    }
+    sig.select(col(id), explode(array(keys: _*)).as("band"))
+  }
+
+  /** Candidate pairs (idA < idB) from the banded LSH self-join, built on
+    * the narrow kernel signature pass (one extra scan of the doc frame
+    * instead of the shingle-row aggregate chain — the scan is the cheap
+    * direction, guide §8).
+    */
+  private def kernelCandidates(df: DataFrame, id: String, textCol: String,
+                               n: Int): DataFrame = {
+    val keyed = bandRowsArr(kernelSignatures(df, id, textCol, n), id)
+    val a = keyed.select(col(id).as("id_a"), col("band"))
+    val b = keyed.select(col(id).as("id_b"), col("band"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** `(id, band)` rows: each signature emits its 16 band keys
@@ -168,13 +214,14 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, id: String, textCol: String,
                    threshold: Double, n: Int = 3): DataFrame = {
-    // the shingle frame feeds four plan branches (counts, signatures, both
-    // verify joins); checkpoint it so the tokenize/window/distinct work and
-    // the fact scan run once instead of four times (lazy: materializes on
-    // first use, lineage-truncated after)
+    // the shingle frame feeds three plan branches (counts, both verify
+    // joins); checkpoint it so the tokenize/gram work and the fact scan run
+    // once instead of three times (lazy: materializes on first use,
+    // lineage-truncated after). Signatures take the separate narrow kernel
+    // pass ([[kernelSignatures]]) instead of aggregating these rows.
     val sh = shingleRows(df, id, textCol, n).localCheckpoint(false)
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    verifiedJaccard(lshCandidates(sh, id), sh, counts, id, threshold)
+    verifiedJaccard(kernelCandidates(df, id, textCol, n), sh, counts, id, threshold)
   }
 
   /** Near-dup LOSER ids under a per-doc verify budget with an exact
@@ -202,7 +249,7 @@ object Dedup {
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     // ranked feeds the head verify AND the (usually near-empty) tail —
     // checkpoint so banding/self-join/distinct run once
-    val ranked = lshCandidates(sh, id)
+    val ranked = kernelCandidates(df, id, textCol, n)
       .withColumn("rk", row_number().over(
         Window.partitionBy("id_b").orderBy("id_a")))
       .localCheckpoint(false)
@@ -426,9 +473,9 @@ object Dedup {
 
     val shNew = shingleRows(newDocs, id, textCol, n).localCheckpoint(false)
     val shCorp = shingleRows(corpus, id, textCol, n).localCheckpoint(false)
-    val bandNew = bandRows(minhashSignatures(shNew, id), id)
+    val bandNew = bandRowsArr(kernelSignatures(newDocs, id, textCol, n), id)
       .select(col(id).as("id_a"), col("band"))
-    val bandCorp = bandRows(minhashSignatures(shCorp, id), id)
+    val bandCorp = bandRowsArr(kernelSignatures(corpus, id, textCol, n), id)
       .select(col(id).as("id_b"), col("band"))
     val cand = bandNew.join(bandCorp, Seq("band"))
       .select("id_a", "id_b").distinct()

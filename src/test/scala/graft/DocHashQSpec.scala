@@ -142,6 +142,18 @@ class DocHashQSpec extends SparkSpec {
     }
   }
 
+  test("MinHashQ kernel signatures equal the 64-min aggregate chain (fixture + synth)") {
+    import graft.llm.Dedup
+    Seq(docs, synth).foreach { df =>
+      val viaAgg = Dedup.minhashSignatures(
+        Dedup.shingleRows(df, "doc_id", "text"), "doc_id")
+      val viaKernel = Dedup.kernelSignatures(df, "doc_id", "text", 3)
+        .select(col("doc_id") +: (0 until 64).map(i =>
+          element_at(col("__sig"), i + 1).as(s"sig_$i")): _*)
+      assertRowsEqual(viaKernel, viaAgg)
+    }
+  }
+
   test("fingerprint kernel frames carry no exchange") {
     val plan = docs.filter(col("text").isNotNull).select(col("doc_id"),
         graft.functions.SimHashQ(TextOps.tokens(col("text"))).as("s"),
