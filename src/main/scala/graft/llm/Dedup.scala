@@ -47,6 +47,14 @@ object Dedup {
     * successors — adjacency the source row already holds in its array.
     * Gram strings and per-doc gram sets are bit-identical (spec-pinned by
     * ShingleQSpec), so every oracle is unchanged.
+    *
+    * PRECONDITION (ADVICE r12): each `id` appears on exactly ONE input row.
+    * The in-kernel dedup is per input ROW; the old chain's row-level
+    * `(id, shingle)` distinct was additionally tolerant of duplicate-id
+    * inputs, which here would yield duplicate rows that inflate n_sh /
+    * shingle df / n_common downstream. Same precondition applies to
+    * [[winnowedFingerprints]]. Every registered caller feeds a
+    * one-row-per-document table.
     */
   def shingleRows(df: DataFrame, id: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(id),

@@ -56,7 +56,9 @@ def prof(name: String): Unit = {
     }
     (t1 - t0, t2 - t1, t3 - t2)
   }
-  val t = times.drop(1) // rep 0 = warmup
+  // rep 0 = warmup, unless it is the only rep (PROFILE_REPS=1 would
+  // otherwise index into an empty sequence — ADVICE r12)
+  val t = if (times.size > 1) times.drop(1) else times
   def med(xs: Seq[Long]) = { val s = xs.sorted; s(s.size / 2) / 1e9 }
   println(f"[prof] $name build=${med(t.map(_._1))}%.3f plan=${med(t.map(_._2))}%.3f exec=${med(t.map(_._3))}%.3f (reps=${t.size})")
 }
